@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Table metadata registry — the Spark-side stand-in for the reference's
+  * session catalog (reference: README.md:342 "DDL creates session-level
+  * metadata only"; flink-ddl.sql:9 `PRIMARY KEY (id) NOT ENFORCED`).
+  *
+  * `primaryKey` drives changelog materialization keys and upsert-sink doc
+  * ids (reference: flink-ddl.sql:96-109 ES sinks upsert by PK).
+  * `options` carries connector options (topic, url, ...) the way Flink DDL
+  * `WITH (...)` does; `copy(options = ...)` is the analog of
+  * `CREATE TABLE ... LIKE src (EXCLUDING OPTIONS)` (reference:
+  * README.md:215-225).
+  */
+final case class TableSpec(
+    name: String,
+    schema: StructType,
+    primaryKey: Seq[String] = Nil,
+    options: Map[String, String] = Map.empty)
+
+object Engine {
+  /** Session factory with the scale-aware defaults every entry point uses.
+    * AQE on (runtime re-plan: skew-join split, shuffle coalescing), UTC for
+    * oracle parity, shuffle partitions sized for the local harness via env
+    * (a real cluster submit would override both master and partitions).
+    */
+  def session(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Session-scoped table registry (in-memory, like the reference's
+    * default catalog — README.md:342,346). */
+  final class Catalog {
+    private val specs = scala.collection.concurrent.TrieMap.empty[String, TableSpec]
+    def register(spec: TableSpec): Unit = specs.put(spec.name, spec)
+    def get(name: String): Option[TableSpec] = specs.get(name)
+    def list: Seq[TableSpec] = specs.values.toSeq.sortBy(_.name)
+    /** CREATE TABLE ... LIKE src (EXCLUDING OPTIONS) analog. */
+    def registerLike(newName: String, src: String,
+        options: Map[String, String] = Map.empty): TableSpec = {
+      val base = specs(src)
+      val spec = base.copy(name = newName, options = options)
+      register(spec); spec
+    }
+  }
+}
