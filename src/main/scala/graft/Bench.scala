@@ -1,24 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: one JSON line with per-query seconds.
+  *
+  * Measurement notes:
+  *  - A full warm-up pass runs first so JVM/codegen/scan warm-up is not
+  *    billed to whichever query happens to run first.
+  *  - Timing forces FULL plan evaluation via `queryExecution.toRdd.count()`
+  *    — unlike `df.count()`, the already-compiled physical plan executes
+  *    every projection/expression (count() would let Catalyst prune them
+  *    and benchmark a row-count scan instead of the query).
+  *  - Failures are NOT swallowed: a failing query reports `-1` with its
+  *    error class in the `errors` map, so a crash can never masquerade as
+  *    a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Engine.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.all.map(_.name)
+    // warm-up: execute every plan once (errors surface in the timed pass)
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.linesIterator.next().take(200)
+            -1.0
+        }
+      name -> sec
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }
 }

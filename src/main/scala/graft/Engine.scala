@@ -28,14 +28,18 @@ object Engine {
     */
   def session(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Only default the master when none was supplied: spark-submit --master
+    // sets the spark.master system property, and a builder-set master would
+    // override it — which would pin this entry point to single-node forever.
+    val hasMaster =
+      sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")
+    (if (hasMaster) builder else builder.master(s"local[$cpus]")).getOrCreate()
   }
 
   /** Session-scoped table registry (in-memory, like the reference's

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -72,8 +71,8 @@ object Relational {
     /** Q4 (SURVEY §2.2): the reference's flagship `order_view` — two-sided
       * inner equi-join + dotted-alias projection (reference:
       * flink-ddl.sql:179-190). On a changelog this is maintained
-      * incrementally (see graft.streaming.ContinuousQuery); the batch form
-      * over compacted tables is the shuffle-hash/sort-merge join below.
+      * incrementally (graft.streaming.OrderViewJob end-to-end test); the
+      * batch form over compacted tables is the shuffle/sort-merge join below.
       * At 100 TB both sides are large → shuffle join on the key; AQE picks
       * broadcast automatically when one side's runtime size is small. */
     QueryDef("q04_order_view",
@@ -208,18 +207,22 @@ object Relational {
     /** Q11 (SURVEY §2.2): COLLECT(ROW(...)) multiset aggregation of structs
       * building the nested order-items document (reference:
       * flink-ddl.sql:129-132 + ARRAY<ROW<...>> sink at :111-122). COLLECT is
-      * a multiset → both sides order by linenumber for determinism. */
+      * a multiset → both sides order by linenumber for determinism, and the
+      * array<struct> is serialized to a JSON string on BOTH sides so the
+      * driver's hash compare operates on strings (nested arrays are not
+      * hashable in its pandas compare). */
     QueryDef("q11_collect_items",
-      "SELECT l_orderkey, list(struct_pack(linenumber := l_linenumber, " +
-        "product_id := l_partkey, quantity := l_quantity) " +
-        "ORDER BY l_linenumber) AS items " +
+      "SELECT l_orderkey, to_json(list(struct_pack(" +
+        "linenumber := l_linenumber, product_id := l_partkey, " +
+        "quantity := l_quantity) " +
+        "ORDER BY l_linenumber, l_partkey, l_quantity)) AS items " +
         "FROM lineitem GROUP BY l_orderkey") { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(array_sort(collect_list(struct(
+        .agg(to_json(array_sort(collect_list(struct(
           col("l_linenumber").as("linenumber"),
           col("l_partkey").as("product_id"),
-          col("l_quantity").as("quantity")))).as("items"))
+          col("l_quantity").as("quantity"))))).as("items"))
     },
 
     /** Q12 (SURVEY §2.2): `SELECT *` catalog scan (reference:
@@ -229,23 +232,30 @@ object Relational {
     },
 
     /** §7.2 step 3 keystone, batch form: latest-row-per-key changelog
-      * materialization (upsert-table compaction). The streaming form is
-      * graft.cdc.Materializer; this expresses the identical semantics as a
-      * window rank over the `events` table (key = user_id, version = ts,
-      * tie-break event_id). */
+      * materialization (upsert-table compaction), key = user_id, version =
+      * ts, tie-break event_id. Expressed as `max_by` aggregation rather than
+      * a row_number window: partial-aggregatable (map-side combine before
+      * the shuffle), no per-key sort, and no skew serialization — at 100 TB
+      * a window over PARTITION BY user_id would full-shuffle the stream and
+      * AQE cannot split a skewed window partition, so one hot key would
+      * serialize a task. Ordering uses the raw nanos `ts_ns` so ties are
+      * broken at full precision exactly like the oracle. */
     QueryDef("q13_materialize_latest",
       "SELECT user_id, event_id, event_type, value, " +
         "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec FROM events " +
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id " +
         "ORDER BY ts DESC, event_id DESC) = 1") { (s, dir) =>
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
       t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"))
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value"),
+            col("ts")),
+          struct(col("ts_ns"), col("event_id"))).as("latest"))
+        .select(col("user_id"),
+          col("latest.event_id").as("event_id"),
+          col("latest.event_type").as("event_type"),
+          col("latest.value").as("value"),
+          date_format(col("latest.ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"))
     },
 
     /** §1.2 JSON-as-string handling — the Mongo CDC variant stores the

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the deterministic test tables (see /root/repo/TESTDATA.md).
   *
@@ -19,8 +20,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL). We read it as a raw
+    * nanos long (`spark.sql.legacy.parquet.nanosAsLong`) and convert with
+    * integer division — `ts DIV 1000` keeps full long precision (a double
+    * division would lose it: epoch-nanos ≈ 1.7e18 > 2^53). The original
+    * nanos long is kept as `ts_ns` so ordering comparisons (e.g.
+    * latest-row-per-key) match engines that order on full nano precision.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    name match {
+      case "events" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        spark.read.parquet(path)
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` works verbatim. */
   def registerAll(spark: SparkSession, dir: String): Unit =
