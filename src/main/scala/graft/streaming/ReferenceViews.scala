@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's continuous queries as [[ViewDef]]s over the CDC
+  * pipeline — its two hard streaming shapes:
+  *
+  *  - `order_view` (flink-ddl.sql:179-190): two-sided changelog equi-join
+  *    orders ⋈ users, upserted by order id. An update to EITHER side
+  *    re-emits joined rows; a delete on either side retracts them.
+  *  - `user_order_stats_view` (flink-ddl.sql:197-211, README.md:328-334):
+  *    per (user, day) SUM/COUNT over non-closed orders WITH retraction
+  *    ("要加入撤回功能", flink-ddl.sql:213) — a cancelled (status→closed)
+  *    or deleted order must leave the aggregates; a group with no
+  *    surviving rows must disappear from the sink.
+  *
+  * Both are maintained by affected-key recomputation against the
+  * materialized state: every step is a declarative join/agg over
+  * distributed frames — per-batch work is proportional to (batch keys ×
+  * state lookup), never a full-state rescan of unaffected keys' OUTPUT,
+  * and nothing collects to the driver.
+  */
+object ReferenceViews {
+
+  /** Schemas here follow the reference's tables: orders(id, user_id,
+    * amount, ctime, utime, status, channel), users(id, name, age, ctime,
+    * utime) — README.md:33-70. */
+
+  val orderView: ViewDef = ViewDef("order_view", (pre, post, batch) => {
+    val orders = post("orders")
+    val users = post("users")
+    val ordersBatch = batch("orders")
+    val usersBatch = batch("users")
+
+    // affected order keys: orders touched directly ∪ current orders of
+    // touched users (a user update re-emits all that user's joined rows)
+    val touchedUsers = usersBatch.select(col("key").as("u_key")).distinct()
+    val ordersOfTouchedUsers = orders
+      .join(touchedUsers, orders("user_id") === touchedUsers("u_key"))
+      .select(col("key"))
+    val affected =
+      ordersBatch.select("key").union(ordersOfTouchedUsers).distinct()
+
+    // recompute the joined document for affected orders from current state
+    val o = orders.join(affected, Seq("key"), "left_semi")
+    val joined = o.join(users, o("user_id") === users("id"))
+      .select(
+        o("key").as("id"),
+        o("amount").as("order.amount"),
+        o("status").as("order.status"),
+        o("channel").as("order.channel"),
+        users("name").as("user.name"),
+        users("age").as("user.age"),
+        o("ctime").as("ctime"),
+        o("utime").as("utime"))
+
+    // anything affected that no longer joins (order deleted, user deleted)
+    // is retracted from the sink
+    val deletes = affected.select(col("key").as("id"))
+      .except(joined.select("id"))
+    (joined, deletes)
+  })
+
+  /** Group id for the stats view: user + day. The reference sinks these
+    * with doc id = user_id only (flink-ddl.sql:158-166) which makes
+    * different days of one user collide in the index; we key by
+    * (user, day) so every group is individually addressable — same
+    * aggregates, well-defined identity. */
+  private def dayGroups(df: DataFrame): DataFrame =
+    df.select(
+      col("user_id").cast("string").as("g_user"),
+      date_format(col("ctime"), "yyyy-MM-dd").as("g_day"))
+
+  val userOrderStats: ViewDef = ViewDef("user_order_stats_view", (pre, post, batch) => {
+    val ordersBatch = batch("orders")
+
+    // groups possibly affected by this batch: the groups of PRE-state rows
+    // for touched keys (where a row is LEAVING: delete, day move, cancel)
+    // plus the groups of every batch image (before AND after)
+    val touched = ordersBatch.select("key").distinct()
+    val oldGroups = dayGroups(
+      pre("orders").join(touched, Seq("key"), "left_semi"))
+    val imgGroups = ordersBatch
+      .select(explode(array(col("before"), col("after"))).as("img"))
+      .filter(col("img").isNotNull)
+      .select(col("img.user_id").cast("string").as("g_user"),
+        date_format(col("img.ctime"), "yyyy-MM-dd").as("g_day"))
+    val affected = oldGroups.union(imgGroups).distinct()
+      .filter(col("g_user").isNotNull && col("g_day").isNotNull)
+
+    // recompute affected groups from current state — the WHERE <> 'closed'
+    // filter is what turns a cancellation into a retraction
+    // (flink-ddl.sql:208)
+    val live = post("orders").filter(col("status") =!= "closed")
+    val grouped = live
+      .withColumn("g_user", col("user_id").cast("string"))
+      .withColumn("g_day", date_format(col("ctime"), "yyyy-MM-dd"))
+      .join(affected, Seq("g_user", "g_day"), "left_semi")
+      .groupBy("g_user", "g_day")
+      .agg(sum("amount").as("order.amount.day"),
+        count(lit(1)).as("order.count.day"))
+      .select(
+        concat_ws("|", col("g_user"), col("g_day")).as("id"),
+        col("g_user").as("user_id"), col("g_day").as("cday"),
+        col("`order.amount.day`"), col("`order.count.day`"))
+
+    // affected groups with no surviving rows vanish from the sink
+    val deletes = affected
+      .select(concat_ws("|", col("g_user"), col("g_day")).as("id"))
+      .except(grouped.select("id"))
+    (grouped, deletes)
+  })
+}

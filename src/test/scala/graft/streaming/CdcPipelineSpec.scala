@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+import graft.{SparkSuite, TableSpec}
+
+/** End-to-end continuous queries over replayed Debezium envelopes —
+  * SURVEY §7.3's minimum slice (Q4 `order_view`, the reference's flagship,
+  * flink-ddl.sql:179-190) plus the retractive aggregation
+  * `user_order_stats_view` (flink-ddl.sql:197-213): envelope decode →
+  * changelog normalize → materialized state merge → affected-key view
+  * maintenance → keyed upsert sink, including the retraction cases
+  * (status→closed leaves the aggregates; deletes leave the join view).
+  */
+class CdcPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  // reference table shapes: README.md:34-42 (ec.orders), :64-70 (crm.users)
+  private val ordersSchema = StructType(Seq(
+    StructField("id", StringType), StructField("user_id", StringType),
+    StructField("amount", DoubleType), StructField("ctime", TimestampType),
+    StructField("utime", TimestampType), StructField("status", StringType),
+    StructField("channel", StringType)))
+  private val usersSchema = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("age", IntegerType), StructField("ctime", TimestampType),
+    StructField("utime", TimestampType)))
+
+  private val sources = Seq(
+    TableSpec("orders", ordersSchema, primaryKey = Seq("id")),
+    TableSpec("users", usersSchema, primaryKey = Seq("id")))
+
+  private var seqNo = 0L
+  private def rec(table: String, env: String): (String, String, Long) = {
+    seqNo += 1; (table, env, seqNo)
+  }
+
+  private def orderEnv(op: String, id: String, user: String, amount: Double,
+      status: String, ctime: String, before: Option[String] = None): String = {
+    val img = (st: String) =>
+      s"""{"id":"$id","user_id":"$user","amount":$amount,
+         |"ctime":"${ctime}T00:00:00Z","utime":"${ctime}T00:00:00Z",
+         |"status":"$st","channel":"wechat"}""".stripMargin.replace("\n", "")
+    val b = if (op == "c") "null" else img(before.getOrElse(status))
+    val a = if (op == "d") "null" else img(status)
+    s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$seqNo}"""
+  }
+
+  private def userEnv(op: String, id: String, name: String, age: Int): String = {
+    val img = s"""{"id":"$id","name":"$name","age":$age,
+                 |"ctime":"2021-01-01T00:00:00Z","utime":"2021-01-01T00:00:00Z"}"""
+      .stripMargin.replace("\n", "")
+    val b = if (op == "c") "null" else img
+    val a = if (op == "d") "null" else img
+    s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$seqNo}"""
+  }
+
+  test("order_view join + user_order_stats retraction, end to end") {
+    val sink = new InMemoryUpsertSink
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state"), sink,
+      Seq(ReferenceViews.orderView, ReferenceViews.userOrderStats))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt"))
+
+    def feed(recs: (String, String, Long)*): Unit = {
+      stream.addData(recs)
+      query.processAllAvailable()
+    }
+
+    // batch 1: a user and two orders on different days
+    feed(
+      rec("users", userEnv("c", "u1", "Alice", 30)),
+      rec("orders", orderEnv("c", "o1", "u1", 100.0, "created", "2021-01-30")),
+      rec("orders", orderEnv("c", "o2", "u1", 50.0, "created", "2021-01-31")))
+
+    val docs1 = sink.docs("order_view")
+    assert(docs1.keySet == Set("o1", "o2"))
+    assert(docs1("o1")("user.name") == "Alice")
+    assert(docs1("o1")("order.amount") == 100.0)
+    assert(docs1("o1")("order.status") == "created")
+
+    val stats1 = sink.docs("user_order_stats_view")
+    assert(stats1.keySet == Set("u1|2021-01-30", "u1|2021-01-31"))
+    assert(stats1("u1|2021-01-30")("order.amount.day") == 100.0)
+    assert(stats1("u1|2021-01-30")("order.count.day") == 1L)
+
+    // batch 2: o1 pays — join view updates in place
+    feed(rec("orders",
+      orderEnv("u", "o1", "u1", 100.0, "payed", "2021-01-30",
+        before = Some("created"))))
+    assert(sink.docs("order_view")("o1")("order.status") == "payed")
+    assert(sink.docs("user_order_stats_view")
+      .apply("u1|2021-01-30")("order.amount.day") == 100.0)
+
+    // batch 3: o1 CANCELLED (status → closed) — the reference's retraction
+    // case (flink-ddl.sql:208,213): the order must LEAVE the per-user/day
+    // aggregates; its group has no other order, so the doc disappears
+    feed(rec("orders",
+      orderEnv("u", "o1", "u1", 100.0, "closed", "2021-01-30",
+        before = Some("payed"))))
+    assert(sink.docs("order_view")("o1")("order.status") == "closed",
+      "order_view has no status filter; doc remains with closed status")
+    assert(sink.docs("user_order_stats_view").keySet == Set("u1|2021-01-31"),
+      "cancelled order must leave the aggregates")
+
+    // batch 4: user rename — joined rows re-emit with the new name
+    feed(rec("users", userEnv("u", "u1", "Alicia", 30)))
+    assert(sink.docs("order_view")("o2")("user.name") == "Alicia")
+
+    // batch 5: delete o2 — retracted from join view AND aggregates
+    feed(rec("orders",
+      orderEnv("d", "o2", "u1", 50.0, "created", "2021-01-31")))
+    assert(!sink.docs("order_view").contains("o2"))
+    assert(sink.docs("user_order_stats_view").isEmpty)
+
+    // batch 6: delete the user — remaining joined rows retract (inner join)
+    feed(rec("users", userEnv("d", "u1", "Alicia", 30)))
+    assert(sink.docs("order_view").isEmpty)
+
+    query.stop()
+  }
+
+  test("same-batch create+update collapses to the latest image (compaction)") {
+    val sink = new InMemoryUpsertSink
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state2"), sink,
+      Seq(ReferenceViews.orderView))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt2"))
+
+    stream.addData(Seq(
+      rec("users", userEnv("c", "u9", "Bob", 41)),
+      rec("orders", orderEnv("c", "o9", "u9", 10.0, "created", "2021-02-01")),
+      rec("orders", orderEnv("u", "o9", "u9", 10.0, "payed", "2021-02-01",
+        before = Some("created")))))
+    query.processAllAvailable()
+
+    assert(sink.docs("order_view")("o9")("order.status") == "payed")
+    assert(pipeline.state("orders").count() == 1)
+    query.stop()
+  }
+}
