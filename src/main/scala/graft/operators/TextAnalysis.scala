@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` — language-ID, quality
+  * scoring, token counting, fingerprinting (LLM-pipeline north star;
+  * absent from the reference, SURVEY §2.4).
+  *
+  * Every operator is pure declarative Column arithmetic (replace/length
+  * counting, integer folds over split arrays) — whole-stage codegen'd,
+  * no UDFs, and expressible identically in the DuckDB oracle so the
+  * correctness gate hash-matches the exact values, not just row counts.
+  */
+object TextAnalysis {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Non-overlapping occurrence count of `needle` in `hay` via the
+    * replace-length trick — identical left-to-right semantics in Spark
+    * and DuckDB. */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(replace(hay, lit(needle), lit(""))))
+      / needle.length).cast("long")
+
+  private def occStr(hayExpr: String, needle: String): String =
+    s"(length($hayExpr) - length(replace($hayExpr, '$needle', ''))) / ${needle.length}"
+
+  /** Marker-word score: occurrences of each marker in the space-padded
+    * text. Marker sets are tiny embedded language profiles (the n-gram
+    * heuristic's degenerate-but-deterministic form). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " que "))
+
+  val queries: Seq[QueryDef] = Seq(
+
+    /** Per-document stats: token count, average token length, stopword
+      * count, and a composite quality score — the length/punct/stopword
+      * heuristics of a pretraining quality filter. */
+    QueryDef("q30_text_stats", {
+      val pad = "(' ' || text || ' ')"
+      val nTok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+      val stops = Seq(" the ", " a ", " of ")
+        .map(w => s"(${occStr(pad, w)})").mkString(" + ")
+      s"""SELECT doc_id, $nTok AS n_tokens,
+         |ROUND((length(replace(text, ' ', '')) * 1.0) / $nTok, 6) AS avg_token_len,
+         |CAST($stops AS BIGINT) AS stop_cnt,
+         |ROUND(least(1.0, $nTok / 100.0) * 0.5 +
+         |  least(1.0, ($stops) * 10.0 / $nTok) * 0.5, 6) AS quality
+         |FROM documents""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val text = col("text")
+      val pad = concat(lit(" "), text, lit(" "))
+      val nTok = size(split(trim(text), "\\s+")).cast("long")
+      val stopCnt = Seq(" the ", " a ", " of ")
+        .map(w => occurrences(pad, w)).reduce(_ + _)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(length(replace(text, lit(" "), lit(""))).cast("double") / nTok, 6)
+          .as("avg_token_len"),
+        stopCnt.as("stop_cnt"),
+        round(least(lit(1.0), nTok / 100.0) * 0.5 +
+          least(lit(1.0), stopCnt * 10.0 / nTok) * 0.5, 6).as("quality"))
+    },
+
+    /** Language ID: marker-word scores per language + non-ASCII fraction
+      * for CJK; argmax with a fixed tie order (en, de, fr, es, zh). The
+      * oracle runs the SAME deterministic scoring — the gate verifies the
+      * classifier, not the synthetic `lang` label. */
+    QueryDef("q31_lang_id", {
+      val pad = "(' ' || text || ' ')"
+      val scores = markers.map { case (lang, ws) =>
+        lang -> ws.map(w => s"(${occStr(pad, w)})").mkString(" + ")
+      }
+      val zh = "length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', ''))"
+      val all = (scores.map(_._2) :+ zh).map(e => s"($e)").mkString(", ")
+      val cases = scores.map { case (lang, e) =>
+        s"WHEN ($e) = m AND m > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases WHEN ($zh) = m AND m > 0 THEN 'zh'
+         |ELSE 'unknown' END AS pred_lang
+         |FROM (SELECT doc_id, text, greatest($all) AS m FROM documents)
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val text = col("text")
+      val pad = concat(lit(" "), text, lit(" "))
+      val scores = markers.map { case (lang, ws) =>
+        lang -> ws.map(w => occurrences(pad, w)).reduce(_ + _)
+      }
+      val zhScore = (length(text) -
+        length(regexp_replace(text, "[^\\x00-\\x7F]", ""))).cast("long")
+      val m = greatest((scores.map(_._2) :+ zhScore): _*)
+      val pred = (scores :+ ("zh" -> zhScore))
+        .foldRight(lit("unknown")) { case ((lang, sc), acc) =>
+          when(sc === m && m > 0, lit(lang)).otherwise(acc)
+        }
+      // foldRight builds en-first precedence: en wins ties, then de, ...
+      t(s, dir, "documents").select(col("doc_id"), pred.as("pred_lang"))
+    },
+
+    /** Token counting two ways: whitespace tokens and a BPE-ish subword
+      * estimate (每 word contributes ceil(len/4) subword units — the
+      * deterministic stand-in for a real BPE vocab merge count). */
+    QueryDef("q32_token_count",
+      """SELECT doc_id,
+        |len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |  x -> (length(x) + 3) // 4)) AS BIGINT) AS bpe_est
+        |FROM documents""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(w).cast("long").as("ws_tokens"),
+        aggregate(transform(w, x => floor((length(x) + 3) / 4)),
+          lit(0L), (acc, x) => acc + x).as("bpe_est"))
+    },
+
+    /** Document fingerprint: polynomial rolling hash over the word
+      * sequence, word-hashed via an md5 prefix — both engines fold
+      * left-to-right over identical integer sequences, so fingerprints
+      * hash-match exactly. Order-sensitive (unlike the shingle-set
+      * measures): equal fingerprint ⇔ near-certain equal word sequence. */
+    QueryDef("q33_fingerprint",
+      """SELECT doc_id,
+        |list_reduce(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |  x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000000007),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      val hw = transform(w, x =>
+        pmod(conv(substring(md5(x), 1, 8), 16, 10).cast("long"),
+          lit(1000000007L)))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        aggregate(
+          slice(hw, lit(2), greatest(size(hw) - 1, lit(0))),
+          element_at(hw, 1),
+          (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("fingerprint"))
+    }
+  )
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Near-dup operators verified against brute-force ground truth at
+  * sf0.001/sf0.01 — LSH candidate generation must reproduce the exact
+  * answer on the planted near-duplicates (the oracle only covers the
+  * SQL-expressible members of the family). */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val queries = graft.SparkEntry.queries
+
+  private lazy val bruteForcePairs: Set[(Long, Long)] = {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("shingles: distinct word 3-grams, short-text guard") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("minhash-LSH finds exactly the brute-force jaccard>=0.8 pairs") {
+    val lsh = queries("q21_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == bruteForcePairs)
+    assert(lsh.size == 25, "sf0.01 plants 25 near-dup pairs")
+  }
+
+  test("simhash pairs are true near-dups (subset of jaccard pairs)") {
+    val sim = queries("q22_simhash_pairs")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    assert(sim.subsetOf(bruteForcePairs),
+      "hamming<=3 must not produce false positives on this corpus")
+    val hams = queries("q22_simhash_pairs")(spark, dir)
+      .select("hamming").as[Int].collect()
+    assert(hams.forall(_ <= 3))
+  }
+
+  test("rare-gram blocking reproduces brute-force char-gram pairs") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+        i => col("text").substr(i, lit(5)))).as("gs"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", Dedup.jaccard(col("gs_a"), col("gs_b")))
+      .filter(col("j") >= 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val blocked = queries("q23_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+  }
+}
