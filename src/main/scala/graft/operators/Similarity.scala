@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.TopKAggregator
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float>, label) — approximate-nearest-neighbor family
+  * of the LLM-pipeline north star.
+  *
+  * Three tiers, by scale posture:
+  *  - q40 brute-force cosine top-k: the exactness baseline. Query side is
+  *    broadcast (a handful of probe vectors), candidate side streams —
+  *    O(N·Q) dot products with NO shuffle of the candidate set; top-k via
+  *    a bounded custom Aggregator (map-side combine ships k rows per
+  *    partition, not N).
+  *  - q41 random-hyperplane LSH: 4 bands × 4 sign bits — candidates share
+  *    a band bucket with the query, then exact cosine within candidates.
+  *    Work ∝ bucket collisions.
+  *  - q42 IVF-style partition search: per-label centroids (the testdata's
+  *    `label` is the cluster assignment a k-means step would produce),
+  *    query routes to its nearest centroid, exact search within that
+  *    partition only.
+  */
+object Similarity {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Deterministic left-to-right double-precision dot product — the same
+    * fold order the DuckDB oracle uses, so scores hash-match. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Probe set: the first `nq` vec_ids — deterministic, matches the
+    * oracle's `vec_id < nq`. */
+  private val NQ = 5
+  private val K = 5
+
+  private def topkWithin(scored: DataFrame): DataFrame = {
+    val topk = udaf(new TopKAggregator(K))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(col("col.score"), 6).as("score"))
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    /** Exact cosine top-5 for 5 probe vectors. Oracle: same rounded score,
+      * same (score DESC, vec_id ASC) tie order. */
+    QueryDef("q40_cosine_topk",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ROUND(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1]*c.v[i+1])) /
+         |    (sqrt(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1]*q.v[i+1]))) *
+         |     sqrt(list_sum(list_transform(range(len(c.v)), i -> c.v[i+1]*c.v[i+1])))), 6) AS score
+         |  FROM e q JOIN e c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= $K""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("score"))
+      topkWithin(scored)
+    },
+
+    /** Random-hyperplane LSH ANN: 16 deterministic hyperplanes as 4 bands
+      * of 4 sign bits; a candidate that matches the query in ANY band is
+      * scored exactly. Approximate — covered by the recall test, not the
+      * oracle. */
+    QueryDef.noOracle("q41_ann_lsh_topk") { (s, dir) =>
+      val rnd = new scala.util.Random(7)
+      val planes: Seq[Seq[Double]] =
+        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+      val planeCol = typedlit(planes)
+
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"))
+      // 4 bands × 4 sign bits per vector
+      val sig = e.withColumn("bands",
+        transform(sequence(lit(0), lit(3)), band =>
+          struct(band.as("band_id"),
+            aggregate(sequence(lit(0), lit(3)), lit(0),
+              (acc, j) => {
+                val p = element_at(planeCol, band * 4 + j + 1)
+                acc * 2 + when(dot(col("v"), p) > 0, 1).otherwise(0)
+              }).as("bh"))))
+      val buckets = sig.select(col("vec_id"), col("v"),
+        explode(col("bands")).as("b"))
+        .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bh"))
+
+      val q = buckets.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("band_id").as("q_band"), col("bh").as("q_bh"))
+      val candidates = buckets.join(broadcast(q),
+        col("band_id") === col("q_band") && col("bh") === col("q_bh") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qv"),
+          col("vec_id").as("neighbor_id"), col("v")).distinct()
+
+      val scored = candidates.select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("score"))
+      topkWithin(scored)
+    },
+
+    /** IVF-style search: centroid per label partition, probe routes to its
+      * nearest centroid, exact top-k within that partition only (1/10th of
+      * the corpus here; nprobe=1). */
+    QueryDef.noOracle("q42_ivf_topk") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      // centroid = per-dimension mean over the label partition
+      val dims = e.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")))
+      val centroids = dims.groupBy("label", "pos")
+        .agg(avg("col").as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("cs"))
+        .select(col("label").as("c_label"),
+          col("cs.m").as("centroid"))
+
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      // route each probe to its nearest centroid (tiny cross product)
+      val routed = q.crossJoin(broadcast(centroids))
+        .withColumn("cscore", cosine(col("qv"), col("centroid")))
+        .groupBy("query_id")
+        .agg(max_by(struct(col("c_label"), col("qv")),
+          struct(col("cscore"), -col("c_label"))).as("r"))
+        .select(col("query_id"), col("r.c_label").as("probe_label"),
+          col("r.qv").as("qv"))
+
+      // exact search inside the routed partition only
+      val scored = e.join(broadcast(routed),
+        col("label") === col("probe_label") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qv"), col("embedding")), 6).as("score"))
+      topkWithin(scored)
+    }
+  )
+}
