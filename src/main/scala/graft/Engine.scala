@@ -1,7 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
+
+import graft.sources.Tables
 
 /** Table metadata registry — the Spark-side stand-in for the reference's
   * session catalog (reference: README.md:342 "DDL creates session-level
@@ -20,7 +22,45 @@ final case class TableSpec(
     primaryKey: Seq[String] = Nil,
     options: Map[String, String] = Map.empty)
 
+/** The SQL front door: a session-scoped engine instance holding the spec
+  * catalog and exposing `sql(...)` over registered tables — the role of
+  * Flink's sql-client session (reference: README.md:100-104, 342). DDL
+  * mutates only this catalog; queries plan through stock Catalyst. */
+final class Engine(val spark: SparkSession) {
+  val catalog = new Engine.Catalog
+
+  /** Register a parquet-backed table: spec in the catalog + temp view so
+    * SQL references it by name (the reference's `CREATE TABLE ... WITH`,
+    * flink-ddl.sql:1-19). */
+  def registerParquet(name: String, dir: String,
+      primaryKey: Seq[String] = Nil): TableSpec = {
+    val df = Tables.load(spark, dir, name)
+    df.createOrReplaceTempView(name)
+    val spec = TableSpec(name, df.schema, primaryKey,
+      Map("connector" -> "parquet", "path" -> s"$dir/$name.parquet"))
+    catalog.register(spec)
+    spec
+  }
+
+  /** `CREATE TABLE new LIKE src (EXCLUDING/INCLUDING OPTIONS)` (reference:
+    * README.md:215-225, :252-254): clone the spec, swap options, and point
+    * a view at the new connector location when one is given. */
+  def registerLike(newName: String, src: String,
+      options: Map[String, String] = Map.empty): TableSpec = {
+    val spec = catalog.registerLike(newName, src, options)
+    options.get("path").foreach { p =>
+      spark.read.schema(spec.schema).parquet(p)
+        .createOrReplaceTempView(newName)
+    }
+    spec
+  }
+
+  def sql(stmt: String): DataFrame = spark.sql(stmt)
+}
+
 object Engine {
+  def apply(spark: SparkSession): Engine = new Engine(spark)
+
   /** Session factory with the scale-aware defaults every entry point uses.
     * AQE on (runtime re-plan: skew-join split, shuffle coalescing), UTC for
     * oracle parity, shuffle partitions sized for the local harness via env

@@ -231,6 +231,26 @@ object Relational {
       t(s, dir, "nation").select(col("*"))
     },
 
+    /** Q13/SQL front door (SURVEY §7.2 step 5): the reference's flagship
+      * DML ported ~verbatim through `Engine.sql` over catalog-registered
+      * tables — DDL mutates only the session catalog, the SELECT plans
+      * through stock Catalyst (reference: flink-ddl.sql:179-190 +
+      * README.md:342). */
+    QueryDef("q15_sql_order_view",
+      "SELECT o_orderkey AS id, o_totalprice AS \"order.amount\", " +
+        "o_orderstatus AS \"order.status\", c_name AS \"user.name\" " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_orderstatus <> 'F'") { (s, dir) =>
+      val engine = graft.Engine(s)
+      engine.registerParquet("orders", dir, primaryKey = Seq("o_orderkey"))
+      engine.registerParquet("customer", dir, primaryKey = Seq("c_custkey"))
+      engine.sql(
+        """SELECT o_orderkey AS id, o_totalprice AS `order.amount`,
+          |o_orderstatus AS `order.status`, c_name AS `user.name`
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus <> 'F'""".stripMargin)
+    },
+
     /** §7.2 step 3 keystone, batch form: latest-row-per-key changelog
       * materialization (upsert-table compaction), key = user_id, version =
       * ts, tie-break event_id. Expressed as `max_by` aggregation rather than
