@@ -51,7 +51,7 @@ class DedupSpec extends SparkSuite {
     assert(hams.forall(_ <= 3))
   }
 
-  test("rare-gram blocking reproduces brute-force char-gram pairs") {
+  test("char-gram LSH reproduces brute-force char-gram pairs") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(transform(
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
