@@ -89,6 +89,30 @@ object Debezium {
     * Input df must have an `env` struct column (from [[decode]]) and the
     * seq column; rows with null envelopes (parse errors) are dropped.
     */
+  /** Normalize decoded MongoDB envelopes to the same changelog shape. The
+    * row shape is the reference's `comments` table: (id STRING, content
+    * STRING) — id extracted from the Mongo `_id.$oid`, content = the raw
+    * document JSON string (flink-mongodb.sql:1-5; envelope
+    * sample/cdc.crawler.change-log-mongodb.json:46). Deletes carry only
+    * `filter`, so the key falls back to it; before-images don't exist in
+    * the Mongo envelope (null). */
+  def normalizeMongo(df: DataFrame, seqCol: String = "seq"): DataFrame = {
+    val rowType = StructType(Seq(
+      StructField("id", StringType), StructField("content", StringType)))
+    def oid(c: Column): Column = get_json_object(c, "$._id.$oid")
+    val key = coalesce(oid(col("env.after")), oid(col("env.filter")))
+    df.filter(col("env").isNotNull && col("env.op").isNotNull)
+      .select(
+        key.as("key"),
+        col("env.op").as("op"),
+        lit(null).cast(rowType).as("before"),
+        when(col("env.op") =!= "d",
+          struct(key.as("id"), col("env.after").as("content")))
+          .otherwise(lit(null).cast(rowType)).as("after"),
+        col("env.ts_ms").as("ts_ms"),
+        col(seqCol).cast(LongType).as("seq"))
+  }
+
   def normalize(df: DataFrame, pk: Seq[String], seqCol: String = "seq"): DataFrame = {
     val keyParts = pk.map(c =>
       coalesce(col(s"env.after.$c"), col(s"env.before.$c")).cast(StringType))

@@ -278,6 +278,24 @@ object Relational {
           date_format(col("latest.ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"))
     },
 
+    /** Event-time tumbling-window aggregation over the events stream —
+      * the capability the reference conspicuously lacks (no WATERMARK, no
+      * event-time window anywhere: SURVEY §1.1/§2.4); its day bucketing
+      * via date_format (flink-ddl.sql:204) is the degenerate form. Batch
+      * shape here (oracle-checked); the watermarked streaming form is
+      * graft.streaming.EventWindows (tested in EventWindowSpec). */
+    QueryDef("q16_event_window",
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+        "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total " +
+        "FROM events GROUP BY 1, 2") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour")("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("total"))
+    },
+
     /** §1.2 JSON-as-string handling — the Mongo CDC variant stores the
       * document as a raw JSON string column read with JSON functions
       * (reference: flink-mongodb.sql:1-5; envelope

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, concat, lit, struct, to_json}
 
 /** JDBC connector surface (reference S3/S4):
   *
@@ -33,6 +33,24 @@ object Jdbc {
       dimTable: String, cond: Column,
       options: Map[String, String] = Map.empty): DataFrame =
     fact.join(broadcast(table(spark, url, dimTable, options)), cond)
+
+  /** S2 snapshot bootstrap — the first half of mysql-cdc's
+    * snapshot-then-binlog contract (reference: README.md:347 "full
+    * snapshot then switch seamlessly to binlog"): read the table's current
+    * rows over JDBC and emit them as Debezium `op:"r"` (snapshot-read)
+    * records in the CDC input contract, so a [[graft.streaming.CdcPipeline]]
+    * bootstraps its materialized state before tailing the change topic.
+    * ts_ms=0/seq=0 orders every snapshot row before any live change. */
+  def snapshotCdcInput(spark: SparkSession, url: String, dbTable: String,
+      cdcTable: String, options: Map[String, String] = Map.empty): DataFrame = {
+    val rows = table(spark, url, dbTable, options)
+    rows.select(
+      lit(cdcTable).as("table"),
+      concat(lit("""{"before":null,"after":"""),
+        to_json(struct(rows.columns.map(col): _*)),
+        lit(""","op":"r","ts_ms":0}""")).as("value"),
+      lit(0L).as("seq"))
+  }
 
   /** Register a JDBC catalog: `USE CATALOG`-style external metadata
     * (reference: README.md:257-261). Identifiers resolve as

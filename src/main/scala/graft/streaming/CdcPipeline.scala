@@ -77,13 +77,21 @@ final class CdcPipeline(
   /** Process one micro-batch (also callable directly for deterministic
     * tests — foreachBatch calls exactly this). */
   def processBatch(batch: DataFrame): Unit = {
-    // 1. decode + normalize per table; persist: each frame is read for the
-    //    state merge AND by every view
+    // 1. decode + normalize per table (format from the spec options:
+    //    MySQL struct envelopes by default, Mongo JSON-string envelopes
+    //    for 'debezium-mongo' sources); persist: each frame is read for
+    //    the state merge AND by every view
     val changelogs: Map[String, DataFrame] = sources.map { spec =>
-      val env = batch.filter(col("table") === spec.name)
-        .withColumn("env",
-          Debezium.decode(col("value"), Debezium.mysqlEnvelope(spec.schema)))
-      val normalized = Debezium.normalize(env, spec.primaryKey)
+      val raw = batch.filter(col("table") === spec.name)
+      val normalized =
+        if (spec.options.get("format").contains("debezium-mongo"))
+          Debezium.normalizeMongo(raw.withColumn("env",
+            Debezium.decode(col("value"), Debezium.mongoEnvelope,
+              tolerant = false)))
+        else
+          Debezium.normalize(raw.withColumn("env",
+            Debezium.decode(col("value"),
+              Debezium.mysqlEnvelope(spec.schema))), spec.primaryKey)
       spec.name -> normalized.localCheckpoint(true)
     }.toMap
 

@@ -111,4 +111,48 @@ object ReferenceViews {
       .except(grouped.select("id"))
     (grouped, deletes)
   })
+
+  /** `product_stats_view` (flink-ddl.sql:243-259): order_items ⋈ orders
+    * with the non-closed filter, cumulative per-product count(*) and
+    * SUM(amount) — the fact-to-fact join + retractive agg combined. The
+    * reference's inner salt bucket is result-invisible (absent from the
+    * outer SELECT) and intentionally dropped (SURVEY §4). Affected
+    * products come from item images, pre-state rows of touched items, and
+    * items of touched ORDERS (a status flip retracts every item of that
+    * order). */
+  val productStats: ViewDef = ViewDef("product_stats_view", (pre, post, batch) => {
+    val itemsBatch = batch("order_items")
+    val ordersBatch = batch("orders")
+
+    val touchedItems = itemsBatch.select("key").distinct()
+    val imgProducts = itemsBatch
+      .select(explode(array(col("before"), col("after"))).as("img"))
+      .filter(col("img").isNotNull)
+      .select(col("img.product_id").as("product_id"))
+    val preItemProducts = pre("order_items")
+      .join(touchedItems, Seq("key"), "left_semi").select("product_id")
+    val touchedOrders = ordersBatch.select(col("key").as("o_key")).distinct()
+    def productsOfTouchedOrders(items: DataFrame) = items
+      .join(touchedOrders, items("order_id") === col("o_key"))
+      .select("product_id")
+    val affected = imgProducts
+      .union(preItemProducts)
+      .union(productsOfTouchedOrders(pre("order_items")))
+      .union(productsOfTouchedOrders(post("order_items")))
+      .distinct().filter(col("product_id").isNotNull)
+
+    val liveOrders = post("orders").filter(col("status") =!= "closed")
+      .select(col("key").as("live_order"))
+    val items = post("order_items")
+      .join(affected, Seq("product_id"), "left_semi")
+    val grouped = items
+      .join(liveOrders, items("order_id") === col("live_order"))
+      .groupBy("product_id")
+      .agg(count(lit(1)).as("quantity"), sum("amount").as("amount"))
+      .select(col("product_id").as("id"), col("quantity"), col("amount"))
+
+    val deletes = affected.select(col("product_id").as("id"))
+      .except(grouped.select("id"))
+    (grouped, deletes)
+  })
 }

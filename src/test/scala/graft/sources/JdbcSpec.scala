@@ -51,4 +51,24 @@ class JdbcSpec extends SparkSuite {
     val out = spark.sql("SELECT * FROM jcat.APP.NATION")
     assert(out.count() == 25)
   }
+
+  test("snapshot bootstrap emits op:r records the CDC pipeline materializes (S2)") {
+    seeded
+    import org.apache.spark.sql.types._
+    val snap = Jdbc.snapshotCdcInput(spark, url, "NATION", "nation")
+    val rows = snap.collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getAs[String]("table") == "nation"))
+    assert(rows.forall(_.getAs[String]("value").contains("\"op\":\"r\"")))
+
+    // bootstrap a pipeline's state from the snapshot batch
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    val pipeline = new graft.streaming.CdcPipeline(spark,
+      Seq(graft.TableSpec("nation", schema, primaryKey = Seq("n_nationkey"))),
+      tmpDir("snap-state"), new graft.streaming.InMemoryUpsertSink, Nil)
+    pipeline.processBatch(snap)
+    assert(pipeline.state("nation").count() == 25)
+  }
 }

@@ -27,9 +27,22 @@ class CdcPipelineSpec extends SparkSuite {
     StructField("age", IntegerType), StructField("ctime", TimestampType),
     StructField("utime", TimestampType)))
 
+  // reference: flink-ddl.sql:21-31 (order_items)
+  private val itemsSchema = StructType(Seq(
+    StructField("id", StringType), StructField("order_id", StringType),
+    StructField("product_id", StringType), StructField("quantity", LongType),
+    StructField("price", DoubleType), StructField("amount", DoubleType),
+    StructField("ctime", TimestampType), StructField("utime", TimestampType)))
+  // reference: flink-mongodb.sql:1-15 (comments via debezium-mongo)
+  private val commentsSchema = StructType(Seq(
+    StructField("id", StringType), StructField("content", StringType)))
+
   private val sources = Seq(
     TableSpec("orders", ordersSchema, primaryKey = Seq("id")),
-    TableSpec("users", usersSchema, primaryKey = Seq("id")))
+    TableSpec("users", usersSchema, primaryKey = Seq("id")),
+    TableSpec("order_items", itemsSchema, primaryKey = Seq("id")),
+    TableSpec("comments", commentsSchema, primaryKey = Seq("id"),
+      options = Map("format" -> "debezium-mongo")))
 
   private var seqNo = 0L
   private def rec(table: String, env: String): (String, String, Long) = {
@@ -121,6 +134,86 @@ class CdcPipelineSpec extends SparkSuite {
     feed(rec("users", userEnv("d", "u1", "Alicia", 30)))
     assert(sink.docs("order_view").isEmpty)
 
+    query.stop()
+  }
+
+  test("product_stats: fact-to-fact join agg retracts when the order closes") {
+    val sink = new InMemoryUpsertSink
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state3"), sink,
+      Seq(ReferenceViews.productStats))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt3"))
+
+    def itemEnv(op: String, id: String, order: String, product: String,
+        qty: Long, amount: Double): String = {
+      val img =
+        s"""{"id":"$id","order_id":"$order","product_id":"$product",
+           |"quantity":$qty,"price":1.0,"amount":$amount,
+           |"ctime":"2021-02-01T00:00:00Z","utime":"2021-02-01T00:00:00Z"}"""
+          .stripMargin.replace("\n", "")
+      val b = if (op == "c") "null" else img
+      val a = if (op == "d") "null" else img
+      s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$seqNo}"""
+    }
+
+    def feed(recs: (String, String, Long)*): Unit = {
+      stream.addData(recs); query.processAllAvailable()
+    }
+
+    // two orders, product p1 in both, p2 in one
+    feed(
+      rec("orders", orderEnv("c", "A", "u1", 10.0, "created", "2021-02-01")),
+      rec("orders", orderEnv("c", "B", "u1", 20.0, "created", "2021-02-01")),
+      rec("order_items", itemEnv("c", "i1", "A", "p1", 1, 5.0)),
+      rec("order_items", itemEnv("c", "i2", "B", "p1", 2, 7.0)),
+      rec("order_items", itemEnv("c", "i3", "B", "p2", 1, 3.0)))
+    assert(sink.docs("product_stats_view")("p1")("amount") == 12.0)
+    assert(sink.docs("product_stats_view")("p1")("quantity") == 2L)
+    assert(sink.docs("product_stats_view")("p2")("amount") == 3.0)
+
+    // order B closes → its items leave the cumulative stats (retraction
+    // through the JOIN side, not the items themselves)
+    feed(rec("orders", orderEnv("u", "B", "u1", 20.0, "closed", "2021-02-01",
+      before = Some("created"))))
+    assert(sink.docs("product_stats_view")("p1")("amount") == 5.0)
+    assert(sink.docs("product_stats_view")("p1")("quantity") == 1L)
+    assert(!sink.docs("product_stats_view").contains("p2"),
+      "group with no surviving rows disappears")
+
+    query.stop()
+  }
+
+  test("mongo-format source: JSON-string documents materialize by $oid") {
+    val sink = new InMemoryUpsertSink
+    val passthrough = ViewDef("comment_view", (pre, post, batch) => {
+      val touched = batch("comments").select("key").distinct()
+      val rows = post("comments")
+        .join(touched, Seq("key"), "left_semi")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("content"))
+      val deletes = touched
+        .select(org.apache.spark.sql.functions.col("key").as("id"))
+        .except(rows.select("id"))
+      (rows, deletes)
+    })
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state4"), sink,
+      Seq(passthrough))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt4"))
+
+    // the golden Mongo capture, verbatim (op c, content "c6")
+    stream.addData(Seq(rec("comments", graft.cdc.Fixtures.mongoCommentsEnvelope)))
+    query.processAllAvailable()
+
+    val docs = sink.docs("comment_view")
+    assert(docs.keySet == Set("6017849910fc61562a2f7854"))
+    assert(docs("6017849910fc61562a2f7854")("content").toString.contains("\"c6\""))
     query.stop()
   }
 
