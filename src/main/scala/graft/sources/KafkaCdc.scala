@@ -30,6 +30,17 @@ object KafkaCdc {
       .option("startingOffsets", startingOffsets)
       .load())
 
+  /** S7 topic-inspection debug surface (reference: kafka-dump.sh:3-6
+    * console-consumer dump with keys; kafka-topics.sh listing): render a
+    * kafka-shaped frame as human-readable dump lines. Driver-side by
+    * design — it's a debugging tool, not a data path. */
+  def inspect(kafka: DataFrame, n: Int = 20): Seq[String] =
+    kafka.selectExpr("topic", "offset",
+      "CAST(value AS STRING) AS value")
+      .take(n)
+      .map(r => s"${r.getAs[String]("topic")}@${r.getAs[Long]("offset")}: " +
+        r.getAs[String]("value").take(120))
+
   /** Kafka record shape → CDC input contract:
     *  - table  = last topic segment (`shard1.ec.orders` → `orders`,
     *    reference: register-ec.json:11-12 topic naming)

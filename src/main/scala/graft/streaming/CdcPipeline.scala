@@ -12,11 +12,19 @@ import graft.cdc.{Debezium, Materializer}
   * state and this batch's normalized changelog per table, emit the
   * documents to upsert and the doc ids to delete. This is the engine-side
   * analog of one `INSERT INTO sink SELECT ...` continuous job in the
-  * reference (README.md:342-345). */
+  * reference (README.md:342-345).
+  *
+  * `index` is the sink index the documents land in — several views may
+  * share one index and have their fields partial-merged per doc id, the
+  * reference's shared `user_view` index (flink-ddl.sql:143,165). Defaults
+  * to the view name. */
 final case class ViewDef(
     name: String,
     maintain: (String => DataFrame, String => DataFrame,
-      Map[String, DataFrame]) => (DataFrame, DataFrame))
+      Map[String, DataFrame]) => (DataFrame, DataFrame),
+    index: String = null) {
+  def sinkIndex: String = Option(index).getOrElse(name)
+}
 
 /** The continuous-ETL runner — Spark-first re-expression of the
   * reference's Flink streaming topology (SURVEY §3 entry points 1-2):
@@ -115,8 +123,8 @@ final class CdcPipeline(
     // 3. maintain each view over affected keys
     views.foreach { view =>
       val (upserts, deletes) = view.maintain(pre, post, changelogs)
-      sink.upsert(view.name, upserts)
-      sink.delete(view.name, deletes)
+      sink.upsert(view.sinkIndex, upserts)
+      sink.delete(view.sinkIndex, deletes)
     }
   }
 

@@ -56,6 +56,18 @@ final class ParquetKeyedTable(
     val next = snapshot(upserts.schema)
       .join(touched, Seq(keyCol), "left_anti")
       .unionByName(upserts)
+    commit(next)
+  }
+
+  /** Remove keys only — usable when the caller has no row schema at hand
+    * (e.g. a sink delete before/without upserts in the batch). */
+  def delete(keys: DataFrame): Unit =
+    currentVersion.foreach { _ =>
+      val cur = snapshot(keys.schema /* ignored: version exists */)
+      commit(cur.join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti"))
+    }
+
+  private def commit(next: DataFrame): Unit = {
     val v = currentVersion.getOrElse(-1) + 1
     next.write.mode("overwrite").parquet(dir.resolve(s"v$v").toString)
     Files.createDirectories(dir)

@@ -112,6 +112,43 @@ object ReferenceViews {
     (grouped, deletes)
   })
 
+  /** Q1 `user_view` pass-through (flink-ddl.sql:192 `INSERT INTO
+    * user_view SELECT id, name, age, ctime, utime FROM users`): every user
+    * change streams into the shared `user_view` index. */
+  val userView: ViewDef = ViewDef("user_view", (pre, post, batch) => {
+    val touched = batch("users").select("key").distinct()
+    val rows = post("users").join(touched, Seq("key"), "left_semi")
+      .select(col("id"), col("name"), col("age"), col("ctime"), col("utime"))
+    val deletes = touched.select(col("key").as("id")).except(rows.select("id"))
+    (rows, deletes)
+  }, index = "user_view")
+
+  /** Cumulative per-user order totals, sunk into the SAME `user_view`
+    * index — the reference's shared-index pattern (flink-ddl.sql:143,165:
+    * two continuous queries merging fields into one ES document per
+    * user). Keyed by user id, so the sink partial-merges these fields
+    * into the passthrough user document. */
+  val userTotals: ViewDef = ViewDef("user_totals", (pre, post, batch) => {
+    val ordersBatch = batch("orders")
+    val touchedUsers = ordersBatch
+      .select(explode(array(col("before.user_id"), col("after.user_id")))
+        .as("uid"))
+      .union(pre("orders").join(ordersBatch.select("key").distinct(),
+        Seq("key"), "left_semi").select(col("user_id").as("uid")))
+      .filter(col("uid").isNotNull).distinct()
+    val live = post("orders").filter(col("status") =!= "closed")
+    val grouped = live
+      .join(touchedUsers, live("user_id") === col("uid"), "left_semi")
+      .groupBy("user_id")
+      .agg(sum("amount").as("order.amount.total"),
+        count(lit(1)).as("order.count.total"))
+      .select(col("user_id").as("id"),
+        col("`order.amount.total`"), col("`order.count.total`"))
+    val deletes = touchedUsers.select(col("uid").as("id"))
+      .except(grouped.select("id"))
+    (grouped, deletes)
+  }, index = "user_view")
+
   /** `product_stats_view` (flink-ddl.sql:243-259): order_items ⋈ orders
     * with the non-closed filter, cumulative per-product count(*) and
     * SUM(amount) — the fact-to-fact join + retractive agg combined. The

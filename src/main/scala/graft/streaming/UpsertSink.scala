@@ -64,11 +64,8 @@ final class ParquetUpsertSink(spark: org.apache.spark.sql.SparkSession, root: St
   override def upsert(name: String, upserts: DataFrame): Unit =
     table(name).merge(upserts, upserts.select("id").limit(0))
 
-  override def delete(name: String, deletes: DataFrame): Unit = {
-    val t = table(name)
-    // a delete before any upsert created the table is a no-op
-    if (t.exists) t.merge(deletes.limit(0), deletes)
-  }
+  override def delete(name: String, deletes: DataFrame): Unit =
+    table(name).delete(deletes) // no-op until an upsert created the table
 
   def docs(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     table(name).snapshot(schema)

@@ -18,6 +18,10 @@ class KafkaCdcSpec extends SparkSuite {
       ("crawler.crawler.comments", "{}".getBytes("UTF-8"), 7L))
       .toDF("topic", "value", "offset")
 
+    // S7 inspection surface renders dump lines like kafka-dump.sh
+    val dump = KafkaCdc.inspect(kafkaShaped)
+    assert(dump.exists(_.startsWith("shard1.ec.orders@42:")))
+
     val out = KafkaCdc.toCdcInput(kafkaShaped).collect()
     val byTable = out.map(r => r.getAs[String]("table") -> r).toMap
     assert(byTable.keySet == Set("orders", "comments"))

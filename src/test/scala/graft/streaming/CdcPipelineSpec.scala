@@ -217,6 +217,67 @@ class CdcPipelineSpec extends SparkSuite {
     query.stop()
   }
 
+  test("shared index: passthrough and totals views merge into one document") {
+    val sink = new InMemoryUpsertSink
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state5"), sink,
+      Seq(ReferenceViews.userView, ReferenceViews.userTotals))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt5"))
+
+    stream.addData(Seq(
+      rec("users", userEnv("c", "u7", "Carol", 28)),
+      rec("orders", orderEnv("c", "oa", "u7", 30.0, "created", "2021-04-01")),
+      rec("orders", orderEnv("c", "ob", "u7", 12.5, "created", "2021-04-02"))))
+    query.processAllAvailable()
+
+    // one document, fields from BOTH continuous queries (reference:
+    // flink-ddl.sql:143,165 — two tables share the user_view index)
+    val doc = sink.docs("user_view")("u7")
+    assert(doc("name") == "Carol")
+    assert(doc("order.amount.total") == 42.5)
+    assert(doc("order.count.total") == 2L)
+
+    query.stop()
+  }
+
+  test("parquet upsert sink: distributed keyed MERGE end to end") {
+    val sink = new ParquetUpsertSink(spark, tmpDir("psink"))
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state6"), sink,
+      Seq(ReferenceViews.orderView))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt6"))
+
+    stream.addData(Seq(
+      rec("users", userEnv("c", "u8", "Dave", 50)),
+      rec("orders", orderEnv("c", "oc", "u8", 9.0, "created", "2021-05-01"))))
+    query.processAllAvailable()
+    stream.addData(Seq(
+      rec("orders", orderEnv("u", "oc", "u8", 9.0, "payed", "2021-05-01",
+        before = Some("created")))))
+    query.processAllAvailable()
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    val docs = sink.docs("order_view", schema).collect()
+    assert(docs.length == 1)
+    val row = docs.head
+    assert(row.getAs[String]("order.status") == "payed")
+
+    // delete retracts from the parquet-backed index too
+    stream.addData(Seq(
+      rec("orders", orderEnv("d", "oc", "u8", 9.0, "payed", "2021-05-01"))))
+    query.processAllAvailable()
+    assert(sink.docs("order_view", schema).count() == 0)
+    query.stop()
+  }
+
   test("same-batch create+update collapses to the latest image (compaction)") {
     val sink = new InMemoryUpsertSink
     val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state2"), sink,
