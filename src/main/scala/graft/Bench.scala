@@ -53,8 +53,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // the 14-query set benched in round 1 — comparable across rounds as
+    // the operator inventory grows
+    val r1Set = Set("q01_projection", "q02_dotted_alias", "q03_filter",
+      "q04_order_view", "q05_fact_join_agg", "q06_lookup_join",
+      "q07_user_day_stats", "q08_day_stats", "q09_nested_agg",
+      "q10_listagg", "q11_collect_items", "q12_scan_star",
+      "q13_materialize_latest", "q14_json_extract")
+    val r1Total = results.collect { case (k, v) if v >= 0 && r1Set(k) => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"r1_subset_total":$r1Total,"n_queries":${results.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.{SparkSuite, TableSpec}
+
+/** SURVEY §5.5 at the pipeline level: for RANDOM op sequences split into
+  * random micro-batches, the incrementally-maintained sink state must
+  * equal the batch recompute over the final materialized inputs —
+  * changelog-maintenance ⊕ materialize ≡ compact ⊕ query. This pins the
+  * affected-key recomputation (retraction) machinery, not just the
+  * materializer. */
+class PipelinePropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ordersSchema = StructType(Seq(
+    StructField("id", StringType), StructField("user_id", StringType),
+    StructField("amount", DoubleType), StructField("ctime", TimestampType),
+    StructField("utime", TimestampType), StructField("status", StringType),
+    StructField("channel", StringType)))
+  private val usersSchema = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("age", IntegerType), StructField("ctime", TimestampType),
+    StructField("utime", TimestampType)))
+
+  private case class Ev(table: String, op: String, id: String,
+      user: String, amount: Double, status: String)
+
+  private val genEv: Gen[Ev] = for {
+    isOrder <- Gen.prob(0.7)
+    op <- Gen.frequency(4 -> "c", 4 -> "u", 1 -> "d")
+    oid <- Gen.oneOf("o1", "o2", "o3", "o4")
+    uid <- Gen.oneOf("u1", "u2")
+    amt <- Gen.choose(1, 50).map(_.toDouble)
+    st <- Gen.oneOf("created", "payed", "closed")
+  } yield
+    if (isOrder) Ev("orders", op, oid, uid, amt, st)
+    else Ev("users", op, uid, uid, 0.0, "")
+
+  private def envelope(e: Ev, seq: Long): (String, String, Long) = {
+    val img = e.table match {
+      case "orders" =>
+        s"""{"id":"${e.id}","user_id":"${e.user}","amount":${e.amount},
+           |"ctime":"2021-06-01T00:00:00Z","utime":"2021-06-01T00:00:00Z",
+           |"status":"${e.status}","channel":"app"}"""
+          .stripMargin.replace("\n", "")
+      case _ =>
+        s"""{"id":"${e.id}","name":"name-${e.id}","age":30,
+           |"ctime":"2021-06-01T00:00:00Z","utime":"2021-06-01T00:00:00Z"}"""
+          .stripMargin.replace("\n", "")
+    }
+    val b = if (e.op == "c") "null" else img
+    val a = if (e.op == "d") "null" else img
+    (e.table, s"""{"before":$b,"after":$a,"op":"${e.op}","ts_ms":$seq}""", seq)
+  }
+
+  test("random batched changelogs: incremental order_view == batch recompute") {
+    val gen = Gen.nonEmptyListOf(genEv)
+    var seed = Seed(7L)
+    (1 to 5).foreach { trial =>
+      val evs = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+
+      val sink = new InMemoryUpsertSink
+      val pipeline = new CdcPipeline(spark,
+        Seq(TableSpec("orders", ordersSchema, primaryKey = Seq("id")),
+          TableSpec("users", usersSchema, primaryKey = Seq("id"))),
+        tmpDir(s"prop-state-$trial"), sink,
+        Seq(ReferenceViews.orderView, ReferenceViews.userOrderStats))
+
+      val records = evs.zipWithIndex.map { case (e, i) =>
+        envelope(e, i.toLong)
+      }
+      // split into 3 micro-batches at arbitrary points
+      val batches = records.grouped(math.max(records.size / 3, 1)).toSeq
+      batches.foreach { b =>
+        pipeline.processBatch(b.toDF("table", "value", "seq"))
+      }
+
+      // ground truth: batch join/agg over the FINAL materialized inputs
+      val orders = pipeline.state("orders")
+      val users = pipeline.state("users")
+      val expectedView = orders.join(users,
+        orders("user_id") === users("id"))
+        .select(orders("key"), orders("status"))
+        .as[(String, String)].collect().toMap
+      val gotView = sink.docs("order_view")
+        .map { case (k, d) => k -> d("order.status").toString }
+      assert(gotView == expectedView, s"order_view trial $trial evs=$evs")
+
+      val expectedStats = orders.filter(col("status") =!= "closed")
+        .groupBy(col("user_id"),
+          date_format(col("ctime"), "yyyy-MM-dd").as("cday"))
+        .agg(sum("amount").as("amt"), count(lit(1)).as("cnt"))
+        .select(concat_ws("|", col("user_id"), col("cday")),
+          col("amt"), col("cnt"))
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotStats = sink.docs("user_order_stats_view")
+        .map { case (k, d) => k ->
+          ((d("order.amount.day").asInstanceOf[Double],
+            d("order.count.day").asInstanceOf[Long])) }
+      assert(gotStats == expectedStats, s"stats trial $trial evs=$evs")
+    }
+  }
+}
