@@ -120,6 +120,55 @@ object Similarity {
       topkWithin(scored)
     },
 
+    /** Embedding-cosine near-duplicate pairs (dedup-family member over
+      * vectors): sign-LSH bucket candidates → exact cosine verify ≥ τ.
+      * Approximate by nature (recall bounded by bucket probability at τ;
+      * this corpus is geometrically near-random, see SimilaritySpec) —
+      * verified by test against brute force, not the SQL oracle. At
+      * 100 TB the bucket join IS the point: no n² pair scan. */
+    QueryDef.noOracle("q24_embedding_neardup") { (s, dir) =>
+      val rnd = new scala.util.Random(11)
+      val planes: Seq[Seq[Double]] =
+        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+      val planeCol = typedlit(planes)
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"))
+      val sig = e.withColumn("bands",
+        transform(sequence(lit(0), lit(3)), band =>
+          struct(band.as("band_id"),
+            aggregate(sequence(lit(0), lit(3)), lit(0),
+              (acc, j) => {
+                val p = element_at(planeCol, band * 4 + j + 1)
+                acc * 2 + when(dot(col("v"), p) > 0, 1).otherwise(0)
+              }).as("bh"))))
+      val buckets = sig.select(col("vec_id"), col("v"),
+        explode(col("bands")).as("b"))
+        .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bh"))
+      val l = buckets.as("l")
+      val r = buckets.as("r")
+      l.join(r,
+        col("l.band_id") === col("r.band_id") &&
+          col("l.bh") === col("r.bh") &&
+          col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+          col("l.v").as("va"), col("r.v").as("vb"))
+        .distinct()
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(col("va"), col("vb")), 6).as("score"))
+        .filter(col("score") >= 0.3)
+    },
+
+    /** Exact embedding dedup: group by the full vector (identical floats),
+      * emit the surviving id and multiplicity — vector-side q20. */
+    QueryDef("q25_embedding_dedup",
+      "SELECT min(vec_id) AS keep_id, count(*) AS dup_cnt " +
+        "FROM embeddings GROUP BY embedding") { (s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy(col("embedding"))
+        .agg(min("vec_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+    },
+
     /** IVF-style search: centroid per label partition, probe routes to its
       * nearest centroid, exact top-k within that partition only (1/10th of
       * the corpus here; nprobe=1). */

@@ -63,6 +63,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.30, s"recall $recall below sign-LSH expectation")
   }
 
+  test("embedding near-dup: every reported pair is a true >=0.3 pair") {
+    val pairs = queries("q24_embedding_neardup")(spark, dir)
+      .select("vec_a", "vec_b", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    // verify against direct computation
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val truth = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("s"))
+      .filter(col("s") >= 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pairs.foreach { case (x, y, s) =>
+      assert(truth((x, y)) == s, s"pair ($x,$y) not a true near-dup")
+    }
+    // recall above the random-bucket baseline (~23% of pairs share a band)
+    assert(pairs.length.toDouble / truth.size >= 0.30)
+  }
+
   test("IVF: neighbors come only from the routed partition, scores exact") {
     val ivf = result("q42_ivf_topk")
     ivf.foreach { case (pair, s) => assert(bruteScores(pair) == s) }
