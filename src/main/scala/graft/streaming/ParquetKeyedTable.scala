@@ -20,14 +20,17 @@ import org.apache.spark.sql.types.StructType
   *
   * 100 TB posture: this is the log-structured pattern of a table format
   * (Delta/Iceberg) minus file-level pruning — every op is a shuffle
-  * join/union over executors, nothing collects to the driver. For very
-  * large state, partition the directory by a stable bucket of `key`
-  * (repartition on write) so AQE-planned merges only shuffle once.
+  * join/union over executors, nothing collects to the driver. With
+  * `numBuckets > 0`, versions are written hash-distributed on a stable
+  * bucket of `key` (`pmod(hash(key), n)` directory partitions): the merge
+  * anti-join then lines up bucket-to-bucket, and a point lookup prunes to
+  * one bucket directory instead of scanning the full state.
   */
 final class ParquetKeyedTable(
     spark: SparkSession,
     path: String,
-    keyCol: String = "key") {
+    keyCol: String = "key",
+    numBuckets: Int = 0) {
 
   private val dir = Paths.get(path)
   private val pointer = dir.resolve("_CURRENT")
@@ -43,10 +46,27 @@ final class ParquetKeyedTable(
     * first commit. */
   def snapshot(schema: StructType): DataFrame =
     currentVersion match {
-      case Some(v) => spark.read.parquet(dir.resolve(s"v$v").toString)
+      case Some(v) =>
+        spark.read.parquet(dir.resolve(s"v$v").toString)
+          .drop("bucket") // partition column of bucketed layouts
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
+
+  /** Rows for one key, pruned to its bucket directory when bucketed —
+    * the point-lookup path (doc-by-id reads of an upsert sink). */
+  def lookup(schema: StructType, key: String): DataFrame = {
+    val snap = currentVersion match {
+      case Some(v) if numBuckets > 0 =>
+        // partition pruning: only the key's bucket directory is scanned
+        spark.read.parquet(dir.resolve(s"v$v").toString)
+          .filter(col("bucket") ===
+            pmod(hash(lit(key)), lit(numBuckets)).cast("int"))
+          .drop("bucket")
+      case _ => snapshot(schema)
+    }
+    snap.filter(col(keyCol) === key)
+  }
 
   /** Apply one batch of changes: rows in `upserts` replace rows with equal
     * `keyCol`; keys in `deletes` (single-column frame of `keyCol`) are
@@ -69,7 +89,14 @@ final class ParquetKeyedTable(
 
   private def commit(next: DataFrame): Unit = {
     val v = currentVersion.getOrElse(-1) + 1
-    next.write.mode("overwrite").parquet(dir.resolve(s"v$v").toString)
+    val writer =
+      if (numBuckets > 0)
+        next.withColumn("bucket",
+          pmod(hash(col(keyCol)), lit(numBuckets)).cast("int"))
+          .repartition(numBuckets, col("bucket"))
+          .write.partitionBy("bucket")
+      else next.write
+    writer.mode("overwrite").parquet(dir.resolve(s"v$v").toString)
     Files.createDirectories(dir)
     Files.write(pointer, v.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
