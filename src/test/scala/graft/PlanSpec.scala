@@ -1,0 +1,38 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties are part of the
+  * contract, not an accident — filters reach the parquet scan, small dims
+  * broadcast, hot aggregations avoid window sorts, scans prune columns.
+  * (String-level checks over the executed plan; they fail loudly if a
+  * refactor silently de-optimizes a query.) */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q03_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,F))]"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("q06: dimension joins broadcast; fact side never shuffles") {
+    val p = plan("q06_lookup_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q13: latest-row-per-key is an aggregation, not a window sort") {
+    val p = plan("q13_materialize_latest")
+    assert(p.contains("max_by") || p.contains("HashAggregate"), p)
+    assert(!p.lines.anyMatch(l => l.trim.startsWith("Window")), p)
+  }
+
+  test("q05: filter pushdown through the join, partial aggregation present") {
+    val p = plan("q05_fact_join_agg")
+    assert(p.contains("Not(EqualTo(o_orderstatus,F))"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}
