@@ -191,33 +191,46 @@ object Dedup {
       nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
     },
 
-    /** SimHash near-duplicate detection: 64-bit signature = sign bits of
-      * the per-bit sum of word-hash bit vectors; candidates blocked on
-      * 4×16-bit bands (hamming ≤ 3 guarantees ≥1 equal band), then exact
-      * hamming verify ≤ 3. Approximate-by-design (engine-specific hash) —
-      * covered by ScalaTest, not the SQL oracle. */
-    QueryDef.noOracle("q22_simhash_pairs") { (s, dir) =>
-      // features = word 3-shingles, not bare words: this corpus shares one
-      // small vocabulary, so word-set signatures would collapse; shingle
-      // sets separate (unrelated docs' shingle jaccard < 0.31 here)
+    /** SimHash near-duplicate detection: 60-bit signature = sign bits of
+      * the per-bit tally of feature-hash bit vectors; candidates blocked
+      * on 4×15-bit bands (hamming ≤ 3 guarantees ≥1 equal band by
+      * pigeonhole), then exact hamming verify ≤ 3. The feature hash is an
+      * md5 prefix, so the DuckDB oracle computes the IDENTICAL signatures
+      * exhaustively — the banded engine must reproduce the exact pair set.
+      * Features are word 3-shingles, not bare words: this corpus shares
+      * one small vocabulary, so word-set signatures would collapse. */
+    QueryDef("q22_simhash_pairs",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))) AS f FROM w),
+        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(f),1,15)) AS BIGINT) AS hv FROM sh),
+        |bits AS (SELECT doc_id, k, SUM(CASE WHEN (hv >> CAST(k AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, (SELECT unnest(range(60)) AS k) ks GROUP BY doc_id, k),
+        |sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS simhash
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val words = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(shingles(col("text"))).as("word"))
-        .withColumn("h", xxhash64(col("word")))
+        .select(col("doc_id"), explode(shingles(col("text"))).as("f"))
+        .withColumn("h",
+          conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"))
       // per-bit tally: bit k contributes +1 if set else -1
-      val bitSums = (0 until 64).map { k =>
+      val bitSums = (0 until 60).map { k =>
         sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"b$k")
       }
       val sig = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(k =>
+          (0 until 60).map(k =>
             when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
             .reduce(_.bitwiseOR(_)).as("simhash"))
 
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j => struct(lit(j).as("band_id"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(0xffffL)
+          shiftright(col("simhash"), j * 15).bitwiseAND(0x7fffL)
             .as("bh"))): _*)).as("band"))
         .select(col("doc_id"), col("simhash"),
           col("band.band_id"), col("band.bh"))
@@ -233,7 +246,7 @@ object Dedup {
         .distinct()
       candidates
         .withColumn("hamming",
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     },

@@ -47,7 +47,7 @@ class DedupSpec extends SparkSuite {
     assert(sim.subsetOf(bruteForcePairs),
       "hamming<=3 must not produce false positives on this corpus")
     val hams = queries("q22_simhash_pairs")(spark, dir)
-      .select("hamming").as[Int].collect()
+      .select("hamming").as[Long].collect()
     assert(hams.forall(_ <= 3))
   }
 
