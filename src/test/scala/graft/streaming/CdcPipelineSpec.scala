@@ -278,6 +278,28 @@ class CdcPipelineSpec extends SparkSuite {
     query.stop()
   }
 
+  test("batch reprocessing is idempotent (micro-batch redelivery after failure)") {
+    val sink = new InMemoryUpsertSink
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state7"), sink,
+      Seq(ReferenceViews.orderView, ReferenceViews.userOrderStats))
+    val batch = Seq(
+      rec("users", userEnv("c", "u5", "Erin", 33)),
+      rec("orders", orderEnv("c", "oz", "u5", 77.0, "created", "2021-07-01")))
+      .toDF("table", "value", "seq")
+
+    pipeline.processBatch(batch)
+    val docs1 = sink.docs("order_view")
+    val stats1 = sink.docs("user_order_stats_view")
+    val state1 = pipeline.state("orders").collect().toSet
+
+    // foreachBatch may redeliver a batch after a failure — replaying the
+    // same records must not change state or sink contents
+    pipeline.processBatch(batch)
+    assert(sink.docs("order_view") == docs1)
+    assert(sink.docs("user_order_stats_view") == stats1)
+    assert(pipeline.state("orders").collect().toSet == state1)
+  }
+
   test("same-batch create+update collapses to the latest image (compaction)") {
     val sink = new InMemoryUpsertSink
     val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state2"), sink,
