@@ -71,7 +71,8 @@ object Relational {
     /** Q4 (SURVEY §2.2): the reference's flagship `order_view` — two-sided
       * inner equi-join + dotted-alias projection (reference:
       * flink-ddl.sql:179-190). On a changelog this is maintained
-      * incrementally (graft.streaming.OrderViewJob end-to-end test); the
+      * incrementally (graft.streaming.ReferenceViews.orderView over
+      * CdcPipeline, exercised end-to-end in CdcPipelineSpec); the
       * batch form over compacted tables is the shuffle/sort-merge join below.
       * At 100 TB both sides are large → shuffle join on the key; AQE picks
       * broadcast automatically when one side's runtime size is small. */
