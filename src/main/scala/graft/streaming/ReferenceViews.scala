@@ -149,6 +149,39 @@ object ReferenceViews {
     (grouped, deletes)
   }, index = "user_view")
 
+  /** `order_view_items` (flink-ddl.sql:111-132): the continuous
+    * LISTAGG/COLLECT(ROW(...)) forms — per-order item CSV and nested
+    * ARRAY<ROW> document, upserted INTO THE SHARED `order_view` index so
+    * the item list merges into the joined order document. Per-batch
+    * recompute of affected orders is retraction-equivalent for both
+    * aggregates (SURVEY §2.2 Q10/Q11 notes). */
+  val orderItemsView: ViewDef = ViewDef("order_view_items", (pre, post, batch) => {
+    val itemsBatch = batch("order_items")
+    val touchedItems = itemsBatch.select("key").distinct()
+    val affectedOrders = itemsBatch
+      .select(explode(array(col("before.order_id"), col("after.order_id")))
+        .as("order_id"))
+      .union(pre("order_items")
+        .join(touchedItems, Seq("key"), "left_semi").select("order_id"))
+      .filter(col("order_id").isNotNull).distinct()
+
+    val items = post("order_items")
+      .join(affectedOrders, Seq("order_id"), "left_semi")
+    val docs = items.groupBy("order_id")
+      .agg(
+        array_join(array_sort(collect_list(col("product_id").cast("string"))),
+          ",").as("order.item_csv"),
+        array_sort(collect_list(struct(
+          col("product_id").as("product.id"), col("price"),
+          col("quantity")))).as("order.items"))
+      .select(col("order_id").as("id"),
+        col("`order.item_csv`"), col("`order.items`"))
+
+    val deletes = affectedOrders.select(col("order_id").as("id"))
+      .except(docs.select("id"))
+    (docs, deletes)
+  }, index = "order_view")
+
   /** `product_stats_view` (flink-ddl.sql:243-259): order_items ⋈ orders
     * with the non-closed filter, cumulative per-product count(*) and
     * SUM(amount) — the fact-to-fact join + retractive agg combined. The

@@ -278,6 +278,52 @@ class CdcPipelineSpec extends SparkSuite {
     query.stop()
   }
 
+  test("order_view_items: COLLECT/LISTAGG docs merge into the shared order index") {
+    val sink = new InMemoryUpsertSink
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state8"), sink,
+      Seq(ReferenceViews.orderView, ReferenceViews.orderItemsView))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt8"))
+
+    def itemEnv(op: String, id: String, order: String, product: String,
+        qty: Long, amount: Double): String = {
+      val img =
+        s"""{"id":"$id","order_id":"$order","product_id":"$product",
+           |"quantity":$qty,"price":2.5,"amount":$amount,
+           |"ctime":"2021-02-01T00:00:00Z","utime":"2021-02-01T00:00:00Z"}"""
+          .stripMargin.replace("\n", "")
+      val b = if (op == "c") "null" else img
+      val a = if (op == "d") "null" else img
+      s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$seqNo}"""
+    }
+
+    stream.addData(Seq(
+      rec("users", userEnv("c", "u6", "Faye", 27)),
+      rec("orders", orderEnv("c", "oX", "u6", 99.0, "created", "2021-08-01")),
+      rec("order_items", itemEnv("c", "j1", "oX", "p9", 1, 2.5)),
+      rec("order_items", itemEnv("c", "j2", "oX", "p3", 4, 10.0))))
+    query.processAllAvailable()
+
+    // ONE document in the shared order_view index: join fields from
+    // orderView + nested items from orderItemsView
+    val doc = sink.docs("order_view")("oX")
+    assert(doc("user.name") == "Faye")
+    assert(doc("order.item_csv") == "p3,p9")
+    val items = doc("order.items").asInstanceOf[scala.collection.Seq[_]]
+    assert(items.length == 2)
+
+    // deleting one item shrinks the nested doc; deleting all removes keys
+    stream.addData(Seq(
+      rec("order_items", itemEnv("d", "j2", "oX", "p3", 4, 10.0))))
+    query.processAllAvailable()
+    assert(sink.docs("order_view")("oX")("order.item_csv") == "p9")
+
+    query.stop()
+  }
+
   test("batch reprocessing is idempotent (micro-batch redelivery after failure)") {
     val sink = new InMemoryUpsertSink
     val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state7"), sink,
