@@ -1,0 +1,91 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram/shingle expressions for the dedup family.
+  *
+  * The declarative forms — `transform(sequence(...), i =>
+  * concat_ws(" ", slice(words, i, n)))` and the substr variant for char
+  * grams — are correct but evaluate interpreted lambda trees per ELEMENT
+  * (higher-order functions sit outside whole-stage codegen); measured at
+  * ~14 µs per shingle, they dominate every near-dup query. These
+  * expressions do one tight JVM loop per ROW instead (CodegenFallback:
+  * the row-level call is interpreted, the per-element work is plain
+  * Scala), with semantics identical to the declarative forms and the
+  * DuckDB oracles: trim → split on \s+ → space-joined n-grams →
+  * first-occurrence-order distinct; short inputs yield the declarative
+  * forms' edge results.
+  */
+abstract class NGramExpression extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  protected def distinctArray(items: Iterator[String]): GenericArrayData = {
+    val seen = new mutable.LinkedHashSet[String]
+    items.foreach(seen.add)
+    new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+}
+
+/** Distinct word n-gram shingles: "a b c d" → ["a b c", "b c d"] (n=3);
+  * fewer than n words → empty. */
+case class WordShingles(child: Expression, n: Int) extends NGramExpression {
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].trim().toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) new GenericArrayData(Array.empty[Any])
+    else distinctArray(
+      (0 to words.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        sb.toString
+      })
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** Distinct character n-grams: sliding window of n chars; inputs shorter
+  * than n yield the whole string (matching the declarative
+  * `sequence(1, greatest(len-n+1, 1))` edge case). */
+case class CharGrams(child: Expression, n: Int) extends NGramExpression {
+  override def prettyName: String = "char_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length <= n) distinctArray(Iterator.single(s))
+    else distinctArray(
+      (0 to s.length - n).iterator.map(i => s.substring(i, i + n)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGrams =
+    copy(child = c)
+}
+
+object NGrams {
+  def wordShingles(text: Column, n: Int = 3): Column =
+    bridge.column(WordShingles(bridge.expression(text), n))
+  def charGrams(text: Column, n: Int = 5): Column =
+    bridge.column(CharGrams(bridge.expression(text), n))
+}

@@ -28,15 +28,11 @@ object Dedup {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = split(trim(text), "\\s+")
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", slice(w, i, lit(n)))))
-        .otherwise(array()))
-  }
+  /** Distinct word n-gram shingles of a text column (native expression —
+    * the declarative transform/slice form ran interpreted per element and
+    * dominated the near-dup queries; see graft.functions.NGrams). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.NGrams.wordShingles(text, n)
 
   /** |A∩B| / |A∪B| from two distinct-element arrays (integer set sizes →
     * one exact double division, identical across engines). */
@@ -222,11 +218,15 @@ object Dedup {
         sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"b$k")
       }
+      // checkpointed: both sides of the band self-join (and the hamming
+      // verify) reuse the signatures instead of recomputing the whole
+      // scan→shingle→md5→tally pipeline per branch
       val sig = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
           (0 until 60).map(k =>
             when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
             .reduce(_.bitwiseOR(_)).as("simhash"))
+        .localCheckpoint(true)
 
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j => struct(lit(j).as("band_id"),
@@ -269,9 +269,7 @@ object Dedup {
         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.7
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val exploded = t(s, dir, "documents").select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-          i => col("text").substr(i, lit(5))))).as("f"))
+        explode(graft.functions.NGrams.charGrams(col("text"), 5)).as("f"))
         .localCheckpoint(true)
       // char-gram background similarity ≈ 0.3 on this corpus → tighter
       // r=4 × 16 bands keeps the background out of the candidate set
