@@ -149,6 +149,48 @@ object ReferenceViews {
     (grouped, deletes)
   }, index = "user_view")
 
+  /** `product_view` pass-through (flink-ddl.sql:194 `INSERT INTO
+    * product_view SELECT id, name, price, ctime, utime FROM products`). */
+  val productView: ViewDef = ViewDef("product_view", (pre, post, batch) => {
+    val touched = batch("products").select("key").distinct()
+    val rows = post("products").join(touched, Seq("key"), "left_semi")
+      .select(col("id"), col("name"), col("price"), col("ctime"),
+        col("utime"))
+    val deletes = touched.select(col("key").as("id")).except(rows.select("id"))
+    (rows, deletes)
+  })
+
+  /** `order_stats_view` (flink-ddl.sql:214-227): per-DAY order amount and
+    * count over non-closed orders, with the same retraction contract as
+    * the per-user variant ("要加入撤回功能" applies to both,
+    * flink-ddl.sql:213). Doc id = cday, matching the reference's
+    * `cday id` projection. */
+  val orderStats: ViewDef = ViewDef("order_stats_view", (pre, post, batch) => {
+    val ordersBatch = batch("orders")
+    val touched = ordersBatch.select("key").distinct()
+    val days = (df: DataFrame) =>
+      df.select(date_format(col("ctime"), "yyyy-MM-dd").as("g_day"))
+    val affected = days(pre("orders").join(touched, Seq("key"), "left_semi"))
+      .union(ordersBatch
+        .select(explode(array(col("before.ctime"), col("after.ctime")))
+          .as("ctime"))
+        .filter(col("ctime").isNotNull)
+        .select(date_format(col("ctime"), "yyyy-MM-dd").as("g_day")))
+      .filter(col("g_day").isNotNull).distinct()
+
+    val live = post("orders").filter(col("status") =!= "closed")
+    val grouped = live
+      .withColumn("g_day", date_format(col("ctime"), "yyyy-MM-dd"))
+      .join(affected, Seq("g_day"), "left_semi")
+      .groupBy("g_day")
+      .agg(sum("amount").as("amount"), count(lit(1)).as("cnt"))
+      .select(col("g_day").as("id"), col("amount"), col("cnt"))
+
+    val deletes = affected.select(col("g_day").as("id"))
+      .except(grouped.select("id"))
+    (grouped, deletes)
+  })
+
   /** `order_view_items` (flink-ddl.sql:111-132): the continuous
     * LISTAGG/COLLECT(ROW(...)) forms — per-order item CSV and nested
     * ARRAY<ROW> document, upserted INTO THE SHARED `order_view` index so

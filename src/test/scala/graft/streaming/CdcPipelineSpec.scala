@@ -36,11 +36,17 @@ class CdcPipelineSpec extends SparkSuite {
   // reference: flink-mongodb.sql:1-15 (comments via debezium-mongo)
   private val commentsSchema = StructType(Seq(
     StructField("id", StringType), StructField("content", StringType)))
+  // reference: flink-ddl.sql:42-58 (products)
+  private val productsSchema = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("price", DoubleType), StructField("ctime", TimestampType),
+    StructField("utime", TimestampType)))
 
   private val sources = Seq(
     TableSpec("orders", ordersSchema, primaryKey = Seq("id")),
     TableSpec("users", usersSchema, primaryKey = Seq("id")),
     TableSpec("order_items", itemsSchema, primaryKey = Seq("id")),
+    TableSpec("products", productsSchema, primaryKey = Seq("id")),
     TableSpec("comments", commentsSchema, primaryKey = Seq("id"),
       options = Map("format" -> "debezium-mongo")))
 
@@ -320,6 +326,48 @@ class CdcPipelineSpec extends SparkSuite {
       rec("order_items", itemEnv("d", "j2", "oX", "p3", 4, 10.0))))
     query.processAllAvailable()
     assert(sink.docs("order_view")("oX")("order.item_csv") == "p9")
+
+    query.stop()
+  }
+
+  test("order_stats (day-keyed) and product_view complete the sink list") {
+    val sink = new InMemoryUpsertSink
+    val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state9"), sink,
+      Seq(ReferenceViews.orderStats, ReferenceViews.productView))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val query = pipeline.start(
+      stream.toDS().toDF("table", "value", "seq"), tmpDir("cdc-ckpt9"))
+
+    def productEnv(op: String, id: String, name: String, price: Double): String = {
+      val img = s"""{"id":"$id","name":"$name","price":$price,
+                   |"ctime":"2021-09-01T00:00:00Z","utime":"2021-09-01T00:00:00Z"}"""
+        .stripMargin.replace("\n", "")
+      val b = if (op == "c") "null" else img
+      val a = if (op == "d") "null" else img
+      s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$seqNo}"""
+    }
+
+    stream.addData(Seq(
+      rec("products", productEnv("c", "p1", "widget", 4.5)),
+      rec("orders", orderEnv("c", "dA", "u1", 10.0, "created", "2021-09-01")),
+      rec("orders", orderEnv("c", "dB", "u2", 20.0, "created", "2021-09-01")),
+      rec("orders", orderEnv("c", "dC", "u1", 5.0, "created", "2021-09-02"))))
+    query.processAllAvailable()
+
+    assert(sink.docs("product_view")("p1")("name") == "widget")
+    assert(sink.docs("order_stats_view")("2021-09-01")("amount") == 30.0)
+    assert(sink.docs("order_stats_view")("2021-09-01")("cnt") == 2L)
+    assert(sink.docs("order_stats_view")("2021-09-02")("amount") == 5.0)
+
+    // cancel dB: the day's aggregates shrink (retraction)
+    stream.addData(Seq(
+      rec("orders", orderEnv("u", "dB", "u2", 20.0, "closed", "2021-09-01",
+        before = Some("created")))))
+    query.processAllAvailable()
+    assert(sink.docs("order_stats_view")("2021-09-01")("amount") == 10.0)
+    assert(sink.docs("order_stats_view")("2021-09-01")("cnt") == 1L)
 
     query.stop()
   }
