@@ -26,19 +26,30 @@ class PipelinePropertySpec extends SparkSuite {
     StructField("age", IntegerType), StructField("ctime", TimestampType),
     StructField("utime", TimestampType)))
 
+  private val itemsSchema = StructType(Seq(
+    StructField("id", StringType), StructField("order_id", StringType),
+    StructField("product_id", StringType), StructField("quantity", LongType),
+    StructField("price", DoubleType), StructField("amount", DoubleType),
+    StructField("ctime", TimestampType), StructField("utime", TimestampType)))
+
   private case class Ev(table: String, op: String, id: String,
       user: String, amount: Double, status: String)
 
   private val genEv: Gen[Ev] = for {
-    isOrder <- Gen.prob(0.7)
+    kind <- Gen.frequency(5 -> "orders", 2 -> "users", 3 -> "order_items")
     op <- Gen.frequency(4 -> "c", 4 -> "u", 1 -> "d")
     oid <- Gen.oneOf("o1", "o2", "o3", "o4")
+    iid <- Gen.oneOf("i1", "i2", "i3", "i4", "i5")
+    pid <- Gen.oneOf("p1", "p2")
     uid <- Gen.oneOf("u1", "u2")
     amt <- Gen.choose(1, 50).map(_.toDouble)
     st <- Gen.oneOf("created", "payed", "closed")
-  } yield
-    if (isOrder) Ev("orders", op, oid, uid, amt, st)
-    else Ev("users", op, uid, uid, 0.0, "")
+  } yield kind match {
+    case "orders" => Ev("orders", op, oid, uid, amt, st)
+    case "users" => Ev("users", op, uid, uid, 0.0, "")
+    // item: id=iid, "user" field reused as order_id, status as product_id
+    case _ => Ev("order_items", op, iid, oid, amt, pid)
+  }
 
   private def envelope(e: Ev, seq: Long): (String, String, Long) = {
     val img = e.table match {
@@ -46,6 +57,11 @@ class PipelinePropertySpec extends SparkSuite {
         s"""{"id":"${e.id}","user_id":"${e.user}","amount":${e.amount},
            |"ctime":"2021-06-01T00:00:00Z","utime":"2021-06-01T00:00:00Z",
            |"status":"${e.status}","channel":"app"}"""
+          .stripMargin.replace("\n", "")
+      case "order_items" =>
+        s"""{"id":"${e.id}","order_id":"${e.user}","product_id":"${e.status}",
+           |"quantity":2,"price":1.5,"amount":${e.amount},
+           |"ctime":"2021-06-01T00:00:00Z","utime":"2021-06-01T00:00:00Z"}"""
           .stripMargin.replace("\n", "")
       case _ =>
         s"""{"id":"${e.id}","name":"name-${e.id}","age":30,
@@ -67,9 +83,16 @@ class PipelinePropertySpec extends SparkSuite {
       val sink = new InMemoryUpsertSink
       val pipeline = new CdcPipeline(spark,
         Seq(TableSpec("orders", ordersSchema, primaryKey = Seq("id")),
-          TableSpec("users", usersSchema, primaryKey = Seq("id"))),
+          TableSpec("users", usersSchema, primaryKey = Seq("id")),
+          TableSpec("order_items", itemsSchema, primaryKey = Seq("id"))),
         tmpDir(s"prop-state-$trial"), sink,
-        Seq(ReferenceViews.orderView, ReferenceViews.userOrderStats))
+        Seq(ReferenceViews.orderView, ReferenceViews.userOrderStats,
+          ReferenceViews.productStats,
+          // own index here: in the shared index a doc delete from either
+          // view removes the other's fields too (real ES semantics,
+          // covered deterministically in CdcPipelineSpec) — random
+          // sequences would make the clobbering order part of the truth
+          ReferenceViews.orderItemsView.copy(index = null)))
 
       val records = evs.zipWithIndex.map { case (e, i) =>
         envelope(e, i.toLong)
@@ -104,6 +127,32 @@ class PipelinePropertySpec extends SparkSuite {
           ((d("order.amount.day").asInstanceOf[Double],
             d("order.count.day").asInstanceOf[Long])) }
       assert(gotStats == expectedStats, s"stats trial $trial evs=$evs")
+
+      // product_stats ground truth: items ⋈ live orders per product
+      val items = pipeline.state("order_items")
+      val liveOrders = orders.filter(col("status") =!= "closed")
+        .select(orders("key").as("o_key"))
+      val expectedProducts = items
+        .join(liveOrders, items("order_id") === col("o_key"))
+        .groupBy("product_id")
+        .agg(count(lit(1)).as("q"), sum("amount").as("a"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotProducts = sink.docs("product_stats_view")
+        .map { case (k, d) => k ->
+          ((d("quantity").asInstanceOf[Long],
+            d("amount").asInstanceOf[Double])) }
+      assert(gotProducts == expectedProducts, s"products trial $trial evs=$evs")
+
+      // order_view_items ground truth: per-order sorted item csv
+      val expectedItemDocs = items
+        .groupBy("order_id")
+        .agg(array_join(array_sort(
+          collect_list(col("product_id").cast("string"))), ",").as("csv"))
+        .as[(String, String)].collect().toMap
+      val gotItemDocs = sink.docs("order_view_items")
+        .map { case (k, d) => k -> d("order.item_csv").toString }
+      assert(gotItemDocs == expectedItemDocs, s"item docs trial $trial evs=$evs")
     }
   }
 }
