@@ -108,13 +108,18 @@ final class CdcPipeline(
     val pre: String => DataFrame =
       sources.map(s => s.name -> state(s.name)).toMap
 
+    // skip untouched tables entirely: a merge is a full state rewrite
+    // (write amplification) and every view would still re-derive from the
+    // unchanged snapshot — checkpointed frames make isEmpty a cheap check
     changelogs.foreach { case (table, changelog) =>
-      val compacted = Materializer.compact(changelog)
-      val upserts = compacted.filter(col("op") =!= "d")
-        .select(col("key") +: byName(table).schema.fieldNames.map(f =>
-          col(s"after.$f").as(f)): _*)
-      val deletes = compacted.filter(col("op") === "d").select("key")
-      states(table).merge(upserts, deletes)
+      if (!changelog.isEmpty) {
+        val compacted = Materializer.compact(changelog)
+        val upserts = compacted.filter(col("op") =!= "d")
+          .select(col("key") +: byName(table).schema.fieldNames.map(f =>
+            col(s"after.$f").as(f)): _*)
+        val deletes = compacted.filter(col("op") === "d").select("key")
+        states(table).merge(upserts, deletes)
+      }
     }
 
     val post: String => DataFrame =
