@@ -122,6 +122,28 @@ object TextAnalysis {
           lit(0L), (acc, x) => acc + x).as("bpe_est"))
     },
 
+    /** Deterministic train/val/test assignment: content-hash bucketing
+      * (md5 prefix mod 100 → 90/5/5). The standard curation split — stable
+      * under re-runs, shuffles, and partial reprocessing because it
+      * depends only on document CONTENT, never on row order or node
+      * count; portable arithmetic keeps the oracle exact. */
+    QueryDef("q34_train_split",
+      """SELECT doc_id,
+        |CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket,
+        |CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM documents""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+    },
+
     /** Document fingerprint: polynomial rolling hash over the word
       * sequence, word-hashed via an md5 prefix — both engines fold
       * left-to-right over identical integer sequences, so fingerprints
