@@ -277,6 +277,56 @@ object Dedup {
       // estimate prefilter then drops the surviving background before
       // the exact verify
       nearDupPairs(exploded, 0.7, bandRows = 4, nBands = 16)
+    },
+
+    /** Near-dup CLUSTERS: survivor selection needs components, not pairs
+      * (a∼b, b∼c must keep ONE of {a,b,c}). Pairs from the q21 LSH
+      * pipeline; components by iterative min-label propagation over the
+      * pair graph — each round is a join+agg on the (tiny relative to the
+      * corpus) edge set, label converges to the component-minimum doc id
+      * in diameter rounds (6 rounds ≥ 2× the largest measured component
+      * diameter; the oracle's recursive closure pins correctness).
+      * Output: (doc_id, cluster_id = min doc id of its component) for
+      * every clustered doc. */
+    QueryDef("q36_dedup_clusters",
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT doc_a, doc_a FROM pairs
+        |  UNION SELECT doc_b, doc_b FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        |""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val exploded = t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("f"))
+        .localCheckpoint(true)
+      val pairs = nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
+        .select("doc_a", "doc_b")
+
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .union(pairs.select(col("doc_a").as("u"), col("doc_a").as("v")))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_b").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+
+      var labels = edges.groupBy("u").agg(min("v").as("label"))
+      (1 to 6).foreach { _ =>
+        labels = edges
+          .join(labels.withColumnRenamed("u", "v2"),
+            edges("v") === col("v2"))
+          .groupBy(edges("u")).agg(min("label").as("label"))
+          .localCheckpoint(true)
+      }
+      labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
     }
   )
 }

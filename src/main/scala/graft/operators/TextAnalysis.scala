@@ -144,6 +144,24 @@ object TextAnalysis {
           .otherwise("test").as("split"))
     },
 
+    /** Stratified deterministic sampling: per-language keep rates applied
+      * by content hash — the curation move for rebalancing a corpus
+      * (downsample the dominant language, keep the rest), reproducible
+      * because membership depends only on content. */
+    QueryDef("q35_stratified_sample", {
+      val h = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ($h) < (CASE lang WHEN 'en' THEN 200 ELSE 800 END)
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val h = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(1000L))
+      t(s, dir, "documents")
+        .filter(h < when(col("lang") === "en", 200).otherwise(800))
+        .select("doc_id", "lang")
+    },
+
     /** Document fingerprint: polynomial rolling hash over the word
       * sequence, word-hashed via an md5 prefix — both engines fold
       * left-to-right over identical integer sequences, so fingerprints
