@@ -73,13 +73,25 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet (events) reads as a raw long; set at
+      // session build, not per-read (thread-safety + no ordering deps)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // Only default the master when none was supplied: spark-submit --master
     // sets the spark.master system property, and a builder-set master would
     // override it — which would pin this entry point to single-node forever.
     val hasMaster =
       sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")
-    (if (hasMaster) builder else builder.master(s"local[$cpus]")).getOrCreate()
+    val s = (if (hasMaster) builder else builder.master(s"local[$cpus]"))
+      .getOrCreate()
+    // reliable-checkpoint dir for iterative operators (lineage truncation
+    // WITH a recompute-free recovery path — on a cluster this is HDFS/S3
+    // via spark.graft.checkpoint.dir or an explicit setCheckpointDir)
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(sys.env.getOrElse(
+        "SPARK_GRAFT_CHECKPOINT_DIR",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+    s
   }
 
   /** Session-scoped table registry (in-memory, like the reference's

@@ -19,6 +19,9 @@ import org.apache.spark.sql.types._
   * pairs. This expression generates a tight primitive loop instead, with
   * identical semantics: elements widened to double, summed left-to-right
   * (same IEEE result as the lambda form, so oracle hashes are unchanged).
+  * Mismatched lengths yield NULL — exactly what the declarative form
+  * produces (zip_with pads with nulls and null*x poisons the sum), so the
+  * two formulations stay interchangeable on every input.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,6 +39,9 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch, independent of input nullability
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
 
   private def elemIsFloat(e: Expression): Boolean =
@@ -44,7 +50,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var sum = 0.0
     var i = 0
     val lf = elemIsFloat(left)
@@ -64,13 +71,18 @@ case class DotProduct(left: Expression, right: Expression)
       val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  sum += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = sum;
        """.stripMargin
     })
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,9 +10,14 @@ import graft.sources.Tables
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` payloads plus typed metadata, with decode / feature-extract /
   * frame-sample stages (LLM-pipeline north star; no media tables ship in
-  * the testdata, so payloads are derived deterministically from
-  * `documents.text` — the Spark-side plumbing is real, the codec is a
-  * clearly-marked stub).
+  * the testdata, so payloads are synthesized as REAL container bytes —
+  * PNG signature + IHDR chunk, JPEG SOI + SOF0 frame header, RIFF/WAVE
+  * fmt chunk — in front of the document text as the "encoded stream").
+  *
+  * What's real vs stubbed: header construction and parsing are real byte
+  * formats (a genuine PNG/WAV tool can read these headers); only the
+  * entropy decode (pixels/samples) is a deterministic byte-histogram
+  * stand-in, because no codec libraries ship in this environment.
   *
   * Scale posture: payload bytes stay in executors end to end (binary
   * column → substring/hex expressions or mapPartitions); nothing decodes
@@ -23,26 +28,132 @@ object Multimodal {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** The opaque-media frame: binary payload + typed metadata, the schema a
-    * real ingest (S3 image tarballs, audio shards) would carry. */
-  def mediaFrame(s: SparkSession, dir: String): DataFrame =
+  /** Big-endian fixed-width hex of an integer column. */
+  private def beHex(c: Column, nBytes: Int): Column =
+    lpad(hex(c), nBytes * 2, "0")
+
+  /** Little-endian fixed-width hex (byte-reversed big-endian). */
+  private def leHex(c: Column, nBytes: Int): Column = {
+    val h = beHex(c, nBytes)
+    concat((0 until nBytes).reverse.map(i => substring(h, i * 2 + 1, 2)): _*)
+  }
+
+  /** The opaque-media frame: binary payload (a real container header +
+    * the text bytes as encoded stream) + declared ingest metadata — the
+    * schema a real ingest (S3 image tarballs, audio shards) would carry.
+    * Formats rotate png/jpeg/wav by doc id; dimensions and sample rate
+    * are embedded IN THE BYTES (and must be recovered from them). */
+  def mediaFrame(s: SparkSession, dir: String): DataFrame = {
+    val fmt = element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val w = (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int")
+    val h = (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int")
+    val sr = (pmod(col("doc_id"), lit(8)) * 4000 + 8000).cast("int")
+    val dataLen = octet_length(col("text").cast("binary"))
+
+    // PNG: 8-byte signature, then IHDR (len=13, type, w, h, bit depth 8,
+    // color type 6, compression/filter/interlace 0, CRC placeholder)
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      beHex(w, 4), beHex(h, 4), lit("080600000000000000"))
+    // JPEG: SOI, then an SOF0 frame header (len 0x11, precision 8,
+    // HEIGHT first then WIDTH — JPEG's order — 3 components)
+    val jpegHex = concat(
+      lit("FFD8" + "FFC0" + "0011" + "08"), beHex(h, 2), beHex(w, 2), lit("03"))
+    // WAV: RIFF size, WAVE, fmt chunk (PCM, mono, sampleRate, byteRate,
+    // blockAlign 2, 16 bit), data chunk header — all little-endian
+    val wavHex = concat(
+      lit("52494646"), leHex(dataLen + 36, 4),
+      lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),
+      leHex(sr, 4), leHex(sr * 2, 4), lit("0200" + "1000" + "64617461"),
+      leHex(dataLen, 4))
+
+    val headerHex = when(fmt === "png", pngHex)
+      .when(fmt === "jpeg", jpegHex)
+      .otherwise(wavHex)
+
     t(s, dir, "documents").select(
       col("doc_id").as("media_id"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-        (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"))
-        .as("meta"))
+      concat(unhex(headerHex), col("text").cast("binary")).as("payload"),
+      struct(fmt.as("format"), w.as("width"), h.as("height")).as("meta"))
+  }
 
-  /** Per-media deterministic fake features — the mapPartitions stage a
-    * real pipeline would run a codec in (batched per partition, executor
-    * side). The decode itself is a STUB: real byte decoding would replace
-    * `fakeDecode`; schema, batching and partitioning are the real thing. */
+  /** Parsed container header: the real-decode part of the codec stage. */
+  final case class MediaHeader(
+      format: String, width: Int, height: Int,
+      sampleRate: Int, dataOffset: Int)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL container-header parsing from bytes: PNG chunk walk, JPEG
+    * marker scan (any SOF0–SOF15 frame header, not a fixed offset),
+    * RIFF chunk walk. Returns null-equivalent (-1) fields a format
+    * doesn't carry. */
+  private[operators] def decodeHeader(b: Array[Byte]): MediaHeader = {
+    if (b.length >= 8 &&
+      (b(0) & 0xff) == 0x89 && ascii(b, 1, 3) == "PNG") {
+      // PNG: chunks of (len, type, data, crc) from offset 8
+      var i = 8
+      while (i + 8 <= b.length) {
+        val len = be32(b, i)
+        val typ = ascii(b, i + 4, 4)
+        if (typ == "IHDR")
+          return MediaHeader("png", be32(b, i + 8), be32(b, i + 12), -1,
+            i + 8 + len + 4)
+        i += 8 + len + 4
+      }
+      MediaHeader("png", -1, -1, -1, 8)
+    } else if (b.length >= 4 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: scan markers for a start-of-frame (C0–CF except C4/C8/CC)
+      var i = 2
+      while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        val segLen = be16(b, i + 2)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return MediaHeader("jpeg", be16(b, i + 7), be16(b, i + 5), -1,
+            i + 2 + segLen)
+        i += 2 + segLen
+      }
+      MediaHeader("jpeg", -1, -1, -1, 2)
+    } else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" &&
+      ascii(b, 8, 4) == "WAVE") {
+      // WAV: RIFF chunk walk for fmt (sample rate) and data (offset)
+      var i = 12
+      var sr = -1
+      var dataOff = b.length
+      while (i + 8 <= b.length) {
+        val id = ascii(b, i, 4)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && i + 16 <= b.length) sr = le32(b, i + 12)
+        if (id == "data") { dataOff = i + 8; i = b.length }
+        i += 8 + size + (size & 1)
+      }
+      MediaHeader("wav", -1, -1, sr, dataOff)
+    } else MediaHeader("unknown", -1, -1, -1, 0)
+  }
+
+  /** Per-media features — the mapPartitions stage a real pipeline would
+    * run a codec in (batched per partition, executor side). The header
+    * parse is real ([[decodeHeader]]); the entropy decode is the STUB:
+    * an FNV-1a checksum + 8-bucket byte histogram over the DATA section
+    * stands in for pixel/sample decoding (no codec libs in this env). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
       StructField("n_bytes", IntegerType),
       StructField("checksum", LongType),
       StructField("feature", ArrayType(FloatType))))
@@ -51,59 +162,93 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (checksum, feature) = fakeDecode(bytes)
-        Row(id, bytes.length, checksum, feature)
+        val hdr = decodeHeader(bytes)
+        val (checksum, feature) = fakeEntropyDecode(bytes, hdr.dataOffset)
+        Row(id, hdr.format, hdr.width, hdr.height, hdr.sampleRate,
+          bytes.length, checksum, feature)
       }
     }(enc)
   }
 
-  /** STUB codec: a real implementation would parse the container format
-    * and run the image/audio decoder here (libs absent in this
-    * environment). Deterministic stand-in: FNV-1a checksum + an 8-dim
-    * "embedding" derived from byte histogram buckets. */
-  private def fakeDecode(bytes: Array[Byte]): (Long, Array[Float]) = {
+  /** STUB for the entropy decode only: FNV-1a checksum + normalized
+    * 8-bucket byte histogram over the post-header data section. A real
+    * implementation would hand `bytes[from..]` to the image/audio
+    * decoder here. */
+  private def fakeEntropyDecode(
+      bytes: Array[Byte], from: Int): (Long, Array[Float]) = {
     var h = 0xcbf29ce484222325L
     val hist = new Array[Float](8)
-    bytes.foreach { b =>
+    var i = math.max(from, 0)
+    while (i < bytes.length) {
+      val b = bytes(i)
       h = (h ^ (b & 0xff)) * 0x100000001b3L
       hist((b & 0xff) % 8) += 1f
+      i += 1
     }
-    val n = math.max(bytes.length, 1).toFloat
+    val n = math.max(bytes.length - math.max(from, 0), 1).toFloat
     (h, hist.map(_ / n))
   }
 
   val queries: Seq[QueryDef] = Seq(
 
-    /** Metadata + header extraction over the binary payload. Byte access
-      * is via hex-string slicing, identical in both engines. */
+    /** Header decode over the binary payload: format sniffed from magic
+      * bytes, dimensions / sample rate recovered FROM THE BYTES (png IHDR
+      * big-endian, jpeg SOF0, wav fmt little-endian). The oracle computes
+      * the expected values independently from the doc_id formulas the
+      * builder embedded — so a parse that doesn't exactly invert the byte
+      * construction fails the gate. */
     QueryDef("q50_multimodal_meta",
       """SELECT doc_id AS media_id,
-        |octet_length(text::BLOB) AS n_bytes,
-        |lower(substr(hex(text::BLOB), 1, 16)) AS header_hex,
-        |(octet_length(text::BLOB) + 255) // 256 AS n_frames
+        |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+        |CASE WHEN doc_id % 3 < 2 THEN (doc_id % 64) * 16 + 16 END AS width,
+        |CASE WHEN doc_id % 3 < 2 THEN (doc_id % 48) * 16 + 16 END AS height,
+        |CASE WHEN doc_id % 3 = 2 THEN (doc_id % 8) * 4000 + 8000 END AS sample_rate,
+        |octet_length(text::BLOB) +
+        |  (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 12 ELSE 44 END) AS n_bytes
         |FROM documents""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val hexp = upper(hex(col("payload")))
+      val isPng = substring(hexp, 1, 16) === "89504E470D0A1A0A"
+      val isJpeg = substring(hexp, 1, 4) === "FFD8"
+      val isWav = substring(hexp, 1, 8) === "52494646" &&
+        substring(hexp, 17, 8) === "57415645"
+      def beInt(startHexChar: Int, nBytes: Int): Column =
+        conv(substring(hexp, startHexChar, nBytes * 2), 16, 10).cast("long")
+      def leInt(startHexChar: Int, nBytes: Int): Column =
+        conv(concat((0 until nBytes).reverse.map(i =>
+          substring(hexp, startHexChar + i * 2, 2)): _*), 16, 10).cast("long")
       mediaFrame(s, dir).select(
         col("media_id"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        lower(substring(hex(col("payload")), 1, 16)).as("header_hex"),
-        floor((length(col("payload")) + 255) / 256).as("n_frames"))
+        when(isPng, "png").when(isJpeg, "jpeg").when(isWav, "wav").as("fmt"),
+        // png: sig(8) + len(4) + "IHDR"(4) → width at byte 16, height 20;
+        // jpeg SOI(2) SOF0(2) len(2) precision(1) → HEIGHT byte 7, WIDTH 9
+        when(isPng, beInt(33, 4)).when(isJpeg, beInt(19, 2)).as("width"),
+        when(isPng, beInt(41, 4)).when(isJpeg, beInt(15, 2)).as("height"),
+        // wav: fmt chunk data starts at byte 20; sampleRate at byte 24 LE
+        when(isWav, leInt(49, 4)).as("sample_rate"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
     },
 
-    /** Frame sampling: every 4th 256-byte frame, emitted with a 16-byte
-      * frame fingerprint — the shape of video frame-sampling / audio
-      * windowing, as a generator explode (no shuffle). */
+    /** Frame sampling: every 4th 256-byte frame of the encoded stream
+      * (the raw document bytes), emitted with a 16-byte frame fingerprint
+      * — the shape of video frame-sampling / audio windowing, as a
+      * generator explode (no shuffle). Zero-length payloads produce no
+      * frames (guarded: sequence(0, -1) would throw). */
     QueryDef("q51_frame_sample",
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
         |lower(substr(hex(text::BLOB), CAST(f*512+1 AS BIGINT), 32)) AS frame_hex
         |FROM documents, unnest(range(0, (octet_length(text::BLOB)+255)//256, 4)) AS u(f)
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      mediaFrame(s, dir)
-        .withColumn("hexp", lower(hex(col("payload"))))
-        .withColumn("n_frames",
-          floor((length(col("payload")) + 255) / 256).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          lower(hex(col("text").cast("binary"))).as("hexp"),
+          floor((octet_length(col("text").cast("binary")) + 255) / 256)
+            .cast("int").as("n_frames"))
+        .withColumn("idxs",
+          when(col("n_frames") > 0,
+            sequence(lit(0), col("n_frames") - 1, lit(4)))
+            .otherwise(array().cast("array<int>")))
         .select(col("media_id"), col("hexp"),
-          explode(sequence(lit(0), col("n_frames") - 1, lit(4)))
-            .as("frame_idx"))
+          explode(col("idxs")).as("frame_idx"))
         .select(col("media_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           col("hexp").substr(col("frame_idx") * 512 + 1, lit(32))

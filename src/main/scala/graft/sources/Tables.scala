@@ -22,17 +22,22 @@ object Tables {
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * refuses to read natively (PARQUET_TYPE_ILLEGAL). We read it as a raw
-    * nanos long (`spark.sql.legacy.parquet.nanosAsLong`) and convert with
-    * integer division — `ts DIV 1000` keeps full long precision (a double
-    * division would lose it: epoch-nanos ≈ 1.7e18 > 2^53). The original
-    * nanos long is kept as `ts_ns` so ordering comparisons (e.g.
-    * latest-row-per-key) match engines that order on full nano precision.
+    * nanos long (`spark.sql.legacy.parquet.nanosAsLong`, set ONCE at
+    * session construction — mutating shared session conf per-read was a
+    * hidden ordering dependency and a race for concurrent readers) and
+    * convert with integer division — `ts DIV 1000` keeps full long
+    * precision (a double division would lose it: epoch-nanos ≈ 1.7e18 >
+    * 2^53). The original nanos long is kept as `ts_ns` so ordering
+    * comparisons (e.g. latest-row-per-key) match engines that order on
+    * full nano precision.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+            "(Engine.session sets it)")
         spark.read.parquet(path)
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

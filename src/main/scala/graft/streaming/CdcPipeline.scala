@@ -8,6 +8,21 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.TableSpec
 import graft.cdc.{Debezium, Materializer}
 
+/** Read access to the pipeline's materialized state, pinned to one
+  * version per table (pre- or post-merge). `apply` keeps the plain
+  * `pre("orders")` full-snapshot form; `rows` is the bucket-pruned
+  * touched-keys lookup incremental views use so per-batch reads track
+  * the batch, not the state size. */
+final class StateAccess(
+    states: Map[String, ParquetKeyedTable],
+    schema: String => StructType,
+    versions: Map[String, Option[Int]]) {
+  def apply(table: String): DataFrame =
+    states(table).snapshotAt(versions(table), schema(table))
+  def rows(table: String, keys: DataFrame): DataFrame =
+    states(table).rowsForKeysAt(versions(table), schema(table), keys)
+}
+
 /** A continuously-maintained view: given the pre-batch state, post-batch
   * state and this batch's normalized changelog per table, emit the
   * documents to upsert and the doc ids to delete. This is the engine-side
@@ -20,7 +35,7 @@ import graft.cdc.{Debezium, Materializer}
   * to the view name. */
 final case class ViewDef(
     name: String,
-    maintain: (String => DataFrame, String => DataFrame,
+    maintain: (StateAccess, StateAccess,
       Map[String, DataFrame]) => (DataFrame, DataFrame),
     index: String = null) {
   def sinkIndex: String = Option(index).getOrElse(name)
@@ -53,12 +68,14 @@ final class CdcPipeline(
     sources: Seq[TableSpec],
     stateDir: String,
     sink: UpsertSink,
-    views: Seq[ViewDef]) {
+    views: Seq[ViewDef],
+    stateBuckets: Int = 32) {
 
   private val byName = sources.map(s => s.name -> s).toMap
   private val states: Map[String, ParquetKeyedTable] =
     sources.map(s => s.name ->
-      new ParquetKeyedTable(spark, s"$stateDir/${s.name}")).toMap
+      new ParquetKeyedTable(spark, s"$stateDir/${s.name}",
+        numBuckets = stateBuckets)).toMap
 
   /** Materialized-state schema: leading key + the row columns. */
   private def stateSchema(table: String): StructType =
@@ -87,8 +104,10 @@ final class CdcPipeline(
   def processBatch(batch: DataFrame): Unit = {
     // 1. decode + normalize per table (format from the spec options:
     //    MySQL struct envelopes by default, Mongo JSON-string envelopes
-    //    for 'debezium-mongo' sources); persist: each frame is read for
-    //    the state merge AND by every view
+    //    for 'debezium-mongo' sources); cached with lineage KEPT
+    //    (persist, not localCheckpoint): each frame is read for the state
+    //    merge AND by every view, and on a cluster a lost executor must
+    //    recompute the decode from the batch, not fail the query
     val changelogs: Map[String, DataFrame] = sources.map { spec =>
       val raw = batch.filter(col("table") === spec.name)
       val normalized =
@@ -100,13 +119,15 @@ final class CdcPipeline(
           Debezium.normalize(raw.withColumn("env",
             Debezium.decode(col("value"),
               Debezium.mysqlEnvelope(spec.schema))), spec.primaryKey)
-      spec.name -> normalized.localCheckpoint(true)
+      spec.name -> normalized.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }.toMap
 
     // 2. pre-merge snapshots stay valid (immutable version dirs) while the
-    //    merge commits the next version
-    val pre: String => DataFrame =
-      sources.map(s => s.name -> state(s.name)).toMap
+    //    merge commits the next version — pinned by VERSION, so pruned
+    //    lookups made after the merge still read pre-merge state
+    val pre = new StateAccess(states, stateSchema,
+      sources.map(s => s.name -> states(s.name).version).toMap)
 
     // skip untouched tables entirely: a merge is a full state rewrite
     // (write amplification) and every view would still re-derive from the
@@ -122,8 +143,8 @@ final class CdcPipeline(
       }
     }
 
-    val post: String => DataFrame =
-      sources.map(s => s.name -> state(s.name)).toMap
+    val post = new StateAccess(states, stateSchema,
+      sources.map(s => s.name -> states(s.name).version).toMap)
 
     // 3. maintain each view over affected keys
     views.foreach { view =>
@@ -131,6 +152,9 @@ final class CdcPipeline(
       sink.upsert(view.sinkIndex, upserts)
       sink.delete(view.sinkIndex, deletes)
     }
+
+    // batch-scoped caches released once every view has consumed them
+    changelogs.values.foreach(_.unpersist())
   }
 
   /** Attach to a streaming DataFrame (kafka / MemoryStream / file) with

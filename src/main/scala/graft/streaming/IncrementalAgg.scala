@@ -1,0 +1,216 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental ± aggregation — the Spark-first re-expression of Flink's
+  * retractive GROUP BY (reference: flink-ddl.sql:197-227, the
+  * "要加入撤回功能" stats sinks). Instead of re-aggregating affected
+  * groups against the full materialized input per micro-batch (the r2
+  * design: correct, but O(state scan) per batch), each view keeps its own
+  * RUNNING (sum, count) per group in a bucketed [[ParquetKeyedTable]] and
+  * applies per-key deltas:
+  *
+  *   delta(batch) = Σ over touched keys k:
+  *       + contribution(post-state row of k)   [row entering/updated]
+  *       − contribution(pre-state row of k)    [row leaving/old image]
+  *
+  * Per-batch cost is O(batch): pre/post rows of touched keys come from
+  * bucket-pruned lookups ([[ParquetKeyedTable.rowsForKeysAt]]), the delta
+  * aggregation shuffles only batch-sized frames, and the running-agg merge
+  * rewrites only the touched agg buckets. No step scans unaffected state.
+  *
+  * The deltas intentionally derive from the STATE transition (pre-row →
+  * post-row), not from the envelope's `before` image: a malformed or
+  * replica-identity-reduced `before` (or an op sequence like INSERT on an
+  * existing key) would corrupt a running sum, while the state diff is
+  * exact by construction — the same reason Flink aggregates consume the
+  * changelog its own upsert materialization EMITS rather than raw inputs.
+  *
+  * A group whose running count reaches 0 is deleted from both the agg
+  * state and the sink — the retraction contract (a cancelled order's
+  * group disappears, flink-ddl.sql:208).
+  */
+object IncrementalAgg {
+
+  /** One measure set: SUM(amount) + COUNT(*) per group — the shape all
+    * the reference's stats sinks use (flink-ddl.sql:197-259). */
+  final case class GroupSpec(
+      groupCols: Seq[(String, Column)], // name -> expr over a state row
+      live: Column,                     // row contributes iff
+      amount: Column)                   // summed measure
+
+  private def aggSchema(gNames: Seq[String]): StructType =
+    StructType(
+      (StructField("key", StringType) +:
+        gNames.map(StructField(_, StringType))) ++
+        Seq(StructField("amt", DoubleType), StructField("cnt", LongType)))
+
+  /** (key, groups..., d_amt, d_cnt) contributions of a set of state rows. */
+  private def contrib(rows: DataFrame, spec: GroupSpec, sign: Int): DataFrame = {
+    val gNames = spec.groupCols.map(_._1)
+    rows.filter(spec.live)
+      .select(spec.groupCols.map { case (n, c) => c.cast("string").as(n) } :+
+        spec.amount.cast("double").as("a"): _*)
+      .filter(gNames.map(col(_).isNotNull).reduce(_ && _))
+      .select((concat_ws("|", gNames.map(col): _*).as("key") +:
+        gNames.map(col)) ++ Seq(
+        (col("a") * sign).as("d_amt"), lit(sign.toLong).as("d_cnt")): _*)
+  }
+
+  /** Fold a delta frame (key, groups..., d_amt, d_cnt) into the running
+    * aggregate state; returns (sink upserts (key, groups..., amt, cnt),
+    * sink deletes (key)). Reads ONLY the touched groups' agg rows
+    * (bucket-pruned) and merges only their buckets. */
+  private def applyDeltas(
+      aggTable: ParquetKeyedTable, gNames: Seq[String],
+      deltas: DataFrame): (DataFrame, DataFrame) = {
+    val summed = deltas
+      .groupBy(("key" +: gNames).map(col): _*)
+      .agg(sum("d_amt").as("d_amt"), sum("d_cnt").as("d_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val schema = aggSchema(gNames)
+      val old = aggTable.rowsForKeys(schema, summed.select("key"))
+        .select(col("key") +: gNames.map(n => col(n).as(s"o_$n")) :+
+          col("amt").as("o_amt") :+ col("cnt").as("o_cnt"): _*)
+      val merged = summed.join(old, Seq("key"), "full_outer")
+        .select(col("key") +:
+          gNames.map(n => coalesce(col(n), col(s"o_$n")).as(n)) :+
+          (coalesce(col("o_amt"), lit(0.0)) + coalesce(col("d_amt"), lit(0.0))).as("amt") :+
+          (coalesce(col("o_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val liveGroups = merged.filter(col("cnt") > 0)
+      val deadGroups = merged.filter(col("cnt") <= 0).select("key")
+      aggTable.merge(
+        liveGroups.select(schema.fieldNames.map(col): _*), deadGroups)
+      (liveGroups, deadGroups)
+    } finally summed.unpersist()
+  }
+
+  /** Single-input incremental GROUP BY view: deltas from the pre→post
+    * state transition of this batch's touched keys. `toDoc` shapes the
+    * merged (key, groups..., amt, cnt) frame into sink documents with an
+    * `id` column. */
+  def view(
+      spark: SparkSession, stateDir: String, name: String, table: String,
+      spec: GroupSpec, toDoc: DataFrame => DataFrame,
+      index: String = null, buckets: Int = 32): ViewDef = {
+    val aggTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-agg", "key", buckets)
+    val gNames = spec.groupCols.map(_._1)
+    ViewDef(name, (pre, post, batch) => {
+      val touched = batch(table).select("key").distinct()
+      val deltas = contrib(post.rows(table, touched), spec, 1)
+        .unionByName(contrib(pre.rows(table, touched), spec, -1))
+      val (liveGroups, deadGroups) = applyDeltas(aggTable, gNames, deltas)
+      (toDoc(liveGroups), deadGroups.select(col("key").as("id")))
+    }, index)
+  }
+
+  // ——— the reference's three retractive stats sinks, incremental ———
+
+  /** `user_order_stats_view` (flink-ddl.sql:197-211): per (user, day)
+    * SUM(amount)/COUNT(*) over non-closed orders. */
+  def userOrderStats(spark: SparkSession, stateDir: String): ViewDef =
+    view(spark, stateDir, "user_order_stats_view", "orders",
+      GroupSpec(
+        Seq("g_user" -> col("user_id").cast("string"),
+          "g_day" -> date_format(col("ctime"), "yyyy-MM-dd")),
+        live = col("status") =!= "closed",
+        amount = col("amount")),
+      toDoc = m => m.select(col("key").as("id"),
+        col("g_user").as("user_id"), col("g_day").as("cday"),
+        col("amt").as("order.amount.day"), col("cnt").as("order.count.day")))
+
+  /** `order_stats_view` (flink-ddl.sql:214-227): per-day totals. */
+  def orderStats(spark: SparkSession, stateDir: String): ViewDef =
+    view(spark, stateDir, "order_stats_view", "orders",
+      GroupSpec(
+        Seq("g_day" -> date_format(col("ctime"), "yyyy-MM-dd")),
+        live = col("status") =!= "closed",
+        amount = col("amount")),
+      toDoc = m => m.select(col("key").as("id"),
+        col("amt").as("amount"), col("cnt").as("cnt")))
+
+  /** Cumulative per-user totals merged into the shared `user_view` index
+    * (flink-ddl.sql:165). */
+  def userTotals(spark: SparkSession, stateDir: String): ViewDef =
+    view(spark, stateDir, "user_totals", "orders",
+      GroupSpec(
+        Seq("g_user" -> col("user_id").cast("string")),
+        live = col("status") =!= "closed",
+        amount = col("amount")),
+      toDoc = m => m.select(col("key").as("id"),
+        col("amt").as("order.amount.total"),
+        col("cnt").as("order.count.total")),
+      index = "user_view")
+
+  /** `product_stats_view` (flink-ddl.sql:243-259): incremental agg over
+    * the JOIN order_items ⋈ non-closed orders, per product. The join
+    * changelog decomposes exactly as
+    *
+    *   ΔC = [C(postItems, postOrders) − C(preItems, postOrders)]   (1)
+    *      + [C(preItems,  postOrders) − C(preItems,  preOrders)]   (2)
+    *
+    * (1) item-side: ± touched items' pre/post rows, each contributing iff
+    *     its order is live in POST order state — order liveness comes
+    *     from bucket-pruned lookups of exactly the orders those items
+    *     reference.
+    * (2) order-side: orders whose liveness FLIPPED this batch contribute
+    *     ± all their PRE-state items. Finding "items of an order" scans
+    *     the item state with a semi-join on order_id: the one read here
+    *     that is not bucket-prunable, because item state is keyed by item
+    *     id. At 100 TB the fix is a secondary item-by-order projection
+    *     maintained the same way; kept as a documented seam since order
+    *     liveness flips are rare relative to item traffic.
+    */
+  def productStats(spark: SparkSession, stateDir: String): ViewDef = {
+    val gNames = Seq("product_id")
+    val aggTable = new ParquetKeyedTable(
+      spark, s"$stateDir/product_stats_view-agg", "key", 32)
+    def asContrib(rows: DataFrame, sign: Int): DataFrame =
+      rows.filter(col("product_id").isNotNull)
+        .select(col("product_id").cast("string").as("key"),
+          col("product_id").cast("string").as("product_id"),
+          (col("amount").cast("double") * sign).as("d_amt"),
+          lit(sign.toLong).as("d_cnt"))
+    ViewDef("product_stats_view", (pre, post, batch) => {
+      val isLive = col("status") =!= "closed"
+
+      // (1) item-side deltas, joined against POST order liveness
+      val touchedItems = batch("order_items").select("key").distinct()
+      val preI = pre.rows("order_items", touchedItems)
+      val postI = post.rows("order_items", touchedItems)
+      val wantedOrders = preI.select(col("order_id").as("key"))
+        .unionByName(postI.select(col("order_id").as("key"))).distinct()
+      val livePostOrders = post.rows("orders", wantedOrders)
+        .filter(isLive).select(col("key").as("order_id"))
+      def liveItems(items: DataFrame) =
+        items.join(livePostOrders, Seq("order_id"), "left_semi")
+      val itemDeltas = asContrib(liveItems(postI), 1)
+        .unionByName(asContrib(liveItems(preI), -1))
+
+      // (2) order-liveness flips, applied to PRE item state
+      val touchedOrders = batch("orders").select("key").distinct()
+      val preLive = pre.rows("orders", touchedOrders).filter(isLive)
+        .select(col("key").as("o_key"))
+      val postLive = post.rows("orders", touchedOrders).filter(isLive)
+        .select(col("key").as("o_key"))
+      val nowLive = postLive.exceptAll(preLive)   // closed/absent -> live
+      val nowDead = preLive.exceptAll(postLive)   // live -> closed/deleted
+      def itemsOf(orderKeys: DataFrame) =
+        pre("order_items").join(orderKeys,
+          col("order_id") === col("o_key"), "left_semi")
+      val flipDeltas = asContrib(itemsOf(nowLive), 1)
+        .unionByName(asContrib(itemsOf(nowDead), -1))
+
+      val (liveGroups, deadGroups) =
+        applyDeltas(aggTable, gNames, itemDeltas.unionByName(flipDeltas))
+      (liveGroups.select(col("key").as("id"),
+        col("cnt").as("quantity"), col("amt").as("amount")),
+        deadGroups.select(col("key").as("id")))
+    })
+  }
+}

@@ -54,15 +54,48 @@ final class InMemoryUpsertSink extends UpsertSink {
 
 /** Scale-path sink: documents land in a [[ParquetKeyedTable]] — fully
   * distributed MERGE, no driver materialization. Stands in for a real
-  * external-store sink at 100 TB. */
-final class ParquetUpsertSink(spark: org.apache.spark.sql.SparkSession, root: String)
+  * external-store sink at 100 TB.
+  *
+  * Upserts are PARTIAL-DOCUMENT merges, matching ES upsert semantics and
+  * [[InMemoryUpsertSink]]: incoming fields overwrite, fields the incoming
+  * frame doesn't carry persist from the stored document — so several
+  * views can share one index with different column sets (the reference's
+  * shared `user_view` index, flink-ddl.sql:143,165). The field merge is a
+  * bucket-pruned lookup of exactly the incoming ids, outer-joined and
+  * coalesced — per-batch cost tracks the batch. One divergence from the
+  * in-memory sink: an explicit NULL in an incoming field keeps the stored
+  * value (coalesce) rather than clearing it — same as an ES partial
+  * update without a script. */
+final class ParquetUpsertSink(
+    spark: org.apache.spark.sql.SparkSession, root: String, numBuckets: Int = 32)
     extends UpsertSink {
+  import org.apache.spark.sql.functions.{coalesce, col}
+
   private val tables = TrieMap.empty[String, ParquetKeyedTable]
   private def table(name: String) =
-    tables.getOrElseUpdate(name, new ParquetKeyedTable(spark, s"$root/$name", "id"))
+    tables.getOrElseUpdate(name,
+      new ParquetKeyedTable(spark, s"$root/$name", "id", numBuckets))
 
-  override def upsert(name: String, upserts: DataFrame): Unit =
-    table(name).merge(upserts, upserts.select("id").limit(0))
+  override def upsert(name: String, upserts: DataFrame): Unit = {
+    // doc field names contain dots (ES-style `order.amount`) — quote
+    // every reference so they resolve as top-level columns
+    def c(n: String) = col(s"`$n`")
+    val t = table(name)
+    val stored = t.rowsForKeys(upserts.schema, upserts.select("id"))
+    val newCols = upserts.columns.toSet
+    val oldOnly = stored.columns.filterNot(n => newCols(n) || n == "id")
+    val old = stored.select(c("id") +:
+      stored.columns.filter(_ != "id")
+        .map(n => c(n).as(s"__stored_$n")).toSeq: _*)
+    val merged = upserts.join(old, Seq("id"), "left_outer")
+      .select(c("id") +:
+        (upserts.columns.filter(_ != "id").map { n =>
+          if (old.columns.contains(s"__stored_$n"))
+            coalesce(c(n), c(s"__stored_$n")).as(n)
+          else c(n)
+        } ++ oldOnly.map(n => c(s"__stored_$n").as(n))).toSeq: _*)
+    t.merge(merged, merged.select("id").limit(0))
+  }
 
   override def delete(name: String, deletes: DataFrame): Unit =
     table(name).delete(deletes) // no-op until an upsert created the table

@@ -33,6 +33,20 @@ class DotProductSpec extends SparkSuite {
     assert(out(1).isEmpty)
   }
 
+  test("mismatched lengths yield null, matching the declarative form") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f)),
+      (Seq(1.0f), Seq(2.0f))).toDF("a", "b")
+    val out = df.select(
+      DotProduct(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(0) == ((None, None)), "mismatch must be null in BOTH forms")
+    assert(out(1) == ((Some(2.0), Some(2.0))))
+  }
+
   test("rejects non-numeric-array inputs at analysis") {
     val df = Seq(("x", Seq(1.0f))).toDF("a", "b")
     assertThrows[org.apache.spark.sql.AnalysisException] {

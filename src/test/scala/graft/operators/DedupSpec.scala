@@ -51,6 +51,25 @@ class DedupSpec extends SparkSuite {
     assert(hams.forall(_ <= 3))
   }
 
+  test("clusterPairs reaches a fixpoint on a chain deeper than 6") {
+    // planted duplicate CHAIN d000∼d001∼…∼d020: diameter 20, so any
+    // fixed-round propagation ≤ 6 splits it; the fixpoint loop must not
+    val pairs = (0 until 20)
+      .map(i => (f"d$i%03d", f"d${i + 1}%03d")).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got.size == 21)
+    assert(got.values.toSet == Set("d000"),
+      s"one component labeled by its minimum, got: $got")
+
+    // and two separate components stay separate
+    val two = Seq(("a1", "a2"), ("a2", "a3"), ("z1", "z2"))
+      .toDF("doc_a", "doc_b")
+    val lbl = Dedup.clusterPairs(two).as[(String, String)].collect().toMap
+    assert(lbl == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "z1" -> "z1", "z2" -> "z1"))
+  }
+
   test("char-gram LSH reproduces brute-force char-gram pairs") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(transform(

@@ -22,6 +22,25 @@ class MultimodalSpec extends SparkSuite {
     assert(m.getInt(1) > 0 && m.getInt(2) > 0)
   }
 
+  test("header decode recovers the declared metadata FROM THE BYTES") {
+    val mf = Multimodal.mediaFrame(spark, dir)
+    val feats = Multimodal.extractFeatures(mf)
+      .select("media_id", "format", "width", "height", "sample_rate")
+    // parsed format/dims must equal the declared meta for images; wav
+    // recovers the embedded sample rate
+    val bad = mf.select(col("media_id"), col("meta.format").as("dfmt"),
+      col("meta.width").as("dw"), col("meta.height").as("dh"))
+      .join(feats, "media_id")
+      .filter(col("format") =!= col("dfmt") ||
+        (col("dfmt").isin("png", "jpeg") &&
+          (col("width") =!= col("dw") || col("height") =!= col("dh"))) ||
+        (col("dfmt") === "wav" &&
+          col("sample_rate") =!=
+            (pmod(col("media_id"), lit(8)) * 4000 + 8000).cast("int")))
+    assert(bad.isEmpty, s"byte parse must invert byte construction: " +
+      bad.limit(3).collect().mkString(", "))
+  }
+
   test("feature extraction: batched executor-side decode, deterministic") {
     val mf = Multimodal.mediaFrame(spark, dir).repartition(3)
     val feats = Multimodal.extractFeatures(mf)
@@ -30,23 +49,43 @@ class MultimodalSpec extends SparkSuite {
     val rows = feats.collect()
     assert(rows.length == mf.count())
     val again = Multimodal.extractFeatures(mf).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("checksum")).toMap
     rows.foreach { r =>
-      assert(again(r.getLong(0)) == r.getLong(2), "checksum deterministic")
-      val f = r.getSeq[Float](3)
+      assert(again(r.getAs[Long]("media_id")) == r.getAs[Long]("checksum"),
+        "checksum deterministic")
+      val f = r.getSeq[Float](r.fieldIndex("feature"))
       assert(f.length == 8)
       assert(math.abs(f.sum - 1f) < 1e-3, "histogram features normalized")
     }
   }
 
-  test("frame sampling indexes align with payload size") {
+  test("decodeHeader walks real chunk/marker layouts, not fixed offsets") {
+    // PNG with a chunk BEFORE IHDR would be invalid, but JPEG with an
+    // APP0 segment before SOF0 is the normal real-world layout — the
+    // marker scan must find SOF0 wherever it is
+    val w = 640
+    val h = 480
+    val app0 = Array[Byte](0xFF.toByte, 0xD8.toByte, // SOI
+      0xFF.toByte, 0xE0.toByte, 0x00, 0x10) ++ // APP0, len 16
+      ("JFIF".getBytes ++ Array.fill[Byte](10)(0)) ++ // 14 data bytes
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08, // SOF0
+        (h >> 8).toByte, (h & 0xff).toByte,
+        (w >> 8).toByte, (w & 0xff).toByte, 0x03)
+    val hdr = Multimodal.decodeHeader(app0)
+    assert(hdr.format == "jpeg" && hdr.width == w && hdr.height == h)
+
+    // unknown bytes degrade gracefully
+    assert(Multimodal.decodeHeader("plain text".getBytes).format == "unknown")
+  }
+
+  test("frame sampling indexes align with document size") {
     val out = graft.SparkEntry.queries("q51_frame_sample")(spark, dir)
-    val mf = Multimodal.mediaFrame(spark, dir)
-      .select(col("media_id"),
-        length(col("payload")).cast("long").as("len"))
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("len"))
     val joined = out.groupBy("media_id")
       .agg(count(lit(1)).as("n"), max("frame_idx").as("maxf"))
-      .join(mf, "media_id")
+      .join(docs, "media_id")
       .collect()
     joined.foreach { r =>
       val frames = (r.getAs[Long]("len") + 255) / 256

@@ -284,6 +284,37 @@ class CdcPipelineSpec extends SparkSuite {
     query.stop()
   }
 
+  test("parquet sink: shared-index partial-document field merge") {
+    import spark.implicits._
+    val sink = new ParquetUpsertSink(spark, tmpDir("psink-shared"))
+    // view 1 writes identity fields, view 2 writes totals — different
+    // column sets into ONE index (the reference's shared user_view)
+    sink.upsert("user_view", Seq(("u1", "Alice", 30)).toDF("id", "name", "age"))
+    sink.upsert("user_view",
+      Seq(("u1", 99.5, 3L), ("u2", 1.0, 1L)).toDF("id", "total", "cnt"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    val docs = sink.docs("user_view", schema).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(docs.size == 2)
+    // u1: fields from BOTH views merged into one document
+    assert(docs("u1").getAs[String]("name") == "Alice")
+    assert(docs("u1").getAs[Int]("age") == 30)
+    assert(docs("u1").getAs[Double]("total") == 99.5)
+    // u2: only view-2 fields; view-1 columns null
+    assert(docs("u2").getAs[Double]("total") == 1.0)
+    assert(docs("u2").isNullAt(docs("u2").fieldIndex("name")))
+
+    // re-upsert from view 1 must NOT clobber view 2's fields
+    sink.upsert("user_view", Seq(("u1", "Alicia", 31)).toDF("id", "name", "age"))
+    val after = sink.docs("user_view", schema).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(after("u1").getAs[String]("name") == "Alicia")
+    assert(after("u1").getAs[Double]("total") == 99.5)
+  }
+
   test("order_view_items: COLLECT/LISTAGG docs merge into the shared order index") {
     val sink = new InMemoryUpsertSink
     val pipeline = new CdcPipeline(spark, sources, tmpDir("cdc-state8"), sink,

@@ -32,6 +32,64 @@ class ParquetKeyedTableSpec extends SparkSuite {
       Set(("c", 3)))
   }
 
+  test("merge rewrites only touched buckets; untouched files carry forward") {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val root = tmpDir("pruned")
+    val t = new ParquetKeyedTable(spark, root, numBuckets = 8)
+    val keys = (0 until 64).map(i => (s"k$i", i))
+    t.merge(keys.toDF("key", "v"), Seq.empty[String].toDF("key"))
+
+    // relative path -> inode for every parquet file of a version
+    def files(v: Int): Map[String, Long] = {
+      val vd = java.nio.file.Paths.get(root, s"v$v")
+      val s = java.nio.file.Files.walk(vd)
+      try {
+        val it = s.iterator()
+        var m = Map.empty[String, Long]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            m += vd.relativize(p).toString ->
+              java.nio.file.Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+        }
+        m
+      } finally s.close()
+    }
+
+    val touchedBucket = spark.range(1)
+      .select(pmod(hash(lit("k0")), lit(8)).cast("int")).head.getInt(0)
+    val before = files(0)
+    assert(before.keys.map(_.split('/').head).toSet.size > 1,
+      "test needs data in more than one bucket")
+
+    t.merge(Seq(("k0", 99)).toDF("key", "v"), Seq.empty[String].toDF("key"))
+    val after = files(1)
+
+    // untouched buckets: identical relative paths AND identical inodes
+    // (hard links, not copies — the carry-forward is metadata-only)
+    def untouched(m: Map[String, Long]) =
+      m.filterNot(_._1.startsWith(s"bucket=$touchedBucket/"))
+    assert(untouched(after) == untouched(before))
+    // the touched bucket WAS rewritten (fresh files)
+    val rewritten = after.filter(_._1.startsWith(s"bucket=$touchedBucket/"))
+    assert(rewritten.nonEmpty)
+    assert(rewritten.values.toSet.intersect(
+      before.filter(_._1.startsWith(s"bucket=$touchedBucket/")).values.toSet).isEmpty)
+
+    // and the merge is semantically correct
+    val got = t.snapshot(schema).as[(String, Int)].collect().toMap
+    assert(got("k0") == 99 && got.size == 64 && got("k63") == 63)
+
+    // pruned delete: removing one key keeps every other bucket linked
+    t.delete(Seq("k1").toDF("key"))
+    val b1 = spark.range(1)
+      .select(pmod(hash(lit("k1")), lit(8)).cast("int")).head.getInt(0)
+    val afterDel = files(2)
+    assert(afterDel.filterNot(_._1.startsWith(s"bucket=$b1/")) ==
+      after.filterNot(_._1.startsWith(s"bucket=$b1/")))
+    assert(t.snapshot(schema).count() == 63)
+  }
+
   test("unbucketed layout still round-trips (default)") {
     val t = new ParquetKeyedTable(spark, tmpDir("flat"))
     t.merge(Seq(("x", 1)).toDF("key", "v"), Seq.empty[String].toDF("key"))

@@ -155,4 +155,84 @@ class PipelinePropertySpec extends SparkSuite {
       assert(gotItemDocs == expectedItemDocs, s"item docs trial $trial evs=$evs")
     }
   }
+
+  test("random batched changelogs: incremental ± aggregation == batch recompute") {
+    val gen = Gen.nonEmptyListOf(genEv)
+    var seed = Seed(23L)
+    (1 to 5).foreach { trial =>
+      val evs = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+
+      val sink = new InMemoryUpsertSink
+      val stateDir = tmpDir(s"inc-state-$trial")
+      val pipeline = new CdcPipeline(spark,
+        Seq(TableSpec("orders", ordersSchema, primaryKey = Seq("id")),
+          TableSpec("users", usersSchema, primaryKey = Seq("id")),
+          TableSpec("order_items", itemsSchema, primaryKey = Seq("id"))),
+        stateDir, sink,
+        Seq(IncrementalAgg.userOrderStats(spark, stateDir),
+          IncrementalAgg.orderStats(spark, stateDir),
+          IncrementalAgg.productStats(spark, stateDir),
+          // own index: determinism, as above
+          IncrementalAgg.userTotals(spark, stateDir).copy(index = null)))
+
+      val records = evs.zipWithIndex.map { case (e, i) => envelope(e, i.toLong) }
+      val batches = records.grouped(math.max(records.size / 3, 1)).toSeq
+      batches.foreach { b =>
+        pipeline.processBatch(b.toDF("table", "value", "seq"))
+      }
+
+      val orders = pipeline.state("orders")
+      val live = orders.filter(col("status") =!= "closed")
+
+      val expectedStats = live
+        .groupBy(col("user_id"),
+          date_format(col("ctime"), "yyyy-MM-dd").as("cday"))
+        .agg(sum("amount").as("amt"), count(lit(1)).as("cnt"))
+        .select(concat_ws("|", col("user_id"), col("cday")),
+          col("amt"), col("cnt"))
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotStats = sink.docs("user_order_stats_view")
+        .map { case (k, d) => k ->
+          ((d("order.amount.day").asInstanceOf[Double],
+            d("order.count.day").asInstanceOf[Long])) }
+      assert(gotStats == expectedStats, s"inc stats trial $trial evs=$evs")
+
+      val expectedDay = live
+        .groupBy(date_format(col("ctime"), "yyyy-MM-dd").as("cday"))
+        .agg(sum("amount").as("amt"), count(lit(1)).as("cnt"))
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotDay = sink.docs("order_stats_view")
+        .map { case (k, d) => k ->
+          ((d("amount").asInstanceOf[Double], d("cnt").asInstanceOf[Long])) }
+      assert(gotDay == expectedDay, s"inc day stats trial $trial evs=$evs")
+
+      val expectedTotals = live
+        .groupBy(col("user_id"))
+        .agg(sum("amount").as("amt"), count(lit(1)).as("cnt"))
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotTotals = sink.docs("user_totals")
+        .map { case (k, d) => k ->
+          ((d("order.amount.total").asInstanceOf[Double],
+            d("order.count.total").asInstanceOf[Long])) }
+      assert(gotTotals == expectedTotals, s"inc totals trial $trial evs=$evs")
+
+      val items = pipeline.state("order_items")
+      val liveOrders = live.select(orders("key").as("o_key"))
+      val expectedProducts = items
+        .join(liveOrders, items("order_id") === col("o_key"))
+        .groupBy("product_id")
+        .agg(count(lit(1)).as("q"), sum("amount").as("a"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotProducts = sink.docs("product_stats_view")
+        .map { case (k, d) => k ->
+          ((d("quantity").asInstanceOf[Long],
+            d("amount").asInstanceOf[Double])) }
+      assert(gotProducts == expectedProducts, s"inc products trial $trial evs=$evs")
+    }
+  }
 }
