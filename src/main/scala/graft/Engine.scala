@@ -85,12 +85,21 @@ object Engine {
     val s = (if (hasMaster) builder else builder.master(s"local[$cpus]"))
       .getOrCreate()
     // reliable-checkpoint dir for iterative operators (lineage truncation
-    // WITH a recompute-free recovery path — on a cluster this is HDFS/S3
-    // via spark.graft.checkpoint.dir or an explicit setCheckpointDir)
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(sys.env.getOrElse(
-        "SPARK_GRAFT_CHECKPOINT_DIR",
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+    // WITH a recompute-free recovery path — on a cluster this must be a
+    // shared filesystem: spark.graft.checkpoint.dir conf, the
+    // SPARK_GRAFT_CHECKPOINT_DIR env var, or an explicit setCheckpointDir)
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      val configured = s.conf.getOption("spark.graft.checkpoint.dir")
+        .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      val dir = configured.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      if (configured.isEmpty && !s.sparkContext.isLocal)
+        org.slf4j.LoggerFactory.getLogger("graft.Engine")
+          .warn("graft: non-local master with a driver-local temp " +
+          "checkpoint dir — iterative operators need a shared filesystem; " +
+          "set spark.graft.checkpoint.dir")
+      s.sparkContext.setCheckpointDir(dir)
+    }
     s
   }
 

@@ -87,9 +87,27 @@ object Dedup {
   }
 
   /** MinHash signature columns m0..m63 for an exploded (doc_id, f)
-    * frame: one aggregation, 64 codegen'd min() columns — a single
-    * map-side-combinable shuffle keyed by doc_id. */
-  private def minhashSignature(exploded: DataFrame, featCol: String): DataFrame = {
+    * frame: ONE single-buffer imperative aggregate per group
+    * ([[graft.functions.MinHashAgg]] — the whole permutation family runs
+    * in a tight JVM loop per input row), then the array unpacks into the
+    * m0..m63 columns the banding/estimate stages consume. One map-side-
+    * combinable shuffle keyed by doc_id, buffer = 64 longs per group.
+    * Value-identity with the previous declarative 64-column
+    * `min(pmod(h0*a+b, P))` form is pinned by MinHashAggSpec. */
+  private[operators] def minhashSignature(
+      exploded: DataFrame, featCol: String): DataFrame = {
+    val h0 = pmod(xxhash64(col(featCol)), lit(P))
+    val sig = exploded.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.sig(h0, perms, P).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until 64).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+  }
+
+  /** The round-2 declarative signature form (64 independent
+    * `min(pmod(...))` agg columns) — kept private to the equivalence
+    * test, which pins [[minhashSignature]] value-identical to it. */
+  private[operators] def minhashSignatureDeclarative(
+      exploded: DataFrame, featCol: String): DataFrame = {
     val h0 = pmod(xxhash64(col(featCol)), lit(P))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(h0 * lit(a) + lit(b), lit(P))).as(s"m$i")

@@ -56,10 +56,15 @@ object Multimodal {
     val pngHex = concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
       beHex(w, 4), beHex(h, 4), lit("080600000000000000"))
-    // JPEG: SOI, then an SOF0 frame header (len 0x11, precision 8,
-    // HEIGHT first then WIDTH — JPEG's order — 3 components)
+    // JPEG: SOI, then a COMPLETE SOF0 frame header (len 0x11 = 17 =
+    // 2 len + 1 precision + 4 dims + 1 count + 3×3 component specs;
+    // HEIGHT first then WIDTH — JPEG's order), components 1..3 with
+    // standard 4:2:0 sampling (Y 2x2 q0, Cb/Cr 1x1 q1) so the declared
+    // segment length matches the emitted bytes and a genuine JPEG parser
+    // lands dataOffset exactly at the payload
     val jpegHex = concat(
-      lit("FFD8" + "FFC0" + "0011" + "08"), beHex(h, 2), beHex(w, 2), lit("03"))
+      lit("FFD8" + "FFC0" + "0011" + "08"), beHex(h, 2), beHex(w, 2),
+      lit("03" + "012200" + "021101" + "031101"))
     // WAV: RIFF size, WAVE, fmt chunk (PCM, mono, sampleRate, byteRate,
     // blockAlign 2, 16 bit), data chunk header — all little-endian
     val wavHex = concat(
@@ -204,7 +209,7 @@ object Multimodal {
         |CASE WHEN doc_id % 3 < 2 THEN (doc_id % 48) * 16 + 16 END AS height,
         |CASE WHEN doc_id % 3 = 2 THEN (doc_id % 8) * 4000 + 8000 END AS sample_rate,
         |octet_length(text::BLOB) +
-        |  (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 12 ELSE 44 END) AS n_bytes
+        |  (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 44 END) AS n_bytes
         |FROM documents""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val hexp = upper(hex(col("payload")))
       val isPng = substring(hexp, 1, 16) === "89504E470D0A1A0A"

@@ -173,16 +173,12 @@ object TextAnalysis {
         |  x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000000007),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val w = split(trim(col("text")), "\\s+")
-      val hw = transform(w, x =>
-        pmod(conv(substring(md5(x), 1, 8), 16, 10).cast("long"),
-          lit(1000000007L)))
+      // native expression: the declarative aggregate/transform fold ran
+      // interpreted per word and was the slowest bench query (r3 verdict
+      // "what's wrong #3"); semantics pinned equal in RollingHashSpec
       t(s, dir, "documents").select(
         col("doc_id"),
-        aggregate(
-          slice(hw, lit(2), greatest(size(hw) - 1, lit(0))),
-          element_at(hw, 1),
-          (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("fingerprint"))
+        graft.functions.RollingHash(col("text")).as("fingerprint"))
     }
   )
 }
