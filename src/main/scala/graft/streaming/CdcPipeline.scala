@@ -23,11 +23,27 @@ final class StateAccess(
     states(table).rowsForKeysAt(versions(table), schema(table), keys)
 }
 
+/** Batch-scoped context a view's maintenance runs under.
+  *
+  *  - `batchId`: the foreachBatch id, when the batch came from a stream —
+  *    views with their own state stores thread it into those stores'
+  *    merges so a REDELIVERED batch (crash between per-store commits)
+  *    replays idempotently ([[ParquetKeyedTable.merge]]).
+  *  - `defer`: registers cleanup (typically `unpersist()` of a frame the
+  *    returned upserts/deletes still reference) to run AFTER the sink has
+  *    consumed the view's output — releasing batch-scoped caches without
+  *    forcing the sink to recompute their lineage. */
+final class BatchCtx(val batchId: Option[Long]) {
+  private val cleanups = scala.collection.mutable.Buffer.empty[() => Unit]
+  def defer(f: => Unit): Unit = cleanups += (() => f)
+  private[streaming] def close(): Unit = cleanups.foreach(_())
+}
+
 /** A continuously-maintained view: given the pre-batch state, post-batch
-  * state and this batch's normalized changelog per table, emit the
-  * documents to upsert and the doc ids to delete. This is the engine-side
-  * analog of one `INSERT INTO sink SELECT ...` continuous job in the
-  * reference (README.md:342-345).
+  * state, this batch's normalized changelog per table and the batch
+  * context, emit the documents to upsert and the doc ids to delete. This
+  * is the engine-side analog of one `INSERT INTO sink SELECT ...`
+  * continuous job in the reference (README.md:342-345).
   *
   * `index` is the sink index the documents land in — several views may
   * share one index and have their fields partial-merged per doc id, the
@@ -36,7 +52,7 @@ final class StateAccess(
 final case class ViewDef(
     name: String,
     maintain: (StateAccess, StateAccess,
-      Map[String, DataFrame]) => (DataFrame, DataFrame),
+      Map[String, DataFrame], BatchCtx) => (DataFrame, DataFrame),
     index: String = null) {
   def sinkIndex: String = Option(index).getOrElse(name)
 }
@@ -100,8 +116,18 @@ final class CdcPipeline(
   }
 
   /** Process one micro-batch (also callable directly for deterministic
-    * tests — foreachBatch calls exactly this). */
-  def processBatch(batch: DataFrame): Unit = {
+    * tests — foreachBatch calls exactly this, with its batchId).
+    *
+    * Exactly-once across the pipeline's stores WITHOUT a cross-store
+    * atomic commit: every store commit records `batchId`
+    * ([[ParquetKeyedTable.merge]]); pre-batch reads pin
+    * `versionBefore(batchId)` so a REPLAYED batch — redelivered after a
+    * crash that committed some stores but not others — recomputes the
+    * exact same deltas against the exact same pre-state, already-committed
+    * stores skip (idempotent-by-id) and missed stores converge. Sink
+    * writes are deterministic functions of those pinned reads, so
+    * re-upserting them is value-idempotent. */
+  def processBatch(batch: DataFrame, batchId: Option[Long] = None): Unit = {
     // 1. decode + normalize per table (format from the spec options:
     //    MySQL struct envelopes by default, Mongo JSON-string envelopes
     //    for 'debezium-mongo' sources); cached with lineage KEPT
@@ -125,9 +151,16 @@ final class CdcPipeline(
 
     // 2. pre-merge snapshots stay valid (immutable version dirs) while the
     //    merge commits the next version — pinned by VERSION, so pruned
-    //    lookups made after the merge still read pre-merge state
+    //    lookups made after the merge still read pre-merge state; on a
+    //    batch REPLAY, versionBefore un-pins any table that already
+    //    committed this batch back to its pre-batch version
     val pre = new StateAccess(states, stateSchema,
-      sources.map(s => s.name -> states(s.name).version).toMap)
+      sources.map { s =>
+        s.name -> (batchId match {
+          case Some(id) => states(s.name).versionBefore(id)
+          case None     => states(s.name).version
+        })
+      }.toMap)
 
     // skip untouched tables entirely: a merge is a full state rewrite
     // (write amplification) and every view would still re-derive from the
@@ -139,7 +172,7 @@ final class CdcPipeline(
           .select(col("key") +: byName(table).schema.fieldNames.map(f =>
             col(s"after.$f").as(f)): _*)
         val deletes = compacted.filter(col("op") === "d").select("key")
-        states(table).merge(upserts, deletes)
+        states(table).merge(upserts, deletes, batchId)
       }
     }
 
@@ -147,14 +180,16 @@ final class CdcPipeline(
       sources.map(s => s.name -> states(s.name).version).toMap)
 
     // 3. maintain each view over affected keys
-    views.foreach { view =>
-      val (upserts, deletes) = view.maintain(pre, post, changelogs)
+    val ctx = new BatchCtx(batchId)
+    try views.foreach { view =>
+      val (upserts, deletes) = view.maintain(pre, post, changelogs, ctx)
       sink.upsert(view.sinkIndex, upserts)
       sink.delete(view.sinkIndex, deletes)
+    } finally {
+      // batch-scoped caches released once every sink write consumed them
+      ctx.close()
+      changelogs.values.foreach(_.unpersist())
     }
-
-    // batch-scoped caches released once every view has consumed them
-    changelogs.values.foreach(_.unpersist())
   }
 
   /** Attach to a streaming DataFrame (kafka / MemoryStream / file) with
@@ -163,6 +198,6 @@ final class CdcPipeline(
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, _: Long) => processBatch(b))
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, Some(id)))
       .start()
 }

@@ -62,31 +62,43 @@ object IncrementalAgg {
   /** Fold a delta frame (key, groups..., d_amt, d_cnt) into the running
     * aggregate state; returns (sink upserts (key, groups..., amt, cnt),
     * sink deletes (key)). Reads ONLY the touched groups' agg rows
-    * (bucket-pruned) and merges only their buckets. */
+    * (bucket-pruned) and merges only their buckets.
+    *
+    * Replay safety: running sums are the one store a double-apply would
+    * CORRUPT (±deltas are not value-idempotent), so the old rows pin
+    * `versionBefore(batchId)` — identical on first delivery and on replay
+    * after a partial crash — and the merge carries the batchId so an
+    * already-committed agg store skips. The returned sink frames derive
+    * from (pre-version rows + deltas), so they too are replay-identical. */
   private def applyDeltas(
       aggTable: ParquetKeyedTable, gNames: Seq[String],
-      deltas: DataFrame): (DataFrame, DataFrame) = {
+      deltas: DataFrame, ctx: BatchCtx): (DataFrame, DataFrame) = {
     val summed = deltas
       .groupBy(("key" +: gNames).map(col): _*)
       .agg(sum("d_amt").as("d_amt"), sum("d_cnt").as("d_cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val schema = aggSchema(gNames)
-      val old = aggTable.rowsForKeys(schema, summed.select("key"))
-        .select(col("key") +: gNames.map(n => col(n).as(s"o_$n")) :+
-          col("amt").as("o_amt") :+ col("cnt").as("o_cnt"): _*)
-      val merged = summed.join(old, Seq("key"), "full_outer")
-        .select(col("key") +:
-          gNames.map(n => coalesce(col(n), col(s"o_$n")).as(n)) :+
-          (coalesce(col("o_amt"), lit(0.0)) + coalesce(col("d_amt"), lit(0.0))).as("amt") :+
-          (coalesce(col("o_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val liveGroups = merged.filter(col("cnt") > 0)
-      val deadGroups = merged.filter(col("cnt") <= 0).select("key")
-      aggTable.merge(
-        liveGroups.select(schema.fieldNames.map(col): _*), deadGroups)
-      (liveGroups, deadGroups)
-    } finally summed.unpersist()
+    ctx.defer(summed.unpersist())
+    val schema = aggSchema(gNames)
+    val preV = ctx.batchId match {
+      case Some(id) => aggTable.versionBefore(id)
+      case None     => aggTable.version
+    }
+    val old = aggTable.rowsForKeysAt(preV, schema, summed.select("key"))
+      .select(col("key") +: gNames.map(n => col(n).as(s"o_$n")) :+
+        col("amt").as("o_amt") :+ col("cnt").as("o_cnt"): _*)
+    val merged = summed.join(old, Seq("key"), "full_outer")
+      .select(col("key") +:
+        gNames.map(n => coalesce(col(n), col(s"o_$n")).as(n)) :+
+        (coalesce(col("o_amt"), lit(0.0)) + coalesce(col("d_amt"), lit(0.0))).as("amt") :+
+        (coalesce(col("o_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ctx.defer(merged.unpersist()) // released after the sink consumes
+    val liveGroups = merged.filter(col("cnt") > 0)
+    val deadGroups = merged.filter(col("cnt") <= 0).select("key")
+    aggTable.merge(
+      liveGroups.select(schema.fieldNames.map(col): _*), deadGroups,
+      ctx.batchId)
+    (liveGroups, deadGroups)
   }
 
   /** Single-input incremental GROUP BY view: deltas from the pre→post
@@ -100,11 +112,12 @@ object IncrementalAgg {
     val aggTable =
       new ParquetKeyedTable(spark, s"$stateDir/$name-agg", "key", buckets)
     val gNames = spec.groupCols.map(_._1)
-    ViewDef(name, (pre, post, batch) => {
+    ViewDef(name, (pre, post, batch, ctx) => {
       val touched = batch(table).select("key").distinct()
       val deltas = contrib(post.rows(table, touched), spec, 1)
         .unionByName(contrib(pre.rows(table, touched), spec, -1))
-      val (liveGroups, deadGroups) = applyDeltas(aggTable, gNames, deltas)
+      val (liveGroups, deadGroups) =
+        applyDeltas(aggTable, gNames, deltas, ctx)
       (toDoc(liveGroups), deadGroups.select(col("key").as("id")))
     }, index)
   }
@@ -176,7 +189,7 @@ object IncrementalAgg {
           col("product_id").cast("string").as("product_id"),
           (col("amount").cast("double") * sign).as("d_amt"),
           lit(sign.toLong).as("d_cnt"))
-    ViewDef("product_stats_view", (pre, post, batch) => {
+    ViewDef("product_stats_view", (pre, post, batch, ctx) => {
       val isLive = col("status") =!= "closed"
 
       // (1) item-side deltas, joined against POST order liveness
@@ -207,7 +220,7 @@ object IncrementalAgg {
         .unionByName(asContrib(itemsOf(nowDead), -1))
 
       val (liveGroups, deadGroups) =
-        applyDeltas(aggTable, gNames, itemDeltas.unionByName(flipDeltas))
+        applyDeltas(aggTable, gNames, itemDeltas.unionByName(flipDeltas), ctx)
       (liveGroups.select(col("key").as("id"),
         col("cnt").as("quantity"), col("amt").as("amount")),
         deadGroups.select(col("key").as("id")))

@@ -43,10 +43,36 @@ final class ParquetKeyedTable(
   private val dir = Paths.get(path)
   private val pointer = dir.resolve("_CURRENT")
 
-  private def currentVersion: Option[Int] =
-    if (Files.exists(pointer))
-      Some(new String(Files.readAllBytes(pointer)).trim.toInt)
-    else None
+  /** `_CURRENT` contents: `<version>[ <batchId>]` — the committed version
+    * and, when the commit belonged to a micro-batch, the batch that
+    * produced it. Both flip in ONE atomic pointer move, which is what
+    * makes per-store commits idempotent-by-batch (see [[merge]]). */
+  private def pointerState: Option[(Int, Option[Long])] =
+    if (Files.exists(pointer)) {
+      val parts = new String(Files.readAllBytes(pointer)).trim.split("\\s+")
+      Some((parts(0).toInt,
+        if (parts.length > 1) Some(parts(1).toLong) else None))
+    } else None
+
+  private def currentVersion: Option[Int] = pointerState.map(_._1)
+
+  /** The micro-batch whose merge produced the current version, if the
+    * committer threaded one through. */
+  def lastBatchId: Option[Long] = pointerState.flatMap(_._2)
+
+  /** The version this table held BEFORE `batchId` was applied — equal to
+    * the current version unless the current version was itself committed
+    * by `batchId`, in which case it is the previous version (retained by
+    * [[flipPointer]]'s keep-two policy exactly for this). Pinning
+    * pre-batch reads here makes batch REPLAY deterministic: a store that
+    * already committed the batch still exposes its pre-batch snapshot, so
+    * downstream deltas recompute identically and stores that missed the
+    * batch converge. */
+  def versionBefore(batchId: Long): Option[Int] = pointerState match {
+    case Some((v, Some(b))) if b == batchId =>
+      if (v == 0) None else Some(v - 1)
+    case other => other.map(_._1)
+  }
 
   def exists: Boolean = currentVersion.isDefined
 
@@ -125,12 +151,22 @@ final class ParquetKeyedTable(
 
   /** Apply one batch of changes: rows in `upserts` replace rows with equal
     * `keyCol`; keys in `deletes` (single-column frame of `keyCol`) are
-    * removed. Commits a new immutable version. */
-  def merge(upserts: DataFrame, deletes: DataFrame): Unit = {
+    * removed. Commits a new immutable version.
+    *
+    * `batchId` makes the commit IDEMPOTENT-BY-BATCH: when the current
+    * version was already committed by the same batch (a foreachBatch
+    * redelivery after a crash that committed some stores and not others),
+    * the merge is a no-op instead of double-applying — the per-store half
+    * of the exactly-once contract Flink's checkpoint barrier gives the
+    * reference (README.md:347). Contract: at most one batchId-carrying
+    * merge per store per batch. */
+  def merge(upserts: DataFrame, deletes: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    if (batchId.isDefined && batchId == lastBatchId) return // replayed batch
     val touched = upserts.select(keyCol).union(deletes.select(keyCol)).distinct()
     currentVersion match {
       case Some(v) if numBuckets > 0 =>
-        commitPruned(v, touched, Some(upserts))
+        commitPruned(v, touched, Some(upserts), batchId)
       case _ =>
         val next = snapshot(upserts.schema)
           .join(touched, Seq(keyCol), "left_anti")
@@ -138,19 +174,20 @@ final class ParquetKeyedTable(
           // (shared-index sinks merge documents from several views);
           // missing columns null-fill on either side
           .unionByName(upserts, allowMissingColumns = true)
-        commitFull(next)
+        commitFull(next, batchId)
     }
   }
 
   /** Remove keys only — usable when the caller has no row schema at hand
     * (e.g. a sink delete before/without upserts in the batch). */
-  def delete(keys: DataFrame): Unit =
+  def delete(keys: DataFrame, batchId: Option[Long] = None): Unit =
     currentVersion.foreach { v =>
+      if (batchId.isDefined && batchId == lastBatchId) return
       val touched = keys.select(keyCol).distinct()
-      if (numBuckets > 0) commitPruned(v, touched, None)
+      if (numBuckets > 0) commitPruned(v, touched, None, batchId)
       else {
         val cur = snapshot(keys.schema /* ignored: version exists */)
-        commitFull(cur.join(touched, Seq(keyCol), "left_anti"))
+        commitFull(cur.join(touched, Seq(keyCol), "left_anti"), batchId)
       }
     }
 
@@ -159,8 +196,8 @@ final class ParquetKeyedTable(
     * The touched-bucket set is metadata (at most `numBuckets` ints), so
     * the one driver-side collect here is bounded and cheap — the data
     * plane (scan, anti-join, union, write) stays fully distributed. */
-  private def commitPruned(
-      prevV: Int, touched: DataFrame, upserts: Option[DataFrame]): Unit = {
+  private def commitPruned(prevV: Int, touched: DataFrame,
+      upserts: Option[DataFrame], batchId: Option[Long]): Unit = {
     val touchedKeys = touched.persist()
     val buckets: Set[Int] = touchedKeys
       .select(pmod(hash(col(keyCol)), lit(numBuckets)).cast("int").as("b"))
@@ -202,7 +239,7 @@ final class ParquetKeyedTable(
           .mode("append") // nextDir already holds the linked buckets
           .parquet(nextDir.toString)
       }
-      flipPointer(nextV)
+      flipPointer(nextV, batchId)
     } finally touchedKeys.unpersist()
   }
 
@@ -226,7 +263,7 @@ final class ParquetKeyedTable(
     } finally s.close()
   }
 
-  private def commitFull(next: DataFrame): Unit = {
+  private def commitFull(next: DataFrame, batchId: Option[Long]): Unit = {
     val v = currentVersion.getOrElse(-1) + 1
     val writer =
       if (numBuckets > 0)
@@ -236,14 +273,23 @@ final class ParquetKeyedTable(
           .write.partitionBy("bucket")
       else next.write
     writer.mode("overwrite").parquet(dir.resolve(s"v$v").toString)
-    flipPointer(v)
+    flipPointer(v, batchId)
   }
 
-  private def flipPointer(v: Int): Unit = {
+  /** Commit = one atomic pointer move: the new contents land in a temp
+    * file first, then replace `_CURRENT` via ATOMIC_MOVE — a crash
+    * mid-commit leaves the OLD pointer intact (a truncate+write here
+    * could be observed half-written). */
+  private def flipPointer(v: Int, batchId: Option[Long]): Unit = {
     Files.createDirectories(dir)
-    Files.write(pointer, v.toString.getBytes,
+    val tmp = dir.resolve("_CURRENT.tmp")
+    Files.write(tmp,
+      (v.toString + batchId.map(b => s" $b").getOrElse("")).getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    Files.move(tmp, pointer,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // retain only the two most recent versions (old snapshot stays readable
     // for in-flight readers of the previous version; hard-linked files
     // survive the unlink of the directory that first wrote them)

@@ -27,7 +27,7 @@ object ReferenceViews {
     * amount, ctime, utime, status, channel), users(id, name, age, ctime,
     * utime) — README.md:33-70. */
 
-  val orderView: ViewDef = ViewDef("order_view", (pre, post, batch) => {
+  val orderView: ViewDef = ViewDef("order_view", (pre, post, batch, ctx) => {
     val orders = post("orders")
     val users = post("users")
     val ordersBatch = batch("orders")
@@ -72,7 +72,7 @@ object ReferenceViews {
       col("user_id").cast("string").as("g_user"),
       date_format(col("ctime"), "yyyy-MM-dd").as("g_day"))
 
-  val userOrderStats: ViewDef = ViewDef("user_order_stats_view", (pre, post, batch) => {
+  val userOrderStats: ViewDef = ViewDef("user_order_stats_view", (pre, post, batch, ctx) => {
     val ordersBatch = batch("orders")
 
     // groups possibly affected by this batch: the groups of PRE-state rows
@@ -115,7 +115,7 @@ object ReferenceViews {
   /** Q1 `user_view` pass-through (flink-ddl.sql:192 `INSERT INTO
     * user_view SELECT id, name, age, ctime, utime FROM users`): every user
     * change streams into the shared `user_view` index. */
-  val userView: ViewDef = ViewDef("user_view", (pre, post, batch) => {
+  val userView: ViewDef = ViewDef("user_view", (pre, post, batch, ctx) => {
     val touched = batch("users").select("key").distinct()
     val rows = post("users").join(touched, Seq("key"), "left_semi")
       .select(col("id"), col("name"), col("age"), col("ctime"), col("utime"))
@@ -128,7 +128,7 @@ object ReferenceViews {
     * two continuous queries merging fields into one ES document per
     * user). Keyed by user id, so the sink partial-merges these fields
     * into the passthrough user document. */
-  val userTotals: ViewDef = ViewDef("user_totals", (pre, post, batch) => {
+  val userTotals: ViewDef = ViewDef("user_totals", (pre, post, batch, ctx) => {
     val ordersBatch = batch("orders")
     val touchedUsers = ordersBatch
       .select(explode(array(col("before.user_id"), col("after.user_id")))
@@ -151,7 +151,7 @@ object ReferenceViews {
 
   /** `product_view` pass-through (flink-ddl.sql:194 `INSERT INTO
     * product_view SELECT id, name, price, ctime, utime FROM products`). */
-  val productView: ViewDef = ViewDef("product_view", (pre, post, batch) => {
+  val productView: ViewDef = ViewDef("product_view", (pre, post, batch, ctx) => {
     val touched = batch("products").select("key").distinct()
     val rows = post("products").join(touched, Seq("key"), "left_semi")
       .select(col("id"), col("name"), col("price"), col("ctime"),
@@ -165,7 +165,7 @@ object ReferenceViews {
     * the per-user variant ("要加入撤回功能" applies to both,
     * flink-ddl.sql:213). Doc id = cday, matching the reference's
     * `cday id` projection. */
-  val orderStats: ViewDef = ViewDef("order_stats_view", (pre, post, batch) => {
+  val orderStats: ViewDef = ViewDef("order_stats_view", (pre, post, batch, ctx) => {
     val ordersBatch = batch("orders")
     val touched = ordersBatch.select("key").distinct()
     val days = (df: DataFrame) =>
@@ -197,7 +197,7 @@ object ReferenceViews {
     * the item list merges into the joined order document. Per-batch
     * recompute of affected orders is retraction-equivalent for both
     * aggregates (SURVEY §2.2 Q10/Q11 notes). */
-  val orderItemsView: ViewDef = ViewDef("order_view_items", (pre, post, batch) => {
+  val orderItemsView: ViewDef = ViewDef("order_view_items", (pre, post, batch, ctx) => {
     val itemsBatch = batch("order_items")
     val touchedItems = itemsBatch.select("key").distinct()
     val affectedOrders = itemsBatch
@@ -232,7 +232,7 @@ object ReferenceViews {
     * products come from item images, pre-state rows of touched items, and
     * items of touched ORDERS (a status flip retracts every item of that
     * order). */
-  val productStats: ViewDef = ViewDef("product_stats_view", (pre, post, batch) => {
+  val productStats: ViewDef = ViewDef("product_stats_view", (pre, post, batch, ctx) => {
     val itemsBatch = batch("order_items")
     val ordersBatch = batch("orders")
 

@@ -194,7 +194,7 @@ class CdcPipelineSpec extends SparkSuite {
 
   test("mongo-format source: JSON-string documents materialize by $oid") {
     val sink = new InMemoryUpsertSink
-    val passthrough = ViewDef("comment_view", (pre, post, batch) => {
+    val passthrough = ViewDef("comment_view", (pre, post, batch, ctx) => {
       val touched = batch("comments").select("key").distinct()
       val rows = post("comments")
         .join(touched, Seq("key"), "left_semi")
@@ -423,6 +423,73 @@ class CdcPipelineSpec extends SparkSuite {
     assert(sink.docs("order_view") == docs1)
     assert(sink.docs("user_order_stats_view") == stats1)
     assert(pipeline.state("orders").collect().toSet == state1)
+  }
+
+  test("crash between per-store commits: redelivery converges to once-applied") {
+    // The silent-loss scenario of r3 VERDICT #2: source state commits a
+    // batch, SOME views commit their ± agg stores, then the process dies
+    // before the rest — foreachBatch redelivers the batch. Without
+    // batchId-pinned pre-state the replay would see pre==post, compute
+    // zero deltas, and the crashed views' running sums would be
+    // permanently short. Here: view A (order_stats) commits batch 1, an
+    // injected crash stops view B (user_order_stats) from ever seeing it,
+    // and the replay must leave BOTH views exactly once-applied.
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("cdc-crash")
+    val viewA = IncrementalAgg.orderStats(spark, stateDir)
+    var crash = false
+    val tripwire = ViewDef("tripwire", (pre, post, batch, ctx) => {
+      if (crash) throw new RuntimeException("injected crash")
+      (spark.emptyDataFrame.withColumn("id",
+        org.apache.spark.sql.functions.lit("")).limit(0),
+        spark.emptyDataFrame.withColumn("id",
+          org.apache.spark.sql.functions.lit("")).limit(0))
+    })
+    val viewB = IncrementalAgg.userOrderStats(spark, stateDir)
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(viewA, tripwire, viewB))
+
+    // batch 0: clean — both agg stores seeded
+    pipeline.processBatch(Seq(
+      rec("orders", orderEnv("c", "cA", "u1", 10.0, "created", "2021-10-01")),
+      rec("orders", orderEnv("c", "cB", "u2", 20.0, "created", "2021-10-01")))
+      .toDF("table", "value", "seq"), batchId = Some(0L))
+    assert(sink.docs("order_stats_view")("2021-10-01")("amount") == 30.0)
+    assert(sink.docs("user_order_stats_view")("u1|2021-10-01")("order.amount.day") == 10.0)
+
+    // batch 1: cB closes (retraction) + a new order — view A commits,
+    // then the injected crash kills the batch before view B runs
+    val batch1 = Seq(
+      rec("orders", orderEnv("u", "cB", "u2", 20.0, "closed", "2021-10-01",
+        before = Some("created"))),
+      rec("orders", orderEnv("c", "cC", "u1", 5.0, "created", "2021-10-02")))
+      .toDF("table", "value", "seq")
+    crash = true
+    intercept[RuntimeException] {
+      pipeline.processBatch(batch1, batchId = Some(1L))
+    }
+    // view A applied batch 1, view B did not — the half-committed state
+    assert(sink.docs("order_stats_view")("2021-10-01")("amount") == 10.0)
+    assert(sink.docs("user_order_stats_view")
+      .contains("u2|2021-10-01"), "view B never saw the retraction")
+
+    // redelivery (same batchId): A's agg store skips (no double-apply),
+    // B's applies — both converge to exactly once-applied
+    crash = false
+    pipeline.processBatch(batch1, batchId = Some(1L))
+
+    assert(sink.docs("order_stats_view")("2021-10-01")("amount") == 10.0)
+    assert(sink.docs("order_stats_view")("2021-10-01")("cnt") == 1L)
+    assert(sink.docs("order_stats_view")("2021-10-02")("amount") == 5.0)
+    assert(!sink.docs("user_order_stats_view").contains("u2|2021-10-01"),
+      "view B's retraction lands on replay")
+    assert(sink.docs("user_order_stats_view")("u1|2021-10-02")("order.amount.day") == 5.0)
+    assert(sink.docs("user_order_stats_view")("u1|2021-10-01")("order.amount.day") == 10.0)
+
+    // a SECOND redelivery (double replay) is still a fixpoint
+    pipeline.processBatch(batch1, batchId = Some(1L))
+    assert(sink.docs("order_stats_view")("2021-10-01")("amount") == 10.0)
+    assert(sink.docs("user_order_stats_view")("u1|2021-10-02")("order.amount.day") == 5.0)
   }
 
   test("same-batch create+update collapses to the latest image (compaction)") {

@@ -98,4 +98,43 @@ class ParquetKeyedTableSpec extends SparkSuite {
     assert(t.snapshot(schema).as[(String, Int)].collect().toSet ==
       Set(("x", 2), ("y", 5)))
   }
+
+  test("batchId commits: replayed merge skips, versionBefore pins pre-state") {
+    val root = tmpDir("batchid")
+    val t = new ParquetKeyedTable(spark, root, numBuckets = 4)
+
+    // first-ever commit by batch 0: before it the table was empty
+    t.merge(Seq(("a", 1)).toDF("key", "v"), Seq.empty[String].toDF("key"),
+      batchId = Some(0L))
+    assert(t.lastBatchId.contains(0L))
+    assert(t.versionBefore(0L).isEmpty, "pre-state of the creating batch is empty")
+    assert(t.snapshotAt(t.versionBefore(0L), schema).isEmpty)
+
+    t.merge(Seq(("b", 2)).toDF("key", "v"), Seq.empty[String].toDF("key"),
+      batchId = Some(1L))
+    val v1 = t.version
+    assert(t.lastBatchId.contains(1L))
+    // pre-batch-1 view still readable (keep-two retention exists for this)
+    assert(t.snapshotAt(t.versionBefore(1L), schema)
+      .as[(String, Int)].collect().toSet == Set(("a", 1)))
+    // a batch this table never saw: pre-state == current
+    assert(t.versionBefore(7L) == t.version)
+
+    // REPLAY of batch 1 (crash-redelivery): must be a no-op, even with
+    // different (stale-recomputed) content
+    t.merge(Seq(("b", 999)).toDF("key", "v"), Seq.empty[String].toDF("key"),
+      batchId = Some(1L))
+    assert(t.version == v1, "replayed batch must not commit a new version")
+    assert(t.snapshot(schema).as[(String, Int)].collect().toSet ==
+      Set(("a", 1), ("b", 2)))
+
+    // a NEW batch still applies normally after the skip
+    t.merge(Seq(("c", 3)).toDF("key", "v"), Seq.empty[String].toDF("key"),
+      batchId = Some(2L))
+    assert(t.snapshot(schema).count() == 3)
+
+    // pointer hygiene: no temp file left behind by the atomic flip
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_CURRENT.tmp")))
+  }
 }
