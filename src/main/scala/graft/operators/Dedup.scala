@@ -56,7 +56,7 @@ object Dedup {
     * never the feature arrays, and nothing evaluates an O(|A|+|B|)
     * array-set expression per pair (which Catalyst would also duplicate
     * across the projection and filter). */
-  private def verifyJaccard(candidates: DataFrame, exploded: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, exploded: DataFrame,
       featCol: String, threshold: Double): DataFrame = {
     val counts = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ea = exploded.select(col("doc_id").as("doc_a"),
@@ -165,8 +165,36 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
+  /** (doc_id, sig ARRAY<LONG>) signature frame — the storable form the
+    * incremental/streaming dedup path keeps in its signature state table
+    * ([[graft.streaming.StreamingDedup]]); same aggregate as
+    * [[minhashSignature]], kept as the array instead of unpacking. */
+  private[graft] def signatureArray(
+      exploded: DataFrame, featCol: String): DataFrame = {
+    val h0 = pmod(xxhash64(col(featCol)), lit(P))
+    exploded.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.sig(h0, perms, P).as("sig"))
+  }
+
+  /** LSH band-bucket keys (`"<band>:<hash>"`, nBands entries) of an array
+    * signature — hash-identical to [[bandCandidates]]'s banding, so a
+    * batch signature lands in the same buckets a batch-mode run would. */
+  private[graft] def bandKeys(sig: Column, bandRows: Int,
+      nBands: Int): Column =
+    array((0 until nBands).map { j =>
+      val rows = (0 until bandRows).map(k =>
+        element_at(sig, j * bandRows + k + 1))
+      concat_ws(":", lit(j), xxhash64((lit(j) +: rows): _*))
+    }: _*)
+
+  /** Signature-estimate Jaccard (matching-minhash fraction) from two
+    * array signatures — the streaming path's prefilter form. */
+  private[graft] def estimateFromArrays(sa: Column, sb: Column): Column =
+    aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x) / 64.0
+
   /** Full near-dup pipeline: band → estimate-prefilter → exact verify. */
-  private def nearDupPairs(exploded: DataFrame, threshold: Double,
+  private[graft] def nearDupPairs(exploded: DataFrame, threshold: Double,
       bandRows: Int, nBands: Int): DataFrame = {
     val sig = materialize(minhashSignature(exploded, "f"))
     val candidates = bandCandidates(sig, bandRows, nBands)
