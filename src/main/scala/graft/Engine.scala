@@ -55,7 +55,40 @@ final class Engine(val spark: SparkSession) {
     spec
   }
 
-  def sql(stmt: String): DataFrame = spark.sql(stmt)
+  /** Continuous-DML registrar, wired by
+    * [[graft.streaming.CdcSqlSession.attachTo]]: receives
+    * (sinkName, select) for INSERT INTO statements over dynamic tables. */
+  private var continuousInsert: Option[(String, String) => Unit] = None
+  def onContinuousInsert(f: (String, String) => Unit): Unit =
+    continuousInsert = Some(f)
+
+  /** The statement front door. `INSERT INTO <sink> SELECT ...` — the
+    * reference's flagship DML (flink-ddl.sql:179-259) — either appends
+    * into a parquet-registered table (static targets) or registers a
+    * continuous view on the attached streaming session (dynamic targets,
+    * reference entry point 1, README.md:342-345). Everything else plans
+    * through stock Catalyst. */
+  def sql(stmt: String): DataFrame =
+    graft.streaming.SqlInsert.parse(stmt) match {
+      case Some((target, select)) =>
+        catalog.get(target) match {
+          case Some(spec)
+              if spec.options.get("connector").contains("parquet") =>
+            val path = spec.options("path")
+            spark.sql(select).write.mode("append").parquet(path)
+            // re-point the temp view so later queries see the insert
+            spark.read.schema(spec.schema).parquet(path)
+              .createOrReplaceTempView(target)
+            spark.emptyDataFrame
+          case _ => continuousInsert match {
+            case Some(f) => f(target, select); spark.emptyDataFrame
+            case None => throw new IllegalArgumentException(
+              s"INSERT INTO $target: target is not a parquet table and " +
+                "no streaming session is attached (CdcSqlSession.attachTo)")
+          }
+        }
+      case None => spark.sql(stmt)
+    }
 }
 
 object Engine {

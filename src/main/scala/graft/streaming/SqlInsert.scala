@@ -1,0 +1,140 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.{Engine, TableSpec}
+
+/** `INSERT INTO <sink> SELECT ...` as a STATEMENT launching a continuous
+  * job — the reference's entry point 1 (README.md:342-345: every
+  * `INSERT INTO` in flink-ddl.sql:179-259 starts an unbounded Flink job
+  * writing one ES index). Here the statement registers a [[ViewDef]] on a
+  * [[CdcPipeline]]; the pipeline's single micro-batched topology then
+  * maintains every registered statement per batch.
+  *
+  * Maintenance strategy: generic PRE/POST RECOMPUTE-AND-DIFF. The SELECT
+  * runs against the post-batch materialized state (upserts = its rows,
+  * keyed by the sink's primary key) and against the pre-batch state
+  * (rows whose key vanished become sink deletes) — retraction semantics
+  * for ARBITRARY SQL (joins, aggregates, nesting) with zero per-statement
+  * code. Batches that touch none of the statement's source tables are
+  * skipped outright.
+  *
+  * Scale note, stated honestly: per-batch cost is O(query-over-state),
+  * not O(batch) — this is the semantic fallback that makes any statement
+  * runnable, not the scale path. The reference views all have O(batch)
+  * incremental forms in this library ([[ReferenceViews]],
+  * [[IncrementalAgg]], [[StreamingDedup]]); a production deployment runs
+  * those for hot statements and the generic form for the long tail,
+  * trading per-batch cost for generality exactly like periodically-
+  * refreshed materialized views in a warehouse.
+  */
+object SqlInsert {
+
+  private val Stmt =
+    """(?is)^\s*INSERT\s+INTO\s+`?([\w.]+)`?\s+(SELECT\b[\s\S]*?)\s*;?\s*$""".r
+
+  /** `INSERT INTO t <select>` → (t, select); None for any other statement. */
+  def parse(stmt: String): Option[(String, String)] = stmt match {
+    case Stmt(target, select) => Some((target, select))
+    case _                    => None
+  }
+
+  private def emptyIds(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id", StringType))))
+
+  /** The source tables a SELECT references (unresolved relation names ∩
+    * the pipeline's sources) — parsed once at registration, used to skip
+    * batches that cannot change the view. */
+  private def referencedTables(spark: SparkSession, select: String,
+      sourceNames: Set[String]): Set[String] =
+    spark.sessionState.sqlParser.parsePlan(select).collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+    }.toSet.intersect(sourceNames)
+
+  /** Build the recompute-and-diff [[ViewDef]] for one statement. `idCols`
+    * (the sink's primary key, reference flink-ddl.sql:96-109) key the
+    * upserted documents; multi-column keys join with `|` like the
+    * incremental views. Binds each referenced source name as a temp view
+    * (the statement's FROM clause reads the materialized dynamic table
+    * verbatim), so the session's view namespace for those names belongs
+    * to the pipeline. */
+  def viewDef(spark: SparkSession, name: String, select: String,
+      sourceNames: Seq[String], idCols: Seq[String] = Seq("id")): ViewDef = {
+    val referenced = referencedTables(spark, select, sourceNames.toSet)
+
+    ViewDef(name, (pre, post, batch, ctx) => {
+      if (referenced.nonEmpty && referenced.forall(t => batch(t).isEmpty))
+        (emptyIds(spark), emptyIds(spark))
+      else {
+        // spark.sql analyzes EAGERLY, so sequential rebinding is safe:
+        // the post-bound plan is resolved before the views re-point at
+        // pre state ("key" is pipeline bookkeeping, not a table column)
+        def run(bind: String => DataFrame): DataFrame = {
+          referenced.foreach(t => bind(t).drop("key")
+            .createOrReplaceTempView(t))
+          spark.sql(select)
+        }
+        val postRes = run(post(_))
+        val preRes = run(pre(_))
+        val withId = (df: DataFrame) => df.withColumn("id",
+          concat_ws("|", idCols.map(c => col(c).cast("string")): _*))
+        val upserts = withId(postRes)
+        val deletes = withId(preRes).select("id")
+          .join(upserts.select("id"), Seq("id"), "left_anti")
+        (upserts, deletes)
+      }
+    })
+  }
+}
+
+/** One streaming SQL session: CDC source specs + the continuous
+  * statements issued against them — the analog of a Flink sql-client
+  * session submitting INSERT INTO jobs (reference README.md:342-346).
+  * Statements accumulate as [[ViewDef]]s; [[pipeline]] builds the
+  * micro-batch topology maintaining all of them. */
+final class CdcSqlSession(
+    spark: SparkSession,
+    sources: Seq[TableSpec],
+    sinkKeys: Map[String, Seq[String]] = Map.empty) {
+
+  private val defs = mutable.Buffer.empty[ViewDef]
+
+  private def register(target: String, select: String,
+      pk: Seq[String]): Unit =
+    defs += SqlInsert.viewDef(spark, target, select,
+      sources.map(_.name), pk)
+
+  /** Issue one `INSERT INTO sink SELECT ...` statement. */
+  def insertInto(stmt: String): Unit = {
+    val (target, select) = SqlInsert.parse(stmt).getOrElse(
+      throw new IllegalArgumentException(s"not an INSERT INTO: $stmt"))
+    register(target, select, sinkKeys.getOrElse(target, Seq("id")))
+  }
+
+  /** Wire this session behind an [[Engine]]'s SQL front door: INSERT
+    * INTO statements whose target is not a parquet table register here,
+    * keyed by the target's catalog primary key (the reference's ES sink
+    * DDL PRIMARY KEY, flink-ddl.sql:96-109). */
+  def attachTo(engine: Engine): this.type = {
+    engine.onContinuousInsert { (target, select) =>
+      val pk = engine.catalog.get(target).map(_.primaryKey)
+        .filter(_.nonEmpty)
+        .orElse(sinkKeys.get(target))
+        .getOrElse(Seq("id"))
+      register(target, select, pk)
+    }
+    this
+  }
+
+  def views: Seq[ViewDef] = defs.toSeq
+
+  /** Build the pipeline maintaining every issued statement. */
+  def pipeline(stateDir: String, sink: UpsertSink): CdcPipeline =
+    new CdcPipeline(spark, sources, stateDir, sink, views)
+}
