@@ -172,17 +172,30 @@ object IncrementalAgg {
     *     from bucket-pruned lookups of exactly the orders those items
     *     reference.
     * (2) order-side: orders whose liveness FLIPPED this batch contribute
-    *     ± all their PRE-state items. Finding "items of an order" scans
-    *     the item state with a semi-join on order_id: the one read here
-    *     that is not bucket-prunable, because item state is keyed by item
-    *     id. At 100 TB the fix is a secondary item-by-order projection
-    *     maintained the same way; kept as a documented seam since order
-    *     liveness flips are rare relative to item traffic.
+    *     ± all their PRE-state items. "Items of an order" resolves through
+    *     a SECONDARY PROJECTION: a bucketed [[ParquetKeyedTable]] keyed by
+    *     order_id whose rows hold the order's item keys, maintained from
+    *     the same item changelog (read-modify-write of exactly the
+    *     affected order rows, idempotent-by-batchId like every store).
+    *     A liveness flip is then two bucket-pruned lookups — order_id →
+    *     item keys → item rows — instead of an O(item-state) semi-join
+    *     scan (the r3 seam, closed): at 100 TB of item state a flip costs
+    *     the flipped orders' buckets, nothing else.
+    *
+    * Invariant: the projection at version v maps order_id → exactly the
+    * item keys whose state row at the pipeline's same batch boundary
+    * carries that order_id — it is maintained in the SAME batch as the
+    * item state merge, so pre-version reads align with pre item state.
     */
   def productStats(spark: SparkSession, stateDir: String): ViewDef = {
     val gNames = Seq("product_id")
     val aggTable = new ParquetKeyedTable(
       spark, s"$stateDir/product_stats_view-agg", "key", 32)
+    val idxTable = new ParquetKeyedTable(
+      spark, s"$stateDir/product_stats_view-items-by-order", "key", 32)
+    val idxSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("items", ArrayType(StringType))))
     def asContrib(rows: DataFrame, sign: Int): DataFrame =
       rows.filter(col("product_id").isNotNull)
         .select(col("product_id").cast("string").as("key"),
@@ -191,11 +204,39 @@ object IncrementalAgg {
           lit(sign.toLong).as("d_cnt"))
     ViewDef("product_stats_view", (pre, post, batch, ctx) => {
       val isLive = col("status") =!= "closed"
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val preIdxV = ctx.batchId match {
+        case Some(id) => idxTable.versionBefore(id)
+        case None     => idxTable.version
+      }
 
       // (1) item-side deltas, joined against POST order liveness
       val touchedItems = batch("order_items").select("key").distinct()
-      val preI = pre.rows("order_items", touchedItems)
-      val postI = post.rows("order_items", touchedItems)
+        .persist(mem)
+      ctx.defer(touchedItems.unpersist())
+      val preI = pre.rows("order_items", touchedItems).persist(mem)
+      ctx.defer(preI.unpersist())
+      val postI = post.rows("order_items", touchedItems).persist(mem)
+      ctx.defer(postI.unpersist())
+
+      // maintain the item-by-order projection from this batch's item
+      // transitions: touched items leave their PRE order's row, live
+      // post images enter their POST order's row (which may differ)
+      val idxAffected = preI.select(col("order_id").as("key"))
+        .unionByName(postI.select(col("order_id").as("key"))).distinct()
+      val oldRefs = idxTable.rowsForKeysAt(preIdxV, idxSchema, idxAffected)
+        .select(col("key"), explode(col("items")).as("item_key"))
+      val keptRefs = oldRefs.join(
+        touchedItems.withColumnRenamed("key", "item_key"),
+        Seq("item_key"), "left_anti")
+      val newRefs = keptRefs.select(col("key"), col("item_key"))
+        .unionByName(postI.select(col("order_id").as("key"),
+          col("key").as("item_key")))
+      val idxRows = newRefs.groupBy("key")
+        .agg(collect_list("item_key").as("items"))
+      val idxEmptied = idxAffected
+        .join(idxRows.select("key"), Seq("key"), "left_anti")
+      idxTable.merge(idxRows, idxEmptied, ctx.batchId)
       val wantedOrders = preI.select(col("order_id").as("key"))
         .unionByName(postI.select(col("order_id").as("key"))).distinct()
       val livePostOrders = post.rows("orders", wantedOrders)
@@ -213,9 +254,14 @@ object IncrementalAgg {
         .select(col("key").as("o_key"))
       val nowLive = postLive.exceptAll(preLive)   // closed/absent -> live
       val nowDead = preLive.exceptAll(postLive)   // live -> closed/deleted
-      def itemsOf(orderKeys: DataFrame) =
-        pre("order_items").join(orderKeys,
-          col("order_id") === col("o_key"), "left_semi")
+      // two bucket-pruned hops via the secondary projection (PRE-version
+      // index → PRE item rows), never an item-state scan
+      def itemsOf(orderKeys: DataFrame) = {
+        val refs = idxTable.rowsForKeysAt(preIdxV, idxSchema,
+          orderKeys.withColumnRenamed("o_key", "key"))
+          .select(explode(col("items")).as("key"))
+        pre.rows("order_items", refs)
+      }
       val flipDeltas = asContrib(itemsOf(nowLive), 1)
         .unionByName(asContrib(itemsOf(nowDead), -1))
 
