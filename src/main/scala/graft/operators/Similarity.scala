@@ -40,6 +40,32 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** The deterministic Gaussian hyperplane family the sign-LSH tiers
+    * share (q41/q24 batch, [[graft.streaming.StreamingAnn]] incremental):
+    * 16 planes of 64 dims from a seeded RNG, consumed as 4 bands × 4 sign
+    * bits. Seeding on the driver keeps every executor — and every later
+    * BATCH of a streaming index — hashing with identical planes. */
+  def hyperplanes(seed: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** `array<struct<band_id,bh>>`: 4 bands of 4 sign bits for vector `v`
+    * against `planes`. The per-band fold runs over 4 elements only, so the
+    * interpreted-HOF cost ceiling documented in
+    * [[graft.functions.DotProduct]] doesn't bite — the O(dim) inner work
+    * is the codegen'd dot product. */
+  def signBands(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val planeCol = typedlit(planes)
+    transform(sequence(lit(0), lit(3)), band =>
+      struct(band.as("band_id"),
+        aggregate(sequence(lit(0), lit(3)), lit(0),
+          (acc, j) => {
+            val p = element_at(planeCol, band * 4 + j + 1)
+            acc * 2 + when(dot(v, p) > 0, 1).otherwise(0)
+          }).as("bh")))
+  }
+
   /** Probe set: the first `nq` vec_ids — deterministic, matches the
     * oracle's `vec_id < nq`. */
   private val NQ = 5
@@ -88,22 +114,10 @@ object Similarity {
       * scored exactly. Approximate — covered by the recall test, not the
       * oracle. */
     QueryDef.noOracle("q41_ann_lsh_topk") { (s, dir) =>
-      val rnd = new scala.util.Random(7)
-      val planes: Seq[Seq[Double]] =
-        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
-      val planeCol = typedlit(planes)
-
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").as("v"))
       // 4 bands × 4 sign bits per vector
-      val sig = e.withColumn("bands",
-        transform(sequence(lit(0), lit(3)), band =>
-          struct(band.as("band_id"),
-            aggregate(sequence(lit(0), lit(3)), lit(0),
-              (acc, j) => {
-                val p = element_at(planeCol, band * 4 + j + 1)
-                acc * 2 + when(dot(col("v"), p) > 0, 1).otherwise(0)
-              }).as("bh"))))
+      val sig = e.withColumn("bands", signBands(col("v"), hyperplanes(7)))
       val buckets = sig.select(col("vec_id"), col("v"),
         explode(col("bands")).as("b"))
         .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bh"))
@@ -129,20 +143,9 @@ object Similarity {
       * verified by test against brute force, not the SQL oracle. At
       * 100 TB the bucket join IS the point: no n² pair scan. */
     QueryDef.noOracle("q24_embedding_neardup") { (s, dir) =>
-      val rnd = new scala.util.Random(11)
-      val planes: Seq[Seq[Double]] =
-        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
-      val planeCol = typedlit(planes)
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").as("v"))
-      val sig = e.withColumn("bands",
-        transform(sequence(lit(0), lit(3)), band =>
-          struct(band.as("band_id"),
-            aggregate(sequence(lit(0), lit(3)), lit(0),
-              (acc, j) => {
-                val p = element_at(planeCol, band * 4 + j + 1)
-                acc * 2 + when(dot(col("v"), p) > 0, 1).otherwise(0)
-              }).as("bh"))))
+      val sig = e.withColumn("bands", signBands(col("v"), hyperplanes(11)))
       val buckets = sig.select(col("vec_id"), col("v"),
         explode(col("bands")).as("b"))
         .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bh"))

@@ -102,6 +102,13 @@ final class CdcPipeline(
   def state(table: String): DataFrame =
     states(table).snapshot(stateSchema(table))
 
+  /** Bucket-pruned keyed lookup into a source's materialized state —
+    * the read path external consumers (e.g. [[StreamingAnn.search]])
+    * should use instead of filtering [[state]]: cost tracks the key set,
+    * not the state size. */
+  def stateRows(table: String, keys: DataFrame): DataFrame =
+    states(table).rowsForKeys(stateSchema(table), keys)
+
   private def emptyChangelog(table: String): DataFrame = {
     val spec = byName(table)
     spark.createDataFrame(
