@@ -297,6 +297,53 @@ object Relational {
           round(sum("value"), 2).as("total"))
     },
 
+    /** Sliding event-time windows (1 h length, 30 min slide): each event
+      * lands in size/slide = 2 windows. Extension beyond the reference
+      * (SURVEY §2.4 — no event-time windows at all); the watermarked
+      * streaming form is graft.streaming.EventWindows.sliding. Oracle:
+      * every event joined to its 2 aligned window starts via range(2) —
+      * the same epoch-aligned starts Spark's window() assigns. */
+    QueryDef("q17_sliding_window",
+      "SELECT make_timestamp((epoch_us(ts)//1800000000 - i) * 1800000000) " +
+        "AS window_start, event_type, COUNT(*) AS cnt, " +
+        "ROUND(SUM(value), 2) AS total " +
+        "FROM events, range(2) t(i) GROUP BY 1, 2") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour", "30 minutes")("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("total"))
+    },
+
+    /** Session event-time windows: per-user sessions split where the gap
+      * to the previous event reaches 8 h (chosen against the corpus's
+      * ~7.3 h median per-user gap, so the data exercises both merge and
+      * split). Spark merges while next < last + gap, so the oracle's
+      * new-session predicate is diff >= gap; session end = last + gap,
+      * Spark's session_window.end. Streaming form:
+      * graft.streaming.EventWindows.session. */
+    QueryDef("q18_session_window",
+      "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 8 HOUR AS session_end, COUNT(*) AS cnt, " +
+        "ROUND(SUM(value), 2) AS total FROM " +
+        "(SELECT user_id, ts, value, SUM(is_new) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid " +
+        "FROM (SELECT user_id, ts, value, CASE WHEN " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts)) >= 28800000000 " +
+        "THEN 1 ELSE 0 END AS is_new FROM events)) " +
+        "GROUP BY user_id, sid") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("cnt"), col("total"))
+    },
+
     /** §1.2 JSON-as-string handling — the Mongo CDC variant stores the
       * document as a raw JSON string column read with JSON functions
       * (reference: flink-mongodb.sql:1-5; envelope

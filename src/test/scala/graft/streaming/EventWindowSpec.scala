@@ -54,4 +54,58 @@ class EventWindowSpec extends SparkSuite {
 
     query.stop()
   }
+
+  test("sliding windows: each event lands in len/slide windows") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val events = stream.toDS().toDF("ts", "event_type", "value")
+
+    val query = EventWindows.sliding(events, "1 hour", "30 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+
+    // 10:40 belongs to windows [10:00,11:00) and [10:30,11:30)
+    stream.addData((ts("2021-03-01 10:40:00"), "click", 2.0))
+    // push the watermark past 11:30+10m to finalize both
+    stream.addData((ts("2021-03-01 12:00:00"), "view", 1.0))
+    stream.addData((ts("2021-03-01 14:00:00"), "view", 1.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("slide_out")
+      .filter(col("event_type") === "click")
+      .select("window_start", "cnt", "total")
+      .as[(Timestamp, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (ts("2021-03-01 10:00:00"), 1L, 2.0),
+      (ts("2021-03-01 10:30:00"), 1L, 2.0)))
+    query.stop()
+  }
+
+  test("session windows: gap-merge in state, close at watermark past last+gap") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val events = stream.toDS().toDF("ts", "user_id", "value")
+
+    val query = EventWindows.session(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    // u1: 10:00 and 10:50 merge (gap < 1h); 13:00 starts a new session —
+    // arriving ACROSS batches, so the merge happens in state
+    stream.addData((ts("2021-03-01 10:00:00"), 1L, 1.0))
+    stream.addData((ts("2021-03-01 10:50:00"), 1L, 2.0))
+    query.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // still open
+
+    stream.addData((ts("2021-03-01 13:00:00"), 1L, 4.0))
+    query.processAllAvailable()
+    val afterClose = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "cnt", "total")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // watermark 13:00-10m > 10:50+1h finalized the first session
+    assert(afterClose == Set(
+      (1L, ts("2021-03-01 10:00:00"), ts("2021-03-01 11:50:00"), 2L, 3.0)))
+    query.stop()
+  }
 }
