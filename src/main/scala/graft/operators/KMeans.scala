@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Distributed Lloyd's k-means over an embedding column — the training
+  * step that produces the partition centroids q42's IVF search routes
+  * through (there the testdata's `label` stands in for a trained
+  * assignment; this operator closes the loop so a user can build the IVF
+  * index from raw vectors).
+  *
+  * Scale posture (the MLlib pattern, re-expressed declaratively):
+  *  - centroids live on the DRIVER as k×dim doubles (bounded metadata,
+  *    broadcast into the plan as a literal each iteration) — vectors
+  *    never collect;
+  *  - assignment is a narrow map: argmin over k of
+  *    ‖v‖² − 2·v·c + ‖c‖², with the codegen'd
+  *    [[graft.functions.DotProduct]] doing the O(dim) inner work and
+  *    per-vector/per-centroid norms computed once, not per pair;
+  *  - the update step shuffles only per-(cluster, dim) partial sums —
+  *    map-side combined, so one iteration moves O(k×dim×partitions)
+  *    bytes regardless of corpus size;
+  *  - each iteration's plan is flat (centroids are literals, not
+  *    lineage), so iterations don't nest plans and need no checkpoint.
+  *
+  * Init is deterministic farthest-point: seed 1 is the lowest-id vector,
+  * each next seed the vector maximizing distance to its nearest chosen
+  * seed (id tiebreak). On separated data this picks one seed per true
+  * cluster, making results reproducible run-to-run — k bounded driver
+  * collects of one row each.
+  */
+object KMeans {
+
+  final case class Model(centroids: Seq[Seq[Double]]) {
+    /** (vec_id, cluster, dist2) for each input vector. */
+    def assign(vectors: DataFrame): DataFrame = KMeans.assign(vectors, centroids)
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct(a, b)
+
+  /** argmin-by-distance assignment against literal centroids. */
+  private def assign(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val cCol = typedlit(centroids)
+    val cNorm = typedlit(centroids.map(c => c.map(x => x * x).sum))
+    val k = centroids.size
+    val best = aggregate(sequence(lit(0), lit(k - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+      (acc, i) => {
+        // ‖v‖² is common to all k candidates — dropped from the argmin
+        val d = element_at(cNorm, i + 1) -
+          lit(2.0) * dot(col("v"), element_at(cCol, i + 1))
+        when(d < acc("d"), struct(d.as("d"), i.as("c"))).otherwise(acc)
+      })
+    vectors.select(col("vec_id"),
+      best("c").as("cluster"),
+      // re-add ‖v‖² so the reported distance is the true squared distance
+      greatest(best("d") + dot(col("v"), col("v")), lit(0.0)).as("dist2"))
+  }
+
+  /** Deterministic farthest-point seeds. `vectors`: (vec_id, v). */
+  private def farthestPointInit(vectors: DataFrame, k: Int): Seq[Seq[Double]] = {
+    def vecOf(row: org.apache.spark.sql.Row): Seq[Double] =
+      row.getSeq[Double](0)
+    val first = vectors.orderBy("vec_id").select("v").head()
+    val seeds = scala.collection.mutable.Buffer(vecOf(first))
+    while (seeds.size < k) {
+      val cCol = typedlit(seeds.toSeq)
+      val cNorm = typedlit(seeds.toSeq.map(c => c.map(x => x * x).sum))
+      val nearest = aggregate(sequence(lit(0), lit(seeds.size - 1)),
+        lit(Double.MaxValue),
+        (acc, i) => least(acc, element_at(cNorm, i + 1) -
+          lit(2.0) * dot(col("v"), element_at(cCol, i + 1))))
+      val far = vectors.select(col("v"), nearest.as("nd"), col("vec_id"))
+        .orderBy(col("nd").desc, col("vec_id")).head()
+      seeds += vecOf(far)
+    }
+    seeds.toSeq
+  }
+
+  /** Lloyd iterations until centroid movement < `tol` or `maxIters`.
+    * `vectors` must have columns (vec_id, v: array<double-compatible>). */
+  def fit(vectors: DataFrame, k: Int, maxIters: Int = 10,
+      tol: Double = 1e-9): Model = {
+    val vs = vectors.select(col("vec_id"),
+      col("v").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = farthestPointInit(vs, k)
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIters && moved > tol) {
+        // per-(cluster, dim) means: one map-side-combined shuffle of
+        // k×dim partials — the only wide step per iteration
+        val means = assign(vs, centroids)
+          .join(vs, "vec_id")
+          .select(col("cluster"), posexplode(col("v")))
+          .groupBy("cluster", "pos").agg(avg("col").as("m"))
+          .groupBy("cluster")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("cs"))
+          .select(col("cluster"), col("cs.m").as("centroid"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        val next = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+        moved = centroids.zip(next).map { case (a, b) =>
+          a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }.max
+        centroids = next
+        iter += 1
+      }
+      Model(centroids)
+    } finally vs.unpersist()
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    /** Train k=8 centroids on the embeddings corpus, emit the cluster
+      * sizes and within-cluster mean distance — the IVF index-build step.
+      * Approximate/iterative (no SQL oracle); pinned by `KMeansSpec`:
+      * exact recovery of planted clusters, centroid == cluster mean,
+      * run-to-run determinism. */
+    QueryDef.noOracle("q43_kmeans_train") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val model = fit(e, k = 8, maxIters = 5)
+      model.assign(e)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          round(avg(sqrt(col("dist2"))), 6).as("mean_dist"))
+    }
+  )
+}
