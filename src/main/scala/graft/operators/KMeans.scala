@@ -115,6 +115,48 @@ object KMeans {
     } finally vs.unpersist()
   }
 
+  /** IVF search against a TRAINED model (the q42 pattern with learned
+    * centroids and multi-probe): each query routes to its `nprobe`
+    * nearest centroids (literal k×dim comparison, no shuffle), then
+    * exact cosine top-k within those partitions only — the corpus outside
+    * the probed cells is never scored. At scale the assignment column
+    * would be precomputed and the corpus bucketed by it, making the
+    * per-query scan partition-pruned; here assignment is computed inline.
+    *
+    * `vectors`: (vec_id, v); `probes`: (query_id, qv). Output
+    * (query_id, rank, neighbor_id, score), ties (score DESC, id ASC). */
+  def ivfSearch(model: Model, vectors: DataFrame, probes: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val cCol = typedlit(model.centroids)
+    val nc = model.centroids.size
+    val parts = model.assign(vectors).select("vec_id", "cluster")
+      .join(vectors, "vec_id")
+    // rank centroids per probe by the TRAINING metric (squared euclidean
+    // — routing must agree with how cells were carved, cosine would
+    // misroute near-origin cells); keep the nprobe nearest. nc is bounded
+    // (a model constant), so the explode is nc rows/query
+    val cNorm = typedlit(model.centroids.map(c => c.map(x => x * x).sum))
+    val routed = probes.select(col("query_id"), col("qv"),
+        explode(sequence(lit(0), lit(nc - 1))).as("cluster"))
+      .withColumn("cdist", element_at(cNorm, col("cluster") + 1) -
+        lit(2.0) * dot(col("qv"), element_at(cCol, col("cluster") + 1)))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cdist").asc, col("cluster"))))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "cluster")
+    val scored = parts.join(broadcast(routed), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("score"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     /** Train k=8 centroids on the embeddings corpus, emit the cluster
       * sizes and within-cluster mean distance — the IVF index-build step.

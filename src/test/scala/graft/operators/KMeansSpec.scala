@@ -49,6 +49,39 @@ class KMeansSpec extends SparkSuite {
     assert(again.centroids == model.centroids)
   }
 
+  private def topkOf(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .as[(Long, Int, (Double, Long))].collect()
+      .map { case (q, pos, (s, id)) => (q, pos + 1, id, s) }.toSet
+  }
+
+  test("ivfSearch: nprobe=all equals brute force; nprobe=1 stays in the cell") {
+    val model = KMeans.fit(vecs, k = 3, maxIters = 10)
+    val probes = points.take(2).map(p => (p._1, p._2)).toDF("query_id", "qv")
+
+    val bruteForce = topkOf(
+      vecs.toDF("neighbor_id", "v").join(broadcast(probes),
+        col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("qv"), col("v")), 6).as("score")), 5)
+
+    // probing every cell is exhaustive search
+    val full = KMeans.ivfSearch(model, vecs, probes, k = 5, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == bruteForce)
+
+    // nprobe=1: every neighbor comes from the probe's own planted cluster
+    // (well-separated data routes each probe to its home cell)
+    val one = KMeans.ivfSearch(model, vecs, probes, k = 5, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    val planted = points.map(p => p._1 -> p._3).toMap
+    assert(one.nonEmpty &&
+      one.forall(r => planted(r._3) == planted(r._1)))
+  }
+
   test("k exceeding distinct points keeps empty-cluster centroids stable") {
     val tiny = points.take(4)
     val model = KMeans.fit(
