@@ -171,6 +171,21 @@ object KMeans {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"),
           round(avg(sqrt(col("dist2"))), 6).as("mean_dist"))
+    },
+
+    /** End-to-end trained IVF: fit k=8 centroids, then multi-probe
+      * (nprobe=2) top-5 search for the first 5 vectors — the full
+      * index-build→route→search loop q42 approximates with the given
+      * `label` column. Approximate by design (recall depends on the
+      * trained cells); exactness of the machinery is pinned by
+      * `KMeansSpec` (nprobe=all == brute force). */
+    QueryDef.noOracle("q44_ivf_trained") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val model = fit(e, k = 8, maxIters = 5)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      ivfSearch(model, e, probes, k = 5, nprobe = 2)
     }
   )
 }
