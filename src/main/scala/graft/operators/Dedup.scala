@@ -362,7 +362,7 @@ object Dedup {
         .select(col("doc_id"), explode(shingles(col("text"))).as("f")))
       val pairs = nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
         .select("doc_a", "doc_b")
-      clusterPairs(pairs)
+      clusterPairsStar(pairs)
     }
   )
 
@@ -403,5 +403,94 @@ object Dedup {
       round += 1
     }
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14): converges in O(log n) rounds REGARDLESS of
+    * component diameter, where min-label propagation ([[clusterPairs]])
+    * needs diameter rounds — the difference between ~5 and ~500 shuffle
+    * rounds on a chain-shaped duplicate cluster at corpus scale. Each
+    * round is two join+agg passes over the current edge set (which only
+    * shrinks toward the final star forest), checkpointed to truncate
+    * iterative lineage exactly like [[clusterPairs]].
+    *
+    *  - large-star: every node attaches its STRICTLY LARGER neighbors to
+    *    m = min(N(u) ∪ {u}) — emitted edges stay large→small oriented and
+    *    halve the height of deep branches.
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    (and itself) to the minimum of that set — collapsing local stars
+    *    onto their roots.
+    *
+    * Fixpoint = small-star output equals its input edge set; at that
+    * point the edges form stars rooted at each component's minimum node,
+    * so labels read off directly. Output schema and values are identical
+    * to [[clusterPairs]] (pinned by DedupSpec equality tests). */
+  def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
+    val (stars, _) = starContract(pairs, maxRounds)
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // at the fixpoint every non-root has exactly one edge to its
+    // component root; roots (the component minima) appear only as `v`
+    nodes.join(
+        stars.select(col("u").as("doc_id"), col("v").as("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The star-contraction loop, returning (final star edges, rounds) —
+    * rounds exposed so tests can pin the O(log n) behavior. Edges are
+    * kept canonically large→small (`u > v`) throughout. */
+  private[operators] def starContract(pairs: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // v > u ≥ m, so emitted (v, m) edges are still large→small and
+      // can never be self-loops
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input is large→small oriented: every group's neighbors are < u
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // convergence = the edge set IS a star forest: every source has
+    // out-degree 1 and no node is both a source and a target. That is
+    // exactly the algorithm's fixpoint (large-star and small-star both
+    // map a star forest to itself), and since both operations preserve
+    // connected components, a star forest reached from the input has
+    // each component collapsed onto its minimum — nothing more to do.
+    def isStarForest(e: DataFrame): Boolean =
+      e.groupBy("u").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .isEmpty &&
+        e.select(col("v").as("n"))
+          .join(e.select(col("u").as("n")).distinct(), Seq("n"), "left_semi")
+          .isEmpty
+
+    var edges = pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct().checkpoint()
+    var round = 0
+    var converged = isStarForest(edges)
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).checkpoint()
+      converged = isStarForest(next)
+      edges = next
+      round += 1
+    }
+    (edges, round)
   }
 }

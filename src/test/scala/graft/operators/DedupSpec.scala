@@ -70,6 +70,43 @@ class DedupSpec extends SparkSuite {
       "z1" -> "z1", "z2" -> "z1"))
   }
 
+  test("clusterPairsStar: chain collapses in O(log n) rounds, not diameter") {
+    // a 64-node chain has diameter 63 — label propagation needs ~63
+    // rounds; alternating star contraction must finish in far fewer
+    val chain = (0 until 63)
+      .map(i => (f"d$i%03d", f"d${i + 1}%03d")).toDF("doc_a", "doc_b")
+    val (_, rounds) = Dedup.starContract(chain, 100)
+    assert(rounds <= 10, s"expected O(log n) rounds on a 64-chain, got $rounds")
+
+    val got = Dedup.clusterPairsStar(chain)
+      .as[(String, String)].collect().toMap
+    assert(got.size == 64)
+    assert(got.values.toSet == Set("d000"))
+  }
+
+  test("clusterPairsStar equals clusterPairs on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val pairs = Seq.fill(n) {
+        val a = rnd.nextInt(50); val b = rnd.nextInt(50)
+        (f"n$a%02d", f"n$b%02d")
+      }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      val star = Dedup.clusterPairsStar(pairs)
+        .as[(String, String)].collect().toMap
+      val prop = Dedup.clusterPairs(pairs)
+        .as[(String, String)].collect().toMap
+      assert(star == prop, s"trial $trial: star != propagation")
+    }
+
+    // two separate components stay separate
+    val two = Seq(("a1", "a2"), ("a2", "a3"), ("z1", "z2"))
+      .toDF("doc_a", "doc_b")
+    val lbl = Dedup.clusterPairsStar(two).as[(String, String)].collect().toMap
+    assert(lbl == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "z1" -> "z1", "z2" -> "z1"))
+  }
+
   test("char-gram LSH reproduces brute-force char-gram pairs") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(transform(
