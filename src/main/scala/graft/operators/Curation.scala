@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** The end-to-end training-data curation pipeline as ONE query:
+  * quality-filter → near-duplicate survivor selection → deterministic
+  * split assignment. This is the composition a corpus operator actually
+  * runs nightly (each stage exists standalone as q30/q36/q34); the gate
+  * checks the composed materialization, including that survivor
+  * selection keeps exactly one document per near-dup cluster.
+  *
+  * Scale shape: the quality filter is pure column arithmetic applied at
+  * the scan (cheap docs drop before anything shuffles); dedup work runs
+  * on the banded-LSH pair graph (∝ duplicates, never n²); the final
+  * anti-join ships only loser doc ids.
+  */
+object Curation {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Shared with the q36 oracle: near-dup clusters (jaccard ≥ 0.8 on
+    * word 3-shingles) via DuckDB's recursive reachability. */
+  private val clusterCtes =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+      |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs
+      |  UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(u, v) AS (SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+      |""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q39_curated_corpus", {
+      val split =
+        """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+          |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+          |     ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE $clusterCtes,
+         |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |SELECT doc_id, $split AS split, ${TextAnalysis.qualityScoreSql} AS quality
+         |FROM documents
+         |WHERE ${TextAnalysis.qualityScoreSql} >= 0.5
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // quality filter FIRST: pure scan-side arithmetic, so low-quality
+      // docs never reach the join
+      val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+
+      // near-dup losers: every clustered doc except its cluster's
+      // minimum (the survivor). Pairs + clusters re-run the q21/q36
+      // LSH pipeline on the FULL corpus — dedup must see low-quality
+      // duplicates too, or a cluster could lose its survivor to the
+      // quality filter and a duplicate would slip through with it.
+      val exploded = docs
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
+        .select("doc_a", "doc_b")
+      val losers = Dedup.clusterPairsStar(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      kept.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+    }
+  )
+}

@@ -26,8 +26,29 @@ object TextAnalysis {
     ((length(hay) - length(replace(hay, lit(needle), lit(""))))
       / needle.length).cast("long")
 
-  private def occStr(hayExpr: String, needle: String): String =
+  private[operators] def occStr(hayExpr: String, needle: String): String =
     s"(length($hayExpr) - length(replace($hayExpr, '$needle', ''))) / ${needle.length}"
+
+  /** Composite quality score (length + stopword-density heuristics,
+    * rounded to 6 so both engines compare the identical value) — shared
+    * by q30 and the curation pipeline's keep/drop filter. */
+  def qualityScore(text: Column): Column = {
+    val pad = concat(lit(" "), text, lit(" "))
+    val nTok = size(split(trim(text), "\\s+")).cast("long")
+    val stopCnt = Seq(" the ", " a ", " of ")
+      .map(w => occurrences(pad, w)).reduce(_ + _)
+    round(least(lit(1.0), nTok / 100.0) * 0.5 +
+      least(lit(1.0), stopCnt * 10.0 / nTok) * 0.5, 6)
+  }
+
+  /** The oracle-side SQL for [[qualityScore]]. */
+  private[operators] def qualityScoreSql: String = {
+    val pad = "(' ' || text || ' ')"
+    val nTok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val stops = Seq(" the ", " a ", " of ")
+      .map(w => s"(${occStr(pad, w)})").mkString(" + ")
+    s"ROUND(least(1.0, $nTok / 100.0) * 0.5 + least(1.0, ($stops) * 10.0 / $nTok) * 0.5, 6)"
+  }
 
   /** Marker-word score: occurrences of each marker in the space-padded
     * text. Marker sets are tiny embedded language profiles (the n-gram
@@ -179,6 +200,65 @@ object TextAnalysis {
       t(s, dir, "documents").select(
         col("doc_id"),
         graft.functions.RollingHash(col("text")).as("fingerprint"))
+    },
+
+    /** TF-IDF top-3 terms per document — the classic "what is this
+      * document about" signal a curation pipeline uses for topic
+      * balancing. Shape at scale: tf is one map-side-combinable groupBy
+      * on (doc, term); df is vocabulary-sized (tiny → BROADCAST back to
+      * the tf frame, so scoring never shuffles the corpus again); the
+      * per-document top-k is a window over each doc's own terms. Ranking
+      * uses the ROUNDED score with a term tiebreak so both engines rank
+      * the identical deterministic ordering. */
+    QueryDef("q37_tfidf_topk",
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.term AS term, ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM sc)
+        |WHERE rnk <= 3""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(byDoc).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    },
+
+    /** Bigram language-model counts over the whole corpus — the n-gram
+      * count table driving LM-based quality filters. One explode + one
+      * map-side-combinable groupBy; the shuffle carries (bigram, partial
+      * count), never documents. */
+    QueryDef("q38_bigram_counts",
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |b AS (SELECT unnest(list_transform(range(greatest(len(w)-1, 0)),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS bigram FROM w)
+        |SELECT bigram, count(*) AS cnt FROM b GROUP BY 1""".stripMargin
+        .replace("\n", " ")) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      // zip each word with its successor; greatest(...) guards the
+      // single-word doc (slice length 0 → empty → no bigrams)
+      val m = greatest(size(w) - 1, lit(0))
+      val bigrams = zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
+        (a, b) => concat(a, lit(" "), b))
+      t(s, dir, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
     }
   )
 }

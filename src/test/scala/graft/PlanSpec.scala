@@ -35,4 +35,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Not(EqualTo(o_orderstatus,F))"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q37: document-frequency side broadcasts; corpus never re-shuffles for scoring") {
+    val p = plan("q37_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q38: bigram counts partially aggregate map-side, no window") {
+    val p = plan("q38_bigram_counts")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.lines.anyMatch(l => l.trim.startsWith("Window")), p)
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The composed curation pipeline (q39) beyond the gate's hash-match:
+  * the survivor property — no near-dup loser ever reaches the output,
+  * every cluster is represented by AT MOST its minimum doc — and the
+  * quality/split invariants. */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val queries = graft.SparkEntry.queries
+
+  test("curated corpus drops exactly the non-minimum cluster members") {
+    val curated = queries("q39_curated_corpus")(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = queries("q36_dedup_clusters")(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+    assert(!losers.isEmpty, "sf0.01 plants near-dup clusters")
+    assert(curated.join(losers, Seq("doc_id"), "left_semi").isEmpty,
+      "no cluster loser may survive curation")
+
+    // each cluster's minimum survives iff it passes the quality filter —
+    // dedup must never drop a whole cluster the quality filter kept
+    val minima = clusters.filter(col("doc_id") === col("cluster_id"))
+    val qualifiedMinima = minima.join(
+      graft.sources.Tables.load(spark, dir, "documents")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val missing = qualifiedMinima
+      .join(curated, Seq("doc_id"), "left_anti")
+    assert(missing.isEmpty, "every quality-passing cluster minimum survives")
+
+    val qs = curated.select("quality").as[Double].collect()
+    assert(qs.nonEmpty && qs.forall(_ >= 0.5))
+    val splits = curated.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    curated.unpersist(); clusters.unpersist()
+  }
+}
