@@ -449,11 +449,11 @@ object Dedup {
       val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       // v > u ≥ m, so emitted (v, m) edges are still large→small and
-      // can never be self-loops
+      // can never be self-loops. No distinct here: small-star's final
+      // distinct dedups, saving a shuffle per round
       nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input is large→small oriented: every group's neighbors are < u
@@ -471,12 +471,14 @@ object Dedup {
     // map a star forest to itself), and since both operations preserve
     // connected components, a star forest reached from the input has
     // each component collapsed onto its minimum — nothing more to do.
+    // single action + single shuffle: unpivot endpoints to (node,
+    // out-degree, in-degree) contributions and look for any violation
     def isStarForest(e: DataFrame): Boolean =
-      e.groupBy("u").agg(count(lit(1)).as("c")).filter(col("c") > 1)
-        .isEmpty &&
-        e.select(col("v").as("n"))
-          .join(e.select(col("u").as("n")).distinct(), Seq("n"), "left_semi")
-          .isEmpty
+      e.select(col("u").as("n"), lit(1L).as("o"), lit(0L).as("i"))
+        .union(e.select(col("v").as("n"), lit(0L).as("o"), lit(1L).as("i")))
+        .groupBy("n").agg(sum("o").as("o"), sum("i").as("i"))
+        .filter(col("o") > 1 || (col("o") > 0 && col("i") > 0))
+        .isEmpty
 
     var edges = pairs
       .filter(col("doc_a") =!= col("doc_b"))

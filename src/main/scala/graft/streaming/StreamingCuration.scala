@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The batch curation pipeline (q39: quality-filter → near-dup survivor
+  * selection → content-hash split) as a continuously-maintained view —
+  * the sink holds, at every instant, exactly the curated subset of the
+  * CURRENT document state. New documents stream in; duplicates retract
+  * their losers; an update that breaks a duplicate cluster re-admits the
+  * docs it orphaned; a survivor whose text degrades below the quality
+  * bar drops out.
+  *
+  * Per micro-batch:
+  *
+  *   1. pair maintenance — [[StreamingDedup.maintainPairState]]'s
+  *      sign-only-the-batch / bucket-pruned retract+discover ladder —
+  *      keeps a persistent pair-state table equal to batch q21 on the
+  *      current corpus,
+  *   2. connected components re-run over the pair graph (alternating
+  *      star contraction, O(log n) rounds) give post-batch cluster
+  *      labels; diffing against the stored pre-batch labels yields the
+  *      docs whose survivor status could have changed,
+  *   3. batch docs ∪ label-diff docs are the ONLY docs re-evaluated:
+  *      quality + split come from pruned reads of their post-state
+  *      texts; losers (label ≠ self) delete, the rest upsert.
+  *
+  * 100 TB posture: steps 1 and 3 are O(batch + collisions) with
+  * bucket-pruned state reads, exactly like [[StreamingDedup]]. Step 2 is
+  * the one honest O(pairs) seam: the pair graph and label table are
+  * DUPLICATE-DENSITY-sized (LSH keeps them ∝ true near-dups, never
+  * corpus-sized), so re-contracting them per batch is a job over a tiny
+  * fraction of the corpus; the upgrade path if a corpus ever grew a
+  * pair graph too big to re-contract is incremental connected
+  * components over only the components touched by the batch's edge
+  * delta. All state commits carry the batchId → replay-idempotent.
+  */
+object StreamingCuration {
+
+  private def pairSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("doc_a", StringType),
+    StructField("doc_b", StringType)))
+
+  private def labelSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("cluster_id", StringType)))
+
+  /** Continuous curated-corpus view over a CDC `documents`-shaped source.
+    * Sink documents: (id = doc_id, split, quality). Defaults match batch
+    * q39: word 3-shingles, 32×2 banding, jaccard ≥ 0.8, quality ≥ 0.5,
+    * 90/5/5 content-hash split. */
+  def curatedView(
+      spark: SparkSession, stateDir: String,
+      name: String = "curated_corpus", table: String = "documents",
+      textCol: String = "text", threshold: Double = 0.8,
+      minQuality: Double = 0.5, bandRows: Int = 2, nBands: Int = 32,
+      shingleN: Int = 3, buckets: Int = 32): ViewDef = {
+    val sigTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-sigs", "key", buckets)
+    val bucketTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-buckets", "key", buckets)
+    val pairTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-pairs", "key", buckets)
+    val labelTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-labels", "key", buckets)
+
+    ViewDef(name, (pre, post, batch, ctx) => {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+      // 1. pair maintenance (shared machinery with the near-dup view)
+      val delta = StreamingDedup.maintainPairState(
+        sigTable, bucketTable, post, batch, ctx,
+        table, textCol, threshold, bandRows, nBands, shingleN)
+      val pairUpserts = delta.verified.select(
+        concat_ws("|", col("doc_a"), col("doc_b")).as("key"),
+        col("doc_a"), col("doc_b"))
+      val pairDeletes = delta.retractCandidates
+        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("key"))
+        .join(pairUpserts.select("key"), Seq("key"), "left_anti")
+      pairTable.merge(pairUpserts, pairDeletes, ctx.batchId)
+
+      // 2. cluster labels over the post-batch pair graph (on replay the
+      // merge above skipped, so `version` is already the post state)
+      val postPairs = pairTable
+        .snapshotAt(pairTable.version, pairSchema)
+        .select(col("doc_a"), col("doc_b"))
+      val newLabels = Dedup.clusterPairsStar(postPairs)
+        .select(col("doc_id").as("key"), col("cluster_id"))
+        .persist(mem)
+      ctx.defer(newLabels.unpersist())
+
+      val preLabelV = ctx.batchId match {
+        case Some(id) => labelTable.versionBefore(id)
+        case None     => labelTable.version
+      }
+      val oldLabels = labelTable.snapshotAt(preLabelV, labelSchema)
+      labelTable.merge(newLabels,
+        oldLabels.select("key").join(newLabels.select("key"),
+          Seq("key"), "left_anti"),
+        ctx.batchId)
+
+      // survivor status can only change where the label row changed
+      // (appeared, disappeared, or moved cluster) — or where the text
+      // itself changed (the batch docs)
+      val labelDiff = oldLabels.withColumnRenamed("cluster_id", "old_cid")
+        .join(newLabels.withColumnRenamed("cluster_id", "new_cid"),
+          Seq("key"), "full_outer")
+        .filter(col("old_cid").isNull || col("new_cid").isNull ||
+          col("old_cid") =!= col("new_cid"))
+        .select("key")
+      val affected = batch(table).select("key")
+        .union(labelDiff).distinct().persist(mem)
+      ctx.defer(affected.unpersist())
+
+      // 3. re-evaluate ONLY the affected docs: pruned post-state text
+      // reads; a doc absent from post state was deleted this batch
+      val live = post.rows(table, affected)
+        .select(col("key"), col(textCol).as("text"))
+      val losers = newLabels.filter(col("key") =!= col("cluster_id"))
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val upserts = live
+        .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+        .join(losers, Seq("key"), "left_anti")
+        .select(col("key").as("id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .persist(mem)
+      ctx.defer(upserts.unpersist())
+      val deletes = affected.select(col("key").as("id"))
+        .join(upserts.select("id"), Seq("id"), "left_anti")
+      (upserts, deletes)
+    })
+  }
+}

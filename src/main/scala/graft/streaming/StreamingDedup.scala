@@ -51,6 +51,15 @@ object StreamingDedup {
     StructField("key", StringType),
     StructField("members", ArrayType(StringType))))
 
+  /** One micro-batch of pair maintenance, shared by [[nearDupView]] and
+    * [[StreamingCuration]]: `verified` are this batch's (doc_a, doc_b,
+    * jaccard) near-dup pairs, `retractCandidates` a SUPERSET of every
+    * pair a previous batch could have emitted with a batch member —
+    * subtracting re-verified pairs from it clears exactly the stale
+    * ones (extra ids delete as no-ops downstream). */
+  private[streaming] final case class PairDelta(
+    verified: DataFrame, retractCandidates: DataFrame)
+
   /** Continuous near-dup-pairs view over a CDC `documents`-shaped source
     * (primary-keyed, with a `text` column). Sink documents:
     * (id = "a|b", doc_a, doc_b, jaccard). Defaults match batch q21:
@@ -67,6 +76,27 @@ object StreamingDedup {
       new ParquetKeyedTable(spark, s"$stateDir/$name-buckets", "key", buckets)
 
     ViewDef(name, (pre, post, batch, ctx) => {
+      val delta = maintainPairState(sigTable, bucketTable, post, batch, ctx,
+        table, textCol, threshold, bandRows, nBands, shingleN)
+      val upserts = delta.verified.select(
+        concat_ws("|", col("doc_a"), col("doc_b")).as("id"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+      val deletes = delta.retractCandidates
+        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("id"))
+        .join(upserts.select("id"), Seq("id"), "left_anti")
+      (upserts, deletes)
+    })
+  }
+
+  /** Steps 1–4 of the scaladoc: sign the batch, retract via old buckets,
+    * merge signature + bucket state (idempotent-by-batchId), discover and
+    * exact-verify new pairs. The returned frames are batch-scoped
+    * (persisted; unpersist deferred on `ctx`). */
+  private[streaming] def maintainPairState(
+      sigTable: ParquetKeyedTable, bucketTable: ParquetKeyedTable,
+      post: StateAccess, batch: Map[String, DataFrame], ctx: BatchCtx,
+      table: String, textCol: String, threshold: Double,
+      bandRows: Int, nBands: Int, shingleN: Int): PairDelta = {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       def pin(t: ParquetKeyedTable): Option[Int] = ctx.batchId match {
         case Some(id) => t.versionBefore(id)
@@ -182,13 +212,6 @@ object StreamingDedup {
         .persist(mem)
       ctx.defer(verified.unpersist())
 
-      val upserts = verified.select(
-        concat_ws("|", col("doc_a"), col("doc_b")).as("id"),
-        col("doc_a"), col("doc_b"), col("jaccard"))
-      val deletes = oldPairs
-        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("id"))
-        .join(upserts.select("id"), Seq("id"), "left_anti")
-      (upserts, deletes)
-    })
+      PairDelta(verified, oldPairs)
   }
 }
