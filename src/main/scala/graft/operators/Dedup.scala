@@ -425,7 +425,16 @@ object Dedup {
     * Fixpoint = small-star output equals its input edge set; at that
     * point the edges form stars rooted at each component's minimum node,
     * so labels read off directly. Output schema and values are identical
-    * to [[clusterPairs]] (pinned by DedupSpec equality tests). */
+    * to [[clusterPairs]] (pinned by DedupSpec equality tests).
+    *
+    * Measured trade (sf0.1, 256 pairs, max component size 4): star runs
+    * ~0.2 s slower than propagation — its per-round plan is heavier (two
+    * join+agg phases vs one) and this corpus's diameter-2 components
+    * don't need the logarithmic round count. q36 still uses star: the
+    * shallow-graph penalty is a constant ~25% of the cluster step, while
+    * propagation's diameter dependence is unbounded (a 500-link chain of
+    * near-dups — common in scraped corpora via chained small edits —
+    * costs 500 shuffle rounds vs ~9). */
   def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     val (stars, _) = starContract(pairs, maxRounds)
     val nodes = pairs.select(col("doc_a").as("doc_id"))
