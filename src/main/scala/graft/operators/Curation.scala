@@ -43,6 +43,48 @@ object Curation {
 
   val queries: Seq[QueryDef] = Seq(
 
+    /** Benchmark decontamination: flag training-split documents sharing
+      * any word 5-gram with the holdout (val ∪ test) splits — the
+      * pretraining hygiene step that keeps eval data out of the training
+      * set. Scale shape: both sides reduce to DISTINCT n-grams before
+      * the join, so the join is keyed on grams and its work tracks
+      * matches, not corpus size; the gram sets never ship documents.
+      * (On a real corpus the holdout side is the published benchmark
+      * suite — tiny and broadcastable; here it is derived from the q34
+      * content-hash split so the gate can verify the full computation.) */
+    QueryDef("q26_decontaminate", {
+      val splitCase =
+        """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+          |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+          |     ELSE 'test' END""".stripMargin
+      val gram = (1 to 5).map(k => s"w[i+$k]").mkString("||' '||")
+      s"""WITH d AS (SELECT doc_id, text, $splitCase AS split FROM documents),
+         |w AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS w FROM d),
+         |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+         |        range(greatest(len(w)-4, 0)), i -> $gram))) AS g FROM w),
+         |t AS (SELECT DISTINCT g FROM g WHERE split IN ('val', 'test'))
+         |SELECT g.doc_id AS doc_id, count(*) AS n_shared_grams
+         |FROM g JOIN t USING (g) WHERE split = 'train' GROUP BY 1
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"),
+          explode(graft.functions.NGrams.wordShingles(col("text"), 5))
+            .as("g"))
+      val holdout = grams.filter(col("split").isin("val", "test"))
+        .select("g").distinct()
+      // per-doc gram lists are already distinct (wordShingles), so this
+      // count is the number of DISTINCT shared grams per train doc
+      grams.filter(col("split") === "train")
+        .join(holdout, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    },
+
     QueryDef("q39_curated_corpus", {
       val split =
         """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'

@@ -240,6 +240,32 @@ object TextAnalysis {
         .select("doc_id", "term", "tfidf", "rnk")
     },
 
+    /** Intra-document repetition ratio (Gopher-style quality rule):
+      * 1 − distinct/total word 3-grams — high values mean the document
+      * repeats itself and should be down-weighted or dropped. Pure
+      * column arithmetic (the distinct count comes from the native
+      * WordShingles expression), no explode, no shuffle at all. */
+    QueryDef("q27_repetition",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, greatest(len(w)-2, 0) AS total,
+        |  len(list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))) AS dist FROM w)
+        |SELECT doc_id, CAST(total AS BIGINT) AS total_3grams,
+        |  CAST(dist AS BIGINT) AS distinct_3grams,
+        |  round(1.0 - dist * 1.0 / greatest(total, 1), 6) AS rep_ratio
+        |FROM g""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      val total = greatest(size(w) - 2, lit(0)).cast("long")
+      val dist = size(graft.functions.NGrams.wordShingles(col("text"), 3))
+        .cast("long")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        total.as("total_3grams"),
+        dist.as("distinct_3grams"),
+        round(lit(1.0) - dist.cast("double") / greatest(total, lit(1L)), 6)
+          .as("rep_ratio"))
+    },
+
     /** Bigram language-model counts over the whole corpus — the n-gram
       * count table driving LM-based quality filters. One explode + one
       * map-side-combinable groupBy; the shuffle carries (bigram, partial
