@@ -59,6 +59,24 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " la ", " et "),
     "es" -> Seq(" el ", " los ", " que "))
 
+  /** Deterministic language classification (q31's scorer): marker-word
+    * argmax + non-ASCII fraction for CJK, fixed tie order (en, de, fr,
+    * es, zh) — shared by q31 and the continuous language-mix view. */
+  def predLang(text: Column): Column = {
+    val pad = concat(lit(" "), text, lit(" "))
+    val scores = markers.map { case (lang, ws) =>
+      lang -> ws.map(w => occurrences(pad, w)).reduce(_ + _)
+    }
+    val zhScore = (length(text) -
+      length(regexp_replace(text, "[^\\x00-\\x7F]", ""))).cast("long")
+    val m = greatest((scores.map(_._2) :+ zhScore): _*)
+    // foldRight builds en-first precedence: en wins ties, then de, ...
+    (scores :+ ("zh" -> zhScore))
+      .foldRight(lit("unknown")) { case ((lang, sc), acc) =>
+        when(sc === m && m > 0, lit(lang)).otherwise(acc)
+      }
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     /** Per-document stats: token count, average token length, stopword
@@ -110,20 +128,8 @@ object TextAnalysis {
          |FROM (SELECT doc_id, text, greatest($all) AS m FROM documents)
          |""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
-      val text = col("text")
-      val pad = concat(lit(" "), text, lit(" "))
-      val scores = markers.map { case (lang, ws) =>
-        lang -> ws.map(w => occurrences(pad, w)).reduce(_ + _)
-      }
-      val zhScore = (length(text) -
-        length(regexp_replace(text, "[^\\x00-\\x7F]", ""))).cast("long")
-      val m = greatest((scores.map(_._2) :+ zhScore): _*)
-      val pred = (scores :+ ("zh" -> zhScore))
-        .foldRight(lit("unknown")) { case ((lang, sc), acc) =>
-          when(sc === m && m > 0, lit(lang)).otherwise(acc)
-        }
-      // foldRight builds en-first precedence: en wins ties, then de, ...
-      t(s, dir, "documents").select(col("doc_id"), pred.as("pred_lang"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), predLang(col("text")).as("pred_lang"))
     },
 
     /** Token counting two ways: whitespace tokens and a BPE-ish subword

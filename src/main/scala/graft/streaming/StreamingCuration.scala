@@ -138,4 +138,22 @@ object StreamingCuration {
       (upserts, deletes)
     })
   }
+
+  /** Continuous corpus-composition monitoring: per predicted language,
+    * document count and total whitespace tokens, maintained with full
+    * retraction by the generic [[IncrementalAgg]] ± machinery — deletes
+    * shrink the counts, a reclassifying update moves a doc between
+    * groups, and a language whose count reaches 0 leaves the sink. One
+    * more demonstration that the incremental-agg path is not welded to
+    * the reference's order views. */
+  def langStats(spark: SparkSession, stateDir: String,
+      table: String = "documents", textCol: String = "text"): ViewDef =
+    IncrementalAgg.view(spark, stateDir, "corpus_lang_stats", table,
+      IncrementalAgg.GroupSpec(
+        Seq("g_lang" -> TextAnalysis.predLang(col(textCol))),
+        live = lit(true),
+        amount = size(split(trim(col(textCol)), "\\s+")).cast("double")),
+      toDoc = m => m.select(col("key").as("id"),
+        col("g_lang").as("lang"),
+        col("amt").cast("long").as("tokens"), col("cnt").as("docs")))
 }

@@ -115,6 +115,41 @@ class StreamingCurationSpec extends SparkSuite {
     assert(sinkDocs(sink).keySet == Set("q1", "q3"))
   }
 
+  test("language-mix view retracts deletes and tracks reclassifying updates") {
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("scuration-lang")
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingCuration.langStats(spark, stateDir)))
+
+    def langs(): Map[String, (Long, Long)] =
+      sink.docs("corpus_lang_stats").map { case (id, d) =>
+        id -> (d("tokens").asInstanceOf[Long], d("docs").asInstanceOf[Long])
+      }.toMap
+    def recompute(): Map[String, (Long, Long)] =
+      pipeline.state("documents")
+        .groupBy(TextAnalysis.predLang(col("text")).as("lang"))
+        .agg(sum(size(split(trim(col("text")), "\\s+"))).as("t"),
+          count(lit(1)).as("d"))
+        .as[(String, Long, Long)].collect()
+        .map { case (l, t, d) => l -> (t, d) }.toMap
+
+    // textA/textB carry en stopwords; lowQ has no markers → unknown
+    pipeline.processBatch(Seq(
+      create("m1", textA), create("m2", textB), create("m3", lowQ))
+      .toDF("table", "value", "seq"), Some(0L))
+    assert(langs() == recompute())
+    assert(langs().keySet == Set("en", "unknown"))
+    assert(langs()("en") == (80L, 2L))
+
+    // reclassifying update moves m1 en → unknown; delete shrinks en
+    pipeline.processBatch(Seq(
+      update("m1", textA, lowQ), delete("m2", textB))
+      .toDF("table", "value", "seq"), Some(1L))
+    assert(langs() == recompute())
+    assert(langs().keySet == Set("unknown"),
+      "en reached count 0 and must leave the sink")
+  }
+
   test("replayed batch is idempotent across all four state stores") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("scuration-replay")
