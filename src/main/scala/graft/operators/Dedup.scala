@@ -436,9 +436,12 @@ object Dedup {
     * near-dups — common in scraped corpora via chained small edits —
     * costs 500 shuffle rounds vs ~9). */
   def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
-    val (stars, _) = starContract(pairs, maxRounds)
-    val nodes = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val (stars, _, edges0) = starContract(pairs, maxRounds)
+    // node set from the CHECKPOINTED canonical edges, not from `pairs`:
+    // pairs is typically an unpersisted expensive pipeline (the LSH
+    // ladder), and reading it here would evaluate it a second time
+    val nodes = edges0.select(col("u").as("doc_id"))
+      .union(edges0.select(col("v").as("doc_id"))).distinct()
     // at the fixpoint every non-root has exactly one edge to its
     // component root; roots (the component minima) appear only as `v`
     nodes.join(
@@ -448,11 +451,13 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
-  /** The star-contraction loop, returning (final star edges, rounds) —
-    * rounds exposed so tests can pin the O(log n) behavior. Edges are
-    * kept canonically large→small (`u > v`) throughout. */
+  /** The star-contraction loop, returning (final star edges, rounds,
+    * initial canonical edge set) — rounds exposed so tests can pin the
+    * O(log n) behavior; the checkpointed initial edges let the caller
+    * derive the node set without re-evaluating `pairs`. Edges are kept
+    * canonically large→small (`u > v`) throughout. */
   private[operators] def starContract(pairs: DataFrame,
-      maxRounds: Int): (DataFrame, Int) = {
+      maxRounds: Int): (DataFrame, Int, DataFrame) = {
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
@@ -489,11 +494,12 @@ object Dedup {
         .filter(col("o") > 1 || (col("o") > 0 && col("i") > 0))
         .isEmpty
 
-    var edges = pairs
+    val edges0 = pairs
       .filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .distinct().checkpoint()
+    var edges = edges0
     var round = 0
     var converged = isStarForest(edges)
     while (!converged && round < maxRounds) {
@@ -502,6 +508,6 @@ object Dedup {
       edges = next
       round += 1
     }
-    (edges, round)
+    (edges, round, edges0)
   }
 }

@@ -75,7 +75,7 @@ class DedupSpec extends SparkSuite {
     // rounds; alternating star contraction must finish in far fewer
     val chain = (0 until 63)
       .map(i => (f"d$i%03d", f"d${i + 1}%03d")).toDF("doc_a", "doc_b")
-    val (_, rounds) = Dedup.starContract(chain, 100)
+    val (_, rounds, _) = Dedup.starContract(chain, 100)
     assert(rounds <= 10, s"expected O(log n) rounds on a 64-chain, got $rounds")
 
     val got = Dedup.clusterPairsStar(chain)
