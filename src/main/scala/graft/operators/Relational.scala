@@ -354,6 +354,69 @@ object Relational {
       t(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
+    },
+
+    /** Hierarchical totals via ROLLUP + a DISTINCT aggregate — two §2.4
+      * extension targets (grouping sets, DISTINCT aggregates) in one
+      * query: per (status, priority), per status, and grand totals, each
+      * with the distinct-customer count. grouping_id disambiguates a
+      * genuine NULL group value from a rollup subtotal row. Scale shape:
+      * rollup is one shuffle with partial aggregation; count(DISTINCT)
+      * expands to a two-phase exact aggregation Spark plans natively. */
+    QueryDef("q19_rollup_stats",
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
+        "ROUND(SUM(o_totalprice), 2) AS amount, " +
+        "COUNT(DISTINCT o_custkey) AS n_customers, " +
+        "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid " +
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)") { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("amount"),
+          countDistinct("o_custkey").as("n_customers"),
+          grouping_id().as("gid"))
+    },
+
+    /** Anti join — orders that never shipped a line item (a §2.4
+      * extension target; the reference has equi joins only). The anti
+      * join ships only the distinct right-side keys; no row from the
+      * probe side is ever duplicated or carried past the match test. */
+    QueryDef("q28_orders_no_items",
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)") { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    /** Set-operation funnel over events (§2.4 extension targets UNION /
+      * INTERSECT / EXCEPT): per (user, day), click-days without a
+      * purchase vs click-days with one. Set ops on (user, day) pairs are
+      * DISTINCT joins under the hood — the shuffle carries the compact
+      * key pairs, never event rows. */
+    QueryDef("q29_funnel_setops",
+      "WITH cd AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day " +
+        "FROM events WHERE event_type = 'click'), " +
+        "pd AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT user_id, day, 'click_no_purchase' AS segment " +
+        "FROM (SELECT * FROM cd EXCEPT SELECT * FROM pd) " +
+        "UNION ALL " +
+        "SELECT user_id, day, 'click_and_purchase' AS segment " +
+        "FROM (SELECT * FROM cd INTERSECT SELECT * FROM pd)") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def days(eventType: String) = ev
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .distinct()
+      val clicks = days("click")
+      val purchases = days("purchase")
+      clicks.except(purchases)
+        .withColumn("segment", lit("click_no_purchase"))
+        .unionAll(clicks.intersect(purchases)
+          .withColumn("segment", lit("click_and_purchase")))
     }
   )
 }
