@@ -2,15 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, KMeans, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, KMeans, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every implemented operator, aggregated from the operator modules. */
   def all: Seq[QueryDef] =
-    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Curation.queries ++ Similarity.queries ++ KMeans.queries ++
-      Multimodal.queries
+    Relational.queries ++ AsOf.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Curation.queries ++ Similarity.queries ++
+      KMeans.queries ++ Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship is `order_view` (orders ⋈ users → upsert),
