@@ -390,6 +390,43 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
     },
 
+    /** Left outer join with aggregation-below-join: every order with its
+      * line-item count and shipped quantity, zeros (not dropped rows)
+      * for the orders q28 isolates. Aggregating the item side BEFORE the
+      * join keeps the join input one row per key — at scale that is the
+      * difference between joining 4 rows/order and joining the raw
+      * line-item table, and Catalyst cannot hoist it automatically. */
+    QueryDef("q47_left_outer",
+      "SELECT o_orderkey, o_orderstatus, " +
+        "COALESCE(cnt, 0) AS item_cnt, " +
+        "ROUND(COALESCE(qty, 0), 2) AS quantity " +
+        "FROM orders LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt, " +
+        "SUM(l_quantity) AS qty FROM lineitem GROUP BY 1) li " +
+        "ON o_orderkey = l_orderkey") { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+      t(s, dir, "orders")
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          coalesce(col("cnt"), lit(0L)).as("item_cnt"),
+          round(coalesce(col("qty"), lit(0.0)), 2).as("quantity"))
+    },
+
+    /** Semi join (EXISTS): customers who placed at least one open order
+      * — the probe side passes through at most once per row, no
+      * duplication from multiple matches, and only distinct keys ship
+      * from the order side. */
+    QueryDef("q48_semi_join",
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderstatus = 'O')") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
     /** Set-operation funnel over events (§2.4 extension targets UNION /
       * INTERSECT / EXCEPT): per (user, day), click-days without a
       * purchase vs click-days with one. Set ops on (user, day) pairs are
