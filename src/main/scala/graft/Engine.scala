@@ -109,6 +109,11 @@ object Engine {
       // TIMESTAMP(NANOS) parquet (events) reads as a raw long; set at
       // session build, not per-read (thread-safety + no ordering deps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim reliable-checkpoint files once their RDD is GC'd —
+      // without this every star-contraction / label-propagation round of
+      // a long-running streaming session leaks checkpoint files forever
+      // (Spark never deletes them by default)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
     // Only default the master when none was supplied: spark-submit --master
     // sets the spark.master system property, and a builder-set master would

@@ -157,6 +157,22 @@ object KMeans {
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
+  /** Per-cluster representative sampling — the dataset-diversification
+    * move: keep the `perCluster` vectors closest to each trained
+    * centroid (deterministic id tiebreak), giving a small subset whose
+    * coverage follows the corpus's cluster structure instead of its
+    * density. One assignment pass + one window over each cluster's own
+    * rows; nothing compares vectors pairwise. */
+  def diversitySample(model: Model, vectors: DataFrame,
+      perCluster: Int): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    model.assign(vectors)
+      .withColumn("rnk", row_number().over(byCluster))
+      .filter(col("rnk") <= perCluster)
+  }
+
   val queries: Seq[QueryDef] = Seq(
     /** Train k=8 centroids on the embeddings corpus, emit the cluster
       * sizes and within-cluster mean distance — the IVF index-build step.
@@ -186,6 +202,17 @@ object KMeans {
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       ivfSearch(model, e, probes, k = 5, nprobe = 2)
+    },
+
+    /** Diversity sampling: 3 representatives per trained cluster.
+      * Approximate by design (depends on the trained cells); the
+      * selection rule itself is pinned by `KMeansSpec` (exact closest-
+      * to-centroid per planted cluster). */
+    QueryDef.noOracle("q49_diversity_sample") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val model = fit(e, k = 8, maxIters = 5)
+      diversitySample(model, e, perCluster = 3)
     }
   )
 }

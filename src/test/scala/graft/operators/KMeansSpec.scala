@@ -49,6 +49,26 @@ class KMeansSpec extends SparkSuite {
     assert(again.centroids == model.centroids)
   }
 
+  test("diversitySample keeps the exact closest-to-centroid points per cluster") {
+    val model = KMeans.fit(vecs, k = 3, maxIters = 10)
+    val sampled = model match { case m =>
+      KMeans.diversitySample(m, vecs, perCluster = 2)
+        .select("vec_id", "cluster")
+        .as[(Long, Int)].collect()
+    }
+    assert(sampled.length == 6)
+    assert(sampled.map(_._2).groupBy(identity).values.forall(_.length == 2))
+
+    // per cluster, the kept ids are exactly the 2 with the smallest true
+    // distance to that centroid (id tiebreak)
+    val assign = model.assign(vecs).select("vec_id", "cluster", "dist2")
+      .as[(Long, Int, Double)].collect()
+    val expected = assign.groupBy(_._2).toSeq.flatMap { case (c, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(2).map(r => (r._1, c))
+    }.toSet
+    assert(sampled.toSet == expected)
+  }
+
   private def topkOf(scored: org.apache.spark.sql.DataFrame, k: Int) = {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     scored.groupBy("query_id")
