@@ -272,6 +272,42 @@ object TextAnalysis {
           .as("rep_ratio"))
     },
 
+    /** Quality-weighted deterministic downsampling: each document keeps
+      * with probability equal to its quality score, decided by content
+      * hash — so re-runs, shuffles and partial reprocessing keep the
+      * exact same subset (the reproducibility property the q34 split
+      * relies on, with a per-document rate instead of a global one). */
+    QueryDef("q52_weighted_sample", {
+      val h = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000000"
+      s"""SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality
+         |FROM documents
+         |WHERE ($h) < ${TextAnalysis.qualityScoreSql} * 1000000
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val h = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(1000000L))
+      val q = qualityScore(col("text"))
+      t(s, dir, "documents")
+        .filter(h < q * 1000000)
+        .select(col("doc_id"), q.as("quality"))
+    },
+
+    /** Document-length histogram — the corpus-shape diagnostic every
+      * curation run reports. Portable integer bucketing (50-char bins),
+      * one map-side-combinable aggregation. */
+    QueryDef("q53_length_histogram",
+      "SELECT CAST(length(text) // 50 AS BIGINT) AS bucket, " +
+        "COUNT(*) AS cnt, CAST(MIN(length(text)) AS BIGINT) AS min_len, " +
+        "CAST(MAX(length(text)) AS BIGINT) AS max_len " +
+        "FROM documents GROUP BY 1") { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(floor(length(col("text")) / 50).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(length(col("text"))).cast("long").as("min_len"),
+          max(length(col("text"))).cast("long").as("max_len"))
+    },
+
     /** Bigram language-model counts over the whole corpus — the n-gram
       * count table driving LM-based quality filters. One explode + one
       * map-side-combinable groupBy; the shuffle carries (bigram, partial
