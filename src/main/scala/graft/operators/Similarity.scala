@@ -84,6 +84,41 @@ object Similarity {
 
   val queries: Seq[QueryDef] = Seq(
 
+    /** Embedding-cluster diagnostics: per-label centroid, then each
+      * vector's Euclidean distance to its cluster centroid — count /
+      * mean / max per label. The balance-and-compactness report a
+      * clustering or IVF-training step is judged by. Shape at scale: the
+      * centroid pass and the distance pass each shuffle (label, pos,
+      * value) triples — constant-width rows, 64× the vector count but
+      * never the payload-bytes of a document corpus; at extreme scale the
+      * second pass would broadcast the (tiny) centroid set and compute
+      * distances with an array expression instead. Both engines sum the
+      * same 64 squared deltas per vector and round after sqrt, so the
+      * gate hash-matches. */
+    QueryDef("q57_cluster_diagnostics",
+      """WITH e AS (SELECT label, vec_id, unnest(embedding) AS v,
+        |  generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |c AS (SELECT label, pos, avg(v) AS cv FROM e GROUP BY 1, 2),
+        |d AS (SELECT e.label, e.vec_id, sum((e.v - c.cv) * (e.v - c.cv)) AS sq
+        |      FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+        |      GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |round(avg(sqrt(sq)), 6) AS avg_dist,
+        |round(max(sqrt(sq)), 6) AS max_dist
+        |FROM d GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+      val c = e.groupBy("label", "pos").agg(avg("v").as("cv"))
+      val d = e.join(broadcast(c), Seq("label", "pos"))
+        .groupBy("label", "vec_id")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("sq"))
+      d.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(sqrt(col("sq"))), 6).as("avg_dist"),
+          round(max(sqrt(col("sq"))), 6).as("max_dist"))
+    },
+
     /** Exact cosine top-5 for 5 probe vectors. Oracle: same rounded score,
       * same (score DESC, vec_id ASC) tie order. */
     QueryDef("q40_cosine_topk",

@@ -327,6 +327,91 @@ object TextAnalysis {
       t(s, dir, "documents")
         .select(explode(bigrams).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    },
+
+    /** Per-document bigram-LM cross-entropy — the perplexity-style quality
+      * score an LM filter assigns (train the count LM on the corpus, score
+      * every document against it): avg over the document's bigrams of
+      * −ln P(w₂|w₁), P = cnt(w₁ w₂)/cnt(w₁ ·). Shape at scale: the LM and
+      * prefix tables are corpus-vocabulary-sized aggregates of (bigram,
+      * count) — the shuffles carry constant-width count rows, never
+      * documents; scoring re-joins on the bigram/prefix keys and the final
+      * per-doc avg is map-side combinable. Docs with <2 words have no
+      * bigrams and drop out (same in both engines). */
+    QueryDef("q54_lm_score",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS bigram FROM w),
+        |lm AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY 1),
+        |pre AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(cnt) AS tot FROM lm GROUP BY 1)
+        |SELECT b.doc_id, round(avg(-ln(lm.cnt * 1.0 / pre.tot)), 6) AS lm_score,
+        |count(*) AS n_bigrams
+        |FROM b JOIN lm ON b.bigram = lm.bigram
+        |JOIN pre ON split_part(b.bigram, ' ', 1) = pre.w1
+        |GROUP BY b.doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      val m = greatest(size(w) - 1, lit(0))
+      val bigrams = t(s, dir, "documents").select(
+        col("doc_id"),
+        explode(zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      val lm = bigrams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      val pre = lm
+        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(sum("cnt").as("tot"))
+      bigrams
+        .join(lm, "bigram")
+        .join(pre, substring_index(col("bigram"), " ", 1) === pre("w1"))
+        .groupBy("doc_id")
+        .agg(
+          round(avg(-log(col("cnt").cast("double") / col("tot"))), 6)
+            .as("lm_score"),
+          count(lit(1)).as("n_bigrams"))
+    },
+
+    /** Domain-mix report: per (source, lang) document counts, corpus
+      * fraction, and total characters — the data-mixing-weights table
+      * every pretraining run starts from. One map-side-combinable groupBy;
+      * the corpus total is a 1-row broadcast. */
+    QueryDef("q55_domain_mix",
+      """SELECT source, lang, count(*) AS n_docs,
+        |round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS frac,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin.replace("\n", " ")) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val total = docs.agg(count(lit(1)).as("n_total"))
+        docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"))
+          .crossJoin(broadcast(total))
+          .select(col("source"), col("lang"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("n_total"), 6)
+              .as("frac"),
+            col("total_chars"))
+    },
+
+    /** Exact length percentiles per language (p50/p90/p99) — the
+      * corpus-shape numbers a curation report quotes. Spark's exact
+      * `percentile` and DuckDB's `quantile_cont` share the same
+      * linear-interpolation definition (index p·(n−1) over the sorted
+      * values), so the gate hash-matches the interpolated doubles. Exact
+      * percentile sorts each group's values; at 100 TB swap in
+      * `approx_percentile` (t-digest) if groups stop fitting an executor
+      * — here groups are per-language and the sort is distributed. */
+    QueryDef("q56_length_percentiles",
+      """SELECT lang, count(*) AS n_docs,
+        |round(quantile_cont(length(text), 0.5), 6) AS p50,
+        |round(quantile_cont(length(text), 0.9), 6) AS p90,
+        |round(quantile_cont(length(text), 0.99), 6) AS p99
+        |FROM documents GROUP BY 1""".stripMargin.replace("\n", " ")) {
+      (s, dir) =>
+        val len = length(col("text"))
+        t(s, dir, "documents").groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(percentile(len, lit(0.5)), 6).as("p50"),
+            round(percentile(len, lit(0.9)), 6).as("p90"),
+            round(percentile(len, lit(0.99)), 6).as("p99"))
     }
   )
 }
