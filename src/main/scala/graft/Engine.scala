@@ -115,6 +115,13 @@ object Engine {
       // (Spark never deletes them by default)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
+    // Default the warehouse (backs `saveAsTable`, e.g. bucketed-table
+    // materialization) to a temp dir instead of `$cwd/spark-warehouse` —
+    // but never override an explicitly configured one (spark-submit
+    // --conf lands in sys.props before the builder runs).
+    if (!sys.props.contains("spark.sql.warehouse.dir"))
+      builder.config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     // Only default the master when none was supplied: spark-submit --master
     // sets the spark.master system property, and a builder-set master would
     // override it — which would pin this entry point to single-node forever.

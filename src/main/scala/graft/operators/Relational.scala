@@ -454,6 +454,33 @@ object Relational {
         .withColumn("segment", lit("click_no_purchase"))
         .unionAll(clicks.intersect(purchases)
           .withColumn("segment", lit("click_and_purchase")))
+    },
+
+    /** Fact-to-fact join over BUCKETED storage: both tables persisted once
+      * with `bucketBy(16, orderkey).sortBy`, so the join and the follow-on
+      * per-order aggregation plan with ZERO Exchange — the buckets align
+      * and the sorted files feed SortMergeJoin directly (PlanSpec asserts
+      * no Exchange operator survives). This is the at-rest layout a 100 TB
+      * deployment gives its hot fact tables: the shuffle that q05-style
+      * joins repay on every query is paid once at write time. The merge
+      * hint only pins the join strategy (broadcast would also be
+      * shuffle-free here but stops being possible at real scale); results
+      * are identical to the plain join, which is what the oracle runs. */
+    QueryDef("q58_bucketed_join",
+      "SELECT o_orderkey, count(*) AS n_items, " +
+        "round(sum(l_quantity), 6) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1") { (s, dir) =>
+      val o = graft.sources.Bucketed.table(s, dir, "orders", "o_orderkey")
+      val l = graft.sources.Bucketed.table(s, dir, "lineitem", "l_orderkey")
+      o.hint("merge")
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            .as("revenue"))
     }
   )
 }

@@ -61,4 +61,27 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window ["), p)
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q58: bucketed join + aggregation runs with ZERO Exchange") {
+    val p = plan("q58_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p) // neither shuffle nor broadcast
+    assert(p.contains("Bucketed: true"), p)
+  }
+
+  test("q58: bucketed result equals the plain shuffled join") {
+    val bucketed = SparkEntry.queries("q58_bucketed_join")(spark, dir)
+      .collect().toSet
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+    val l = graft.sources.Tables.load(spark, dir, "lineitem")
+    import org.apache.spark.sql.functions._
+    val plain = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+      .collect().toSet
+    assert(bucketed == plain)
+  }
 }
