@@ -122,4 +122,19 @@ class DedupSpec extends SparkSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(blocked == brute)
   }
+
+  test("q59: every reported pair truly shares a verbatim 50-char run") {
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val pairs = queries("q59_substring_dup")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty) // the corpus plants near-dup pairs
+    pairs.foreach { case (a, b) =>
+      val (ta, tb) = (texts(a), texts(b))
+      val windows = (0 to math.max(ta.length - 50, 0))
+        .map(i => ta.substring(i, math.min(i + 50, ta.length))).toSet
+      assert(windows.exists(w => w.length == 50 && tb.contains(w)),
+        s"pair ($a,$b) shares no 50-char run")
+    }
+  }
 }
