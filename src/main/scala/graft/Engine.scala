@@ -66,10 +66,23 @@ final class Engine(val spark: SparkSession) {
     * reference's flagship DML (flink-ddl.sql:179-259) — either appends
     * into a parquet-registered table (static targets) or registers a
     * continuous view on the attached streaming session (dynamic targets,
-    * reference entry point 1, README.md:342-345). Everything else plans
-    * through stock Catalyst. */
-  def sql(stmt: String): DataFrame =
-    graft.streaming.SqlInsert.parse(stmt) match {
+    * reference entry point 1, README.md:342-345).
+    * `CREATE TABLE <new> [WITH (...)] LIKE <src> [(INCLUDING|EXCLUDING
+    * OPTIONS)]` — the reference's definition-clone DDL (README.md:215-225
+    * EXCLUDING, :252-254 INCLUDING) — mutates only the session catalog,
+    * like Flink (README.md:342: DDL creates session metadata, no job).
+    * Everything else plans through stock Catalyst. */
+  def sql(stmt: String): DataFrame = stmt match {
+    case Engine.CreateLike(newName, withOpts, src, mode) =>
+      val overrides = Option(withOpts).toSeq.flatMap(
+        Engine.OptionPair.findAllMatchIn(_).map(m => m.group(1) -> m.group(2)))
+      val base =
+        if (mode != null && mode.equalsIgnoreCase("INCLUDING"))
+          catalog.get(src).map(_.options).getOrElse(Map.empty)
+        else Map.empty[String, String] // EXCLUDING is Flink's default-ish safe clone
+      registerLike(newName, src, base ++ overrides)
+      spark.emptyDataFrame
+    case _ => graft.streaming.SqlInsert.parse(stmt) match {
       case Some((target, select)) =>
         catalog.get(target) match {
           case Some(spec)
@@ -89,10 +102,19 @@ final class Engine(val spark: SparkSession) {
         }
       case None => spark.sql(stmt)
     }
+  }
 }
 
 object Engine {
   def apply(spark: SparkSession): Engine = new Engine(spark)
+
+  /** `CREATE TABLE <new> [WITH ('k'='v', ...)] LIKE <src>
+    * [(INCLUDING|EXCLUDING OPTIONS)]` (reference README.md:215-225). */
+  private val CreateLike =
+    ("""(?is)^\s*CREATE\s+TABLE\s+`?([\w.]+)`?\s*""" +
+      """(?:WITH\s*\(([^)]*)\)\s*)?LIKE\s+`?([\w.]+)`?\s*""" +
+      """(?:\(\s*(INCLUDING|EXCLUDING)\s+OPTIONS\s*\))?\s*;?\s*$""").r
+  private val OptionPair = """'([^']*)'\s*=\s*'([^']*)'""".r
 
   /** Session factory with the scale-aware defaults every entry point uses.
     * AQE on (runtime re-plan: skew-join split, shuffle coalescing), UTC for

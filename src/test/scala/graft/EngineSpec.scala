@@ -41,4 +41,27 @@ class EngineSpec extends SparkSuite {
     assert(engine.sql("SELECT count(*) FROM orders_sf001").as[Long].head() ==
       engine.sql("SELECT count(*) FROM orders").as[Long].head())
   }
+
+  test("CREATE TABLE ... LIKE as a statement (reference README.md:215-225)") {
+    val engine = Engine(spark)
+    engine.registerParquet("orders", dir, primaryKey = Seq("o_orderkey"))
+
+    // the reference's EXCLUDING form, near-verbatim (new options only)
+    engine.sql("CREATE TABLE order_cdc2 WITH ('topic' = 'shard1.ec.orders', " +
+      "'scan.startup.mode' = 'earliest-offset') LIKE orders (EXCLUDING OPTIONS)")
+    val c2 = engine.catalog.get("order_cdc2").get
+    assert(c2.schema == engine.catalog.get("orders").get.schema)
+    assert(c2.options == Map("topic" -> "shard1.ec.orders",
+      "scan.startup.mode" -> "earliest-offset"))
+
+    // INCLUDING keeps base options, overrides merge on top; a path
+    // override re-points the readable view
+    engine.sql("CREATE TABLE orders_inc WITH " +
+      s"('path' = '/root/testdata/sf0.001/orders.parquet') " +
+      "LIKE orders (INCLUDING OPTIONS)")
+    val inc = engine.catalog.get("orders_inc").get
+    assert(inc.options("connector") == "parquet")
+    assert(engine.sql("SELECT count(*) FROM orders_inc").as[Long].head() ==
+      engine.sql("SELECT count(*) FROM orders").as[Long].head())
+  }
 }
