@@ -112,4 +112,16 @@ class KMeansSpec extends SparkSuite {
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     assert(got.size == 4)
   }
+
+  test("save/load round-trips the model; assignments identical") {
+    val vecs = points.map(p => (p._1, p._2)).toDF("vec_id", "v")
+    val model = KMeans.fit(vecs, k = 3, maxIters = 5)
+    val path = tmpDir("kmeans-model") + "/m"
+    model.save(spark, path)
+    val loaded = KMeans.loadModel(spark, path)
+    assert(loaded.centroids == model.centroids) // exact doubles, not approx
+    val a = model.assign(vecs).as[(Long, Int, Double)].collect().toSet
+    val b = loaded.assign(vecs).as[(Long, Int, Double)].collect().toSet
+    assert(a == b)
+  }
 }
