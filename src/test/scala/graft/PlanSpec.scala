@@ -62,6 +62,32 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q54: LM tables aggregate map-side; no window in the scoring path") {
+    val p = plan("q54_lm_score")
+    assert(p.contains("partial_count"), p) // LM counts combine before shuffle
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q56: exact percentiles plan as partial+final aggregation, not a global sort") {
+    val p = plan("q56_length_percentiles")
+    assert(p.contains("partial_percentile"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q57: centroids broadcast back; distance pass never shuffles twice") {
+    val p = plan("q57_cluster_diagnostics")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_avg"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q59: window self-join is keyed, never nested-loop") {
+    val p = plan("q59_substring_dup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q58: bucketed join + aggregation runs with ZERO Exchange") {
     val p = plan("q58_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
