@@ -144,6 +144,11 @@ object Engine {
     if (!sys.props.contains("spark.sql.warehouse.dir"))
       builder.config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    // Native functions (rolling_hash, dot_product, word_shingles,
+    // char_grams) as SQL names; a user-supplied extensions list wins (it
+    // can include graft.GraftExtensions itself).
+    if (!sys.props.contains("spark.sql.extensions"))
+      builder.config("spark.sql.extensions", "graft.GraftExtensions")
     // Only default the master when none was supplied: spark-submit --master
     // sets the spark.master system property, and a builder-set master would
     // override it — which would pin this entry point to single-node forever.

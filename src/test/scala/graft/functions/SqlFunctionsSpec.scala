@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The injected SQL names resolve and agree with the Column API
+  * ([[graft.GraftExtensions]]). */
+class SqlFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("rolling_hash / word_shingles / char_grams resolve in spark.sql") {
+    Seq(("a b c a b c", Seq(1.0, 2.0)), ("x y", Seq(0.5, -1.0)))
+      .toDF("text", "v").createOrReplaceTempView("sqlfn_t")
+
+    val viaSql = spark.sql(
+      """SELECT rolling_hash(text) AS fp,
+        |       word_shingles(text, 2) AS ws,
+        |       char_grams(text, 3) AS cg,
+        |       dot_product(v, v) AS dp
+        |FROM sqlfn_t""".stripMargin)
+      .as[(Long, Seq[String], Seq[String], Double)].collect().toSet
+
+    val viaCols = spark.table("sqlfn_t").select(
+      RollingHash(col("text")).as("fp"),
+      NGrams.wordShingles(col("text"), 2).as("ws"),
+      NGrams.charGrams(col("text"), 3).as("cg"),
+      DotProduct(col("v"), col("v")).as("dp"))
+      .as[(Long, Seq[String], Seq[String], Double)].collect().toSet
+
+    assert(viaSql == viaCols)
+    assert(viaSql.exists(_._2 == Seq("a b", "b c", "c a")))
+  }
+
+  test("non-literal n is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, length(text)) FROM sqlfn_t")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal integer"))
+  }
+}
