@@ -391,6 +391,50 @@ object TextAnalysis {
             col("total_chars"))
     },
 
+    /** BM25 retrieval scoring against a fixed query — the ranking
+      * function a curation team uses to pull topic-relevant documents
+      * out of a raw corpus (k1 = 1.2, b = 0.75, the standard Robertson
+      * parameters; idf in the +1 form so every matching term scores
+      * positive). Shape at scale: tf is the one corpus-wide shuffle
+      * (map-side combinable); the query-term list, their document
+      * frequencies, and the corpus stats are all tiny BROADCASTs, and
+      * docs without a query term drop at the broadcast join — the final
+      * per-doc sum aggregates ≤ |query| rows per document. */
+    QueryDef("q60_bm25",
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(['data', 'vector', 'window']) AS term),
+        |df AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt ON tf.term = qt.term GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |         (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        |       FROM tf JOIN df ON tf.term = df.term
+        |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+        |SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc GROUP BY 1
+        |""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      import s.implicits._
+      val qt = Seq("data", "vector", "window").toDF("term")
+      val words = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val dfreq = tf.join(broadcast(qt), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") +
+              lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("s"))
+        .groupBy("doc_id").agg(round(sum("s"), 6).as("bm25"))
+    },
+
     /** Exact length percentiles per language (p50/p90/p99) — the
       * corpus-shape numbers a curation report quotes. Spark's exact
       * `percentile` and DuckDB's `quantile_cont` share the same
