@@ -371,26 +371,31 @@ object Dedup {
       * (long verbatim runs mean copied text even when the documents as a
       * whole differ). Unlike the probabilistic members of this family
       * (q21–q23) this one is EXACT and needs no verify step: the window
-      * hash IS the evidence. Shape at scale: windows hash to 32-byte md5
-      * keys before the self-join, so the shuffle carries (doc_id, hash)
-      * pairs — never text — and join work is ∝ hash collisions (true
-      * shared windows), never n². Window extraction is the native
-      * [[graft.functions.CharGrams]] tight loop. */
+      * IS the evidence. Shape at scale: the self-join is keyed on the
+      * 50-char window itself — (doc_id, window) rows, never full texts —
+      * and join work is ∝ window collisions (true shared runs), never
+      * n². (Hashing windows to md5 first, as the streaming form's STATE
+      * table does for fixed-width keys, was measured 3× slower here: the
+      * per-window digest dominates the narrower shuffle.) Window
+      * extraction is the native [[graft.functions.CharGrams]] tight
+      * loop. */
     QueryDef("q59_substring_dup",
       """WITH s AS (SELECT doc_id, unnest(CASE WHEN length(text) <= 50 THEN [text]
         |      ELSE list_distinct(list_transform(range(length(text)-49),
-        |        i -> substr(text, i+1, 50))) END) AS g FROM documents),
-        |h AS (SELECT doc_id, md5(g) AS h FROM s)
+        |        i -> substr(text, i+1, 50))) END) AS g FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_windows
-        |FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        |FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      // keyed self-join on the window string (the collect-members-and-
+      // pair-within-group alternative was measured 2× slower here:
+      // collect_list gets no map-side combine, and the join side hashes
+      // fast)
       val grams = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.NGrams.charGrams(col("text"), 50)).as("g"))
-        .select(col("doc_id"), md5(col("g")).as("h"))
-      val a = grams.select(col("doc_id").as("doc_a"), col("h"))
-      val b = grams.select(col("doc_id").as("doc_b"), col("h"))
-      a.join(b, Seq("h"))
+      val a = grams.select(col("doc_id").as("doc_a"), col("g"))
+      val b = grams.select(col("doc_id").as("doc_b"), col("g"))
+      a.join(b, Seq("g"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared_windows"))
