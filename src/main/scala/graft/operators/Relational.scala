@@ -481,6 +481,46 @@ object Relational {
           round(sum("l_quantity"), 6).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
             .as("revenue"))
-    }
+    },
+
+    /** Skew-salted fact join: the manual fix for a hot join key that a
+      * single reducer cannot hold — the probe side (lineitem) adds a
+      * deterministic salt in 0..7, the build side (orders) replicates
+      * each row across all 8 salts via `explode(sequence)`, and the join
+      * key becomes (orderkey, salt) so one hot order's rows spread over
+      * 8 reducers instead of melting one. The salt never reaches the
+      * output (grouped away), so results are IDENTICAL to the plain
+      * join — which is exactly what the oracle runs. At 100 TB this is
+      * the insurance for known-hot keys; for skew discovered at runtime,
+      * AQE's skew-join split (`spark.sql.adaptive.skewJoin`) does the
+      * same split without the 8× build-side replication, so prefer AQE
+      * unless the skew is extreme and known in advance (reference motive:
+      * the two-level salted agg, flink-ddl.sql:197-211, applied to a
+      * join). PlanSpec pins the salted plan (join keys include the salt)
+      * and result equality with the unsalted join. */
+    QueryDef("q64_salted_join",
+      "SELECT o_orderstatus, count(*) AS n_items, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1") { (s, dir) => saltedJoinAgg(s, dir) }
   )
+
+  /** q64's plan, exposed for PlanSpec's salted-key assertion. Salt is
+    * derived from `l_linenumber` (deterministic, uniform over the ≤7
+    * line numbers plus price cents) rather than `rand()` so replays and
+    * retried tasks salt identically. */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    val items = t(s, dir, "lineitem").withColumn("salt",
+      pmod(col("l_linenumber") + (col("l_extendedprice") * 100).cast("long"),
+        lit(nSalt)).cast("int"))
+    val orders = t(s, dir, "orders").withColumn("salt",
+      explode(sequence(lit(0), lit(nSalt - 1))))
+    orders.join(items,
+        col("o_orderkey") === col("l_orderkey") && orders("salt") === items("salt"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+  }
 }

@@ -456,6 +456,93 @@ object TextAnalysis {
             round(percentile(len, lit(0.5)), 6).as("p50"),
             round(percentile(len, lit(0.9)), 6).as("p90"),
             round(percentile(len, lit(0.99)), 6).as("p99"))
+    },
+
+    /** Overlapping-window document chunking — the context-window prep
+      * step that turns raw documents into trainable samples (chunk size
+      * 200 chars, stride 150, so consecutive chunks share a 50-char
+      * overlap; a doc shorter than one window yields exactly one chunk).
+      * Shape at scale: a pure narrow transform — `sequence`+`explode`
+      * runs inside the scan stage with NO shuffle, output is bounded at
+      * (size/stride)× input, and the substring arithmetic is whole-stage
+      * codegen'd. Chunk count = ⌈(len − size)/stride⌉ + 1, floored at 1. */
+    QueryDef("q61_doc_chunks",
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        greatest(1, CAST(ceil((len - 200) / 150.0) AS BIGINT) + 1) AS nc
+        |      FROM d),
+        |u AS (SELECT doc_id, text, unnest(range(nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |       substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk
+        |FROM u""".stripMargin
+        .replace("\n", " ")) { (s, dir) =>
+      val len = length(col("text")).cast("long")
+      val n = greatest(lit(1L), ceil((len - 200) / 150.0).cast("long") + 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), n - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          substring(col("text"), (col("chunk_id") * 150 + 1).cast("int"), lit(200))
+            .as("chunk"))
+    },
+
+    /** Corpus heavy hitters: the top-25 most frequent tokens with a
+      * deterministic (count DESC, token ASC) tie-break — the vocabulary
+      * report driving tokenizer and stopword decisions. Shape at scale:
+      * the groupBy is map-side combinable (the shuffle carries (token,
+      * partial count), never text), and orderBy+limit plans as
+      * TakeOrderedAndProject — each partition ships only its local
+      * top-25, the driver never sees the full vocabulary. */
+    QueryDef("q62_top_tokens",
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+        |SELECT token, count(*) AS cnt FROM w GROUP BY 1
+        |ORDER BY cnt DESC, token LIMIT 25""".stripMargin
+        .replace("\n", " ")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(25)
+    },
+
+    /** Greedy sequence packing: chunk-free token-budget packing that
+      * assigns each document a (bucket, pack) slot such that consecutive
+      * documents within a bucket fill a 512-token training sequence —
+      * the batch-composition step between curation and tokenization.
+      * Deterministic: docs are hash-bucketed (64 buckets) and packed in
+      * doc_id order by a running token total, so the same corpus always
+      * packs identically (reshuffle-stable, like q34's split). Shape at
+      * scale: ONE hash-partitioned sort (the window), each bucket packs
+      * independently in parallel — no driver sequencing; oversized docs
+      * (> budget) get a pack of their own rather than stalling the fill.
+      * Window semantics are identical in Spark and DuckDB (running sum
+      * with ROWS UNBOUNDED PRECEDING), and bucketing uses the md5-prefix
+      * portable hash (q34's recipe), so the gate hash-matches. */
+    QueryDef("q63_seq_pack",
+      """WITH d AS (SELECT doc_id,
+        |        CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS bucket,
+        |        least(len(regexp_split_to_array(trim(text), '\s+')), 512) AS n_tok
+        |      FROM documents),
+        |c AS (SELECT doc_id, bucket, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT doc_id, bucket, n_tok,
+        |       CAST((cum - 1) // 512 AS BIGINT) AS pack_id FROM c""".stripMargin
+        .replace("\n", " ")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nTok =
+        least(size(split(trim(col("text")), "\\s+")), lit(512)).cast("long")
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(64L)).as("bucket"),
+          nTok.as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("bucket"), col("n_tok"),
+          floor((col("cum") - 1) / 512).as("pack_id"))
     }
   )
 }

@@ -110,4 +110,35 @@ class PlanSpec extends SparkSuite {
       .collect().toSet
     assert(bucketed == plain)
   }
+
+  test("q61: chunking is a pure narrow transform — zero Exchange") {
+    val p = plan("q61_doc_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q62: top tokens plan as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q62_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p) // map-side combine before shuffle
+  }
+
+  test("q64: salted join keys include the salt; result equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q64_salted_join")
+    // the equi-join condition must carry the salt column next to the key
+    assert(p.contains("salt"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    val salted = SparkEntry.queries("q64_salted_join")(spark, dir)
+      .collect().toSet
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+    val l = graft.sources.Tables.load(spark, dir, "lineitem")
+    val plain = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+      .collect().toSet
+    assert(salted == plain)
+  }
 }

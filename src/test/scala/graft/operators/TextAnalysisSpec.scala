@@ -61,4 +61,78 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "en",
       5L -> "zh", 6L -> "unknown"))
   }
+
+  private def docsDir(prefix: String, docs: Seq[(Long, String)]): String = {
+    val dir = tmpDir(prefix)
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q61 chunks: count formula, overlap reconstruction, short-doc floor") {
+    // lengths: under one window (1 chunk), exactly one window (1),
+    // one char past a stride boundary, and a multi-chunk doc
+    val texts = Seq(
+      1L -> ("a" * 48),
+      2L -> (("ab" * 100)),                    // len 200 → 1 chunk
+      3L -> ("x" * 201),                       // → 2 chunks
+      4L -> (1 to 120).map(i => s"w$i").mkString(" ")) // multi-chunk
+    val dir = docsDir("chunks", texts)
+    val out = graft.SparkEntry.queries("q61_doc_chunks")(spark, dir)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._2).map(_._3).toList }
+    val byId = texts.toMap
+    for ((id, text) <- texts) {
+      val expected = math.max(1, math.ceil((text.length - 200) / 150.0).toLong + 1)
+      assert(out(id).length == expected, s"doc $id: ${out(id).length}")
+      // stitching chunk 0 + the non-overlap tail of each later chunk
+      // reconstructs the document exactly
+      val stitched = out(id).head + out(id).tail.map(_.drop(50)).mkString
+      assert(stitched == text, s"doc $id reconstruction")
+      // every chunk except the last is full-width
+      out(id).init.foreach(c => assert(c.length == 200))
+    }
+    assert(out(1L) == List(byId(1L)) && out(2L) == List(byId(2L)))
+  }
+
+  test("q62 top tokens: exact counts, count-desc token-asc tie-break, limit") {
+    // 30 distinct tokens: t01..t30 where t_k appears k times, except
+    // t05/t06 tied at 5 to pin the tie-break
+    val words = ((1 to 30).filter(_ != 6).flatMap(k =>
+      List.fill(k)(f"t$k%02d")) ++ List.fill(5)("t06"))
+    val dir = docsDir("toptok", Seq(1L -> words.mkString(" ")))
+    val out = graft.SparkEntry.queries("q62_top_tokens")(spark, dir)
+      .as[(String, Long)].collect().toList
+    assert(out.length == 25)
+    assert(out.head == ("t30", 30L))
+    // t07..t30 (24 tokens, counts > 5) fill the first 24 slots; the tie
+    // at count 5 breaks token-ASC at the LIMIT boundary: t05 takes the
+    // 25th slot, t06 deterministically falls off
+    assert(out.last == ("t05", 5L))
+    assert(!out.exists(t => Set("t01", "t02", "t03", "t04", "t06")(t._1)))
+  }
+
+  test("q63 seq pack: perfect fill density and deterministic assignment") {
+    val out = graft.SparkEntry.queries("q63_seq_pack")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((bucket, docs) <- out.groupBy(_._2)) {
+      val total = docs.map(_._3).sum
+      val nPacks = docs.map(_._4).distinct.length
+      // contiguous-fill property: the bucket uses exactly
+      // ceil(total/512) sequences — zero fragmentation
+      assert(nPacks == math.ceil(total / 512.0).toLong,
+        s"bucket $bucket: $nPacks packs for $total tokens")
+      assert(docs.map(_._4).min == 0L)
+    }
+    // deterministic: a rerun assigns identical slots
+    val again = graft.SparkEntry.queries("q63_seq_pack")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
 }
