@@ -463,14 +463,17 @@ object Dedup {
     * so labels read off directly. Output schema and values are identical
     * to [[clusterPairs]] (pinned by DedupSpec equality tests).
     *
-    * Measured trade (sf0.1, 256 pairs, max component size 4): star runs
-    * ~0.2 s slower than propagation — its per-round plan is heavier (two
-    * join+agg phases vs one) and this corpus's diameter-2 components
-    * don't need the logarithmic round count. q36 still uses star: the
-    * shallow-graph penalty is a constant ~25% of the cluster step, while
-    * propagation's diameter dependence is unbounded (a 500-link chain of
-    * near-dups — common in scraped corpora via chained small edits —
-    * costs 500 shuffle rounds vs ~9). */
+    * Measured (sf0.1, 256 pairs, max component size 4; single-query
+    * repeat harness `BenchOne`, 6 runs warm): star median 2.3 s vs
+    * propagation 7.5 s — even on this shallow diameter-2 graph star's
+    * fewer, flatter rounds beat propagation's per-round checkpoint
+    * cadence, and propagation's diameter dependence is additionally
+    * unbounded (a 500-link chain of near-dups — common in scraped
+    * corpora via chained small edits — costs 500 shuffle rounds vs ~9).
+    * A persist-before-checkpoint variant of the round loop was also
+    * measured and REJECTED: the LSH ladder's internal caches already
+    * make the checkpoint's second computation cheap, and the extra
+    * columnar-cache churn cost ~0.9 s/query. */
   def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     val (stars, _, edges0) = starContract(pairs, maxRounds)
     // node set from the CHECKPOINTED canonical edges, not from `pairs`:
