@@ -500,7 +500,8 @@ object Relational {
       * and result equality with the unsalted join. */
     QueryDef("q64_salted_join",
       "SELECT o_orderstatus, count(*) AS n_items, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) " +
+        "AS DOUBLE) AS revenue " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
         "GROUP BY 1") { (s, dir) => saltedJoinAgg(s, dir) }
   )
@@ -516,11 +517,21 @@ object Relational {
         lit(nSalt)).cast("int"))
     val orders = t(s, dir, "orders").withColumn("salt",
       explode(sequence(lit(0), lit(nSalt - 1))))
-    orders.join(items,
+    // shuffle_hash hint: salting only has meaning for a SHUFFLED join
+    // (the hot key's rows must spread across reducers); left alone,
+    // Catalyst broadcasts the replicated build side — which both defeats
+    // the demonstration and was measured 4× slower (a 1.2M-row broadcast
+    // build on the driver vs a 32-way partitioned hash join)
+    // the revenue sum aggregates ~20k doubles per status group at 1e9
+    // magnitude: double summation order (which the salted shuffle
+    // changes) moves the result past any fixed rounding, so the sum runs
+    // over exact DECIMAL — order-independent, hence identical to the
+    // oracle's sequential sum — and casts back to double at the end
+    orders.hint("shuffle_hash").join(items,
         col("o_orderkey") === col("l_orderkey") && orders("salt") === items("salt"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-          .as("revenue"))
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
   }
 }

@@ -126,8 +126,12 @@ class PlanSpec extends SparkSuite {
   test("q64: salted join keys include the salt; result equals the plain join") {
     import org.apache.spark.sql.functions._
     val p = plan("q64_salted_join")
-    // the equi-join condition must carry the salt column next to the key
+    // the equi-join condition must carry the salt column next to the key,
+    // and the join must be SHUFFLED — a broadcast join would make the
+    // salt meaningless (no reducer-side key concentration to spread)
     assert(p.contains("salt"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     val salted = SparkEntry.queries("q64_salted_join")(spark, dir)
       .collect().toSet
@@ -136,8 +140,8 @@ class PlanSpec extends SparkSuite {
     val plain = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-          .as("revenue"))
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
       .collect().toSet
     assert(salted == plain)
   }
