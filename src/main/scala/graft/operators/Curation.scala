@@ -70,12 +70,15 @@ object Curation {
       val bucket = pmod(
         conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
         lit(100L))
+      // both the holdout and train branches read the same exploded gram
+      // frame — persist so the 5-gram extraction pass runs once
       val grams = t(s, dir, "documents")
         .select(col("doc_id"),
           when(bucket < 90, "train").when(bucket < 95, "val")
             .otherwise("test").as("split"),
           explode(graft.functions.NGrams.wordShingles(col("text"), 5))
             .as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val holdout = grams.filter(col("split").isin("val", "test"))
         .select("g").distinct()
       // per-doc gram lists are already distinct (wordShingles), so this

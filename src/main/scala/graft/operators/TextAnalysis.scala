@@ -229,7 +229,10 @@ object TextAnalysis {
       val docs = t(s, dir, "documents")
       val words = docs.select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
+      // tf feeds both the document-frequency aggregate and the scoring
+      // join — persist so the explode+count pass runs once
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf
@@ -351,10 +354,13 @@ object TextAnalysis {
         |GROUP BY b.doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val w = split(trim(col("text")), "\\s+")
       val m = greatest(size(w) - 1, lit(0))
+      // the exploded bigram frame feeds BOTH the LM count table and the
+      // scoring join — persist so the explode pass runs once
       val bigrams = t(s, dir, "documents").select(
         col("doc_id"),
         explode(zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lm = bigrams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
       val pre = lm
         .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
@@ -416,9 +422,13 @@ object TextAnalysis {
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
       import s.implicits._
       val qt = Seq("data", "vector", "window").toDF("term")
+      // words feeds tf AND dl; tf feeds df AND scoring — persist both so
+      // the corpus tokenization and the tf shuffle each run once
       val words = t(s, dir, "documents").select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       val dfreq = tf.join(broadcast(qt), "term")
