@@ -169,6 +169,40 @@ object StreamingBm25 {
     })
   }
 
+  /** Register a query term AFTER the fact: one pass over the CURRENT
+    * document state builds the term's sharded postings — the backfill
+    * path for extending the registered vocabulary (the index view's
+    * per-batch maintenance only tracks ITS vocab, so the workflow is:
+    * stop the stream, re-register the view with the extended vocab,
+    * backfill the new term, restart — postings stay current from there).
+    * `docs` is the pipeline's materialized document state
+    * ([[CdcPipeline.state]]); the full-scan cost is the honest price of
+    * a late registration and is paid exactly once per new term. Runs
+    * outside any batch, so no batchId: a rerun recomputes the same rows
+    * deterministically (value-idempotent). dl and corpus stats need no
+    * backfill — they are vocabulary-independent. */
+  def backfill(
+      spark: SparkSession, stateDir: String, term: String, docs: DataFrame,
+      name: String = "bm25_index", textCol: String = "text",
+      nShards: Int = 4, buckets: Int = 32): Unit = {
+    val postTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-postings", "key", buckets)
+    val tf = docs
+      .select(col("key").as("doc"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") === term)
+      .groupBy("doc").agg(count(lit(1)).as("tf"))
+    val rows = tf
+      .select(concat_ws("|", lit(term), shardOf(col("doc"), nShards)).as("key"),
+        col("doc"), col("tf"))
+      .groupBy("key")
+      .agg(collect_list(struct(col("doc"), col("tf"))).as("postings"))
+    val allKeys = spark.createDataFrame(
+      (0 until nShards).map(s => Tuple1(s"$term|$s"))).toDF("key")
+    val emptied = allKeys.join(rows.select("key"), Seq("key"), "left_anti")
+    postTable.merge(rows, emptied, None)
+  }
+
   /** BM25 top scores from the maintained index — identical formula and
     * rounding to batch q60 (k1 = 1.2, b = 0.75, +1-form idf), so the
     * result equals a q60 recompute over the current corpus restricted to

@@ -95,6 +95,64 @@ class StreamingBm25Spec extends SparkSuite {
     assert(docs.keys.exists(_.startsWith("vector|")))
   }
 
+  test("backfill registers a late query term; stream continues with the extended vocab") {
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("sbm25-backfill")
+    val vocab0 = Seq("data", "vector", "window")
+    val pipeline0 = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingBm25.indexView(spark, stateDir, vocab0)))
+    pipeline0.processBatch(Seq(
+      create("b1", "data filler filler one"),
+      create("b2", "filler vector filler"),
+      create("b3", "plain words")).toDF("table", "value", "seq"), Some(0L))
+
+    // late registration of 'filler': one pass over current doc state
+    StreamingBm25.backfill(spark, stateDir, "filler",
+      pipeline0.state("documents").select(col("key"), col("text")))
+    val vocab1 = vocab0 :+ "filler"
+
+    // the batch query with the extended term set over the same corpus
+    def batchExtended(p: CdcPipeline): Map[String, Double] = {
+      val dir = tmpDir("bm25-batch-ext")
+      p.state("documents").select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      import graft.sources.Tables
+      val words = Tables.load(spark, dir, "documents").select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val qt = vocab1.toDF("term")
+      val dfreq = tf.join(broadcast(qt), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("s"))
+        .groupBy("doc_id").agg(round(sum("s"), 6).as("bm25"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+
+    def searchExt(): Map[String, Double] =
+      StreamingBm25.search(spark, stateDir, vocab1)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    assertSameScores(searchExt(), batchExtended(pipeline0), "post-backfill")
+
+    // re-registered view with the extended vocab keeps 'filler' current
+    val pipeline1 = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingBm25.indexView(spark, stateDir, vocab1)))
+    pipeline1.processBatch(Seq(
+      update("b3", "plain words", "filler data plain"),
+      delete("b2", "filler vector filler")).toDF("table", "value", "seq"),
+      Some(1L))
+    assertSameScores(searchExt(), batchExtended(pipeline1), "post-extend batch")
+  }
+
   test("replayed batch is idempotent across all three state stores") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("sbm25-replay")
