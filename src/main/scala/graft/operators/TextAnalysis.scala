@@ -133,7 +133,7 @@ object TextAnalysis {
     },
 
     /** Token counting two ways: whitespace tokens and a BPE-ish subword
-      * estimate (每 word contributes ceil(len/4) subword units — the
+      * estimate (each word contributes ceil(len/4) subword units — the
       * deterministic stand-in for a real BPE vocab merge count). */
     QueryDef("q32_token_count",
       """SELECT doc_id,
