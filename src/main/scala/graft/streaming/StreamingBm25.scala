@@ -79,6 +79,29 @@ object StreamingBm25 {
 
     ViewDef(name, (pre, post, batch, ctx) => {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val touched = batch(table).select("key").distinct().persist(mem)
+      ctx.defer(touched.unpersist())
+      // a batch that touches no documents must not commit anything —
+      // without this, the unconditional stats upsert below would write a
+      // new (identical) version per batch on a multi-source pipeline
+      if (touched.isEmpty) {
+        val none = touched.limit(0).select(col("key").as("id"),
+          lit("").as("postings_csv"))
+        (none, none.select("id"))
+      } else maintainBatch(spark, postTable, dlTable, statsTable, vocab,
+        table, textCol, nShards, pre, post, touched, ctx)
+    })
+  }
+
+  /** The non-empty-batch body of [[indexView]] (split out so the empty
+    * batch can skip every store commit). */
+  private def maintainBatch(
+      spark: SparkSession, postTable: ParquetKeyedTable,
+      dlTable: ParquetKeyedTable, statsTable: ParquetKeyedTable,
+      vocab: Seq[String], table: String, textCol: String, nShards: Int,
+      pre: StateAccess, post: StateAccess, touched: DataFrame,
+      ctx: BatchCtx): (DataFrame, DataFrame) = {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       def pin(t: ParquetKeyedTable): Option[Int] = ctx.batchId match {
         case Some(id) => t.versionBefore(id)
         case None     => t.version
@@ -86,9 +109,6 @@ object StreamingBm25 {
       val prePostV = pin(postTable)
       val preDlV = pin(dlTable)
       val preStatsV = pin(statsTable)
-
-      val touched = batch(table).select("key").distinct().persist(mem)
-      ctx.defer(touched.unpersist())
 
       // 1. tokenize only B's live post images
       val docs = post.rows(table, touched)
@@ -166,7 +186,6 @@ object StreamingBm25 {
         .unionByName(newStats.select(lit("corpus|stats").as("id"),
           concat_ws(":", col("n_docs"), col("total_tok")).as("postings_csv")))
       (upserts, emptied.select(col("key").as("id")))
-    })
   }
 
   /** Register a query term AFTER the fact: one pass over the CURRENT

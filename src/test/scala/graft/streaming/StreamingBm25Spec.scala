@@ -95,6 +95,23 @@ class StreamingBm25Spec extends SparkSuite {
     assert(docs.keys.exists(_.startsWith("vector|")))
   }
 
+  test("a batch touching no documents commits nothing (no stats version churn)") {
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("sbm25-empty")
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingBm25.indexView(spark, stateDir)))
+    pipeline.processBatch(Seq(create("e1", "data vector"))
+      .toDF("table", "value", "seq"), Some(0L))
+    val statsTable =
+      new ParquetKeyedTable(spark, s"$stateDir/bm25_index-stats", "key", 32)
+    val vBefore = statsTable.version
+    // empty batch (no rows at all): every bm25 store must stay untouched
+    pipeline.processBatch(Seq.empty[(String, String, Long)]
+      .toDF("table", "value", "seq"), Some(1L))
+    assert(statsTable.version == vBefore)
+    assertSameScores(searchScores(stateDir), batchScores(pipeline), "post-empty")
+  }
+
   test("backfill registers a late query term; stream continues with the extended vocab") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("sbm25-backfill")
