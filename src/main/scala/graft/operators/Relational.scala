@@ -503,7 +503,31 @@ object Relational {
         "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) " +
         "AS DOUBLE) AS revenue " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
-        "GROUP BY 1") { (s, dir) => saltedJoinAgg(s, dir) }
+        "GROUP BY 1") { (s, dir) => saltedJoinAgg(s, dir) },
+
+    /** PIVOT: per (user, day), event counts spread across one column per
+      * event type — the wide activity matrix BI layers ask for (a §2.4
+      * extension target; the reference has no PIVOT). The pivot value
+      * set is EXPLICIT (Spark's `pivot(col, values)` overload): with
+      * inferred values the planner must first scan for distinct event
+      * types — an extra pass over the fact table — and the output schema
+      * becomes data-dependent, which breaks sinks and the oracle alike.
+      * Plans as ONE partial+final aggregation (pivotfirst), shuffling
+      * only group keys and 5 counters per row. */
+    QueryDef("q65_event_pivot",
+      "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, " +
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"CAST(coalesce(sum(CASE WHEN event_type = '$t' THEN 1 END), 0) " +
+            s"AS BIGINT) AS $t").mkString(", ") +
+        " FROM events GROUP BY 1, 2") { (s, dir) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    }
   )
 
   /** q64's plan, exposed for PlanSpec's salted-key assertion. Salt is

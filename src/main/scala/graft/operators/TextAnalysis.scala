@@ -515,6 +515,35 @@ object TextAnalysis {
         .limit(25)
     },
 
+    /** Curriculum binning: every document assigned to a quality DECILE
+      * (bin 0 = lowest) with per-bin count and mean quality — the
+      * difficulty ladder a curriculum-ordered training run samples from.
+      * Scale shape: deliberately NOT `ntile() OVER (ORDER BY quality)` —
+      * a global-order window funnels the whole corpus through one
+      * partition. Instead the 9 decile boundaries come from the
+      * distributed exact `percentile` aggregate (same engine-identical
+      * interpolation the q56 gate proves), broadcast back, and each doc
+      * counts the boundaries below its score — two scans, zero global
+      * sorts, and the bin rule is pure column arithmetic. */
+    QueryDef("q66_curriculum_bins",
+      (s"WITH s AS (SELECT doc_id, $qualityScoreSql AS q FROM documents), " +
+        "b AS (SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM s) " +
+        "SELECT CAST(len(list_filter(bounds, x -> s.q > x)) AS BIGINT) AS bin, " +
+        "count(*) AS n_docs, round(avg(q), 6) AS avg_quality " +
+        "FROM s, b GROUP BY 1")) { (s, dir) =>
+      val ps = (1 to 9).map(_ / 10.0)
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      val bounds = scored.agg(
+        percentile(col("q"), typedlit(ps)).as("bounds"))
+      scored.crossJoin(broadcast(bounds))
+        .select(col("q"),
+          size(filter(col("bounds"), b => col("q") > b)).cast("long")
+            .as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), round(avg("q"), 6).as("avg_quality"))
+    },
+
     /** Greedy sequence packing: chunk-free token-budget packing that
       * assigns each document a (bucket, pack) slot such that consecutive
       * documents within a bucket fill a 512-token training sequence —

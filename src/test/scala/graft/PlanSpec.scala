@@ -123,6 +123,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), p) // map-side combine before shuffle
   }
 
+  test("q65: pivot plans as one aggregation pass, not one scan per event type") {
+    val p = plan("q65_event_pivot")
+    assert(p.contains("pivotfirst"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q66: decile binning runs without a global-order window") {
+    val p = plan("q66_curriculum_bins")
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("partial_percentile"), p) // distributed boundary agg
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)       // 1-row bounds broadcast back
+  }
+
   test("q64: salted join keys include the salt; result equals the plain join") {
     import org.apache.spark.sql.functions._
     val p = plan("q64_salted_join")
