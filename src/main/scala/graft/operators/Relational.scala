@@ -527,6 +527,27 @@ object Relational {
         .pivot("event_type", types)
         .agg(count(lit(1)))
         .na.fill(0L, types)
+    },
+
+    /** UNPIVOT (q65's inverse): the line item's numeric measures melted
+      * into long (metric, value) rows — the export shape metric stores
+      * and plotting layers ingest. Uses the native `unpivot` operator
+      * (Expand under the hood): a pure narrow transform — each input row
+      * expands to 4 in the scan stage, NO shuffle, no per-metric rescan
+      * (the UNION-ALL-of-4-selects formulation the oracle uses would
+      * scan 4× without Spark's Expand). */
+    QueryDef("q67_metric_melt",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(m =>
+        s"SELECT l_orderkey, l_linenumber, '$m' AS metric, $m AS value " +
+          "FROM lineitem").mkString(" UNION ALL ")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
     }
   )
 

@@ -137,6 +137,13 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastExchange"), p)       // 1-row bounds broadcast back
   }
 
+  test("q67: unpivot is a zero-shuffle Expand, one scan — not 4 unioned scans") {
+    val p = plan("q67_metric_melt")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("q64: salted join keys include the salt; result equals the plain join") {
     import org.apache.spark.sql.functions._
     val p = plan("q64_salted_join")
