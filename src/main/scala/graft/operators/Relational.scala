@@ -548,6 +548,40 @@ object Relational {
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
           "metric", "value")
+    },
+
+    /** LAG inter-event gaps: per user, the count / max / mean of the
+      * nanosecond intervals between consecutive events — the
+      * sessionization primitive behind idle-timeout detection. The
+      * window partitions BY USER (users process in parallel; no global
+      * order — the q66 scaladoc's anti-pattern), ordered by exact int64
+      * MICROSECONDS (DuckDB surfaces the nanos-precision parquet column
+      * at micros, so both engines truncate the raw `ts_ns` identically
+      * and gap arithmetic is exact integer math). Tie-break on event_id:
+      * per-gap values then come from a unique total order, though the
+      * aggregates are already order-invariant over ties (sorted multiset
+      * is unique). */
+    QueryDef("q68_event_gaps",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), " +
+        "g AS (SELECT user_id, tus - lag(tus) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, event_id) AS gap FROM e) " +
+        "SELECT user_id, count(*) AS n_gaps, " +
+        "CAST(max(gap) AS BIGINT) AS max_gap_us, " +
+        "round(avg(gap), 2) AS avg_gap_us " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          // integer div, NOT `/`: double division loses exactness past
+          // 2^53 and epoch nanoseconds are ~1.7e18
+          expr("ts_ns div 1000").as("tus"))
+        .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max("gap").as("max_gap_us"),
+          round(avg("gap"), 2).as("avg_gap_us"))
     }
   )
 

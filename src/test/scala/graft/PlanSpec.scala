@@ -144,6 +144,13 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q68: gap window is PARTITIONED by user — hash exchange, no global sort") {
+    val p = plan("q68_event_gaps")
+    assert(p.contains("Window ["), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("rangepartitioning"), p) // a global sort would use one
+  }
+
   test("q64: salted join keys include the salt; result equals the plain join") {
     import org.apache.spark.sql.functions._
     val p = plan("q64_salted_join")
