@@ -582,6 +582,117 @@ object Relational {
         .agg(count(lit(1)).as("n_gaps"),
           max("gap").as("max_gap_us"),
           round(avg("gap"), 2).as("avg_gap_us"))
+    },
+
+    /** Gap-based sessionization (q68's gaps turned into session rows): a
+      * new session starts at a user's first event or after a ≥12 h idle
+      * gap; each session reports its event count, start, and duration.
+      * The classic two-window formulation — LAG flags session starts,
+      * a running SUM numbers them — runs per-user partitions in
+      * parallel (both windows share ONE partitioning, so the plan pays a
+      * single shuffle and sorts within partitions; no global order).
+      * All arithmetic is exact int64 microseconds (q68's `ts_ns div
+      * 1000` ≡ DuckDB's `epoch_us` identity), so the gate hash-matches
+      * integer-for-integer. */
+    QueryDef("q69_sessionize",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), " +
+        "f AS (SELECT user_id, tus, event_id, CASE WHEN tus - lag(tus) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, event_id) >= 43200000000 " +
+        "OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL " +
+        "THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, tus, CAST(sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS session_id FROM f) " +
+        "SELECT user_id, session_id, count(*) AS n_events, " +
+        "min(tus) AS start_us, CAST(max(tus) - min(tus) AS BIGINT) AS duration_us " +
+        "FROM g GROUP BY 1, 2") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val idleUs = 43200000000L // 12 h
+      val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val running = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("tus"))
+        .withColumn("prev", lag("tus", 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("tus") - col("prev") >= idleUs, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_s").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("tus").as("start_us"),
+          (max("tus") - min("tus")).as("duration_us"))
+    },
+
+    /** Cumulative (running) daily revenue per order status — the
+      * month-to-date series every revenue dashboard plots. Two stages:
+      * a map-side-combinable daily rollup (the shuffle carries one row
+      * per (status, day), never orders), then a running-sum window over
+      * the TINY aggregated series — |status|×|days| rows, partitioned by
+      * status so days of different statuses cumulate in parallel. Sums
+      * run over exact DECIMAL(18,6) (order-independent — the window's
+      * cumulation order and DuckDB's sequential order then agree bit-
+      * for-bit) and cast to double only at the output boundary. */
+    QueryDef("q70_running_revenue",
+      "WITH d AS (SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS day, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1, 2) " +
+        "SELECT o_orderstatus, day, n_orders, CAST(rev AS DOUBLE) AS day_revenue, " +
+        "CAST(sum(rev) OVER (PARTITION BY o_orderstatus ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue FROM d") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderstatus"), col("day"), col("n_orders"),
+          col("rev").cast("double").as("day_revenue"),
+          sum("rev").over(w).cast("double").as("cum_revenue"))
+    },
+
+    /** 7-day trailing moving average of daily event volume — the
+      * smoothed traffic series behind anomaly alerts. The corpus-sized
+      * work is the map-side-combinable daily count; the ROWS 6 PRECEDING
+      * window then runs over the aggregated series (|days| rows — at
+      * 100 TB still only one row per day, so the single-partition window
+      * is bounded by the calendar, not the data; partition by year if a
+      * series ever outgrows one task). Averages of exact int64 counts
+      * over ≤7 rows are exact in both engines. */
+    QueryDef("q71_moving_avg",
+      "WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events " +
+        "FROM events GROUP BY 1) " +
+        "SELECT day, n_events, " +
+        "round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING " +
+        "AND CURRENT ROW), 6) AS ma7 FROM d") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("day"), col("n_events"),
+          round(avg("n_events").over(w), 6).as("ma7"))
+    },
+
+    /** CUBE: all four grouping-set combinations of (returnflag,
+      * linestatus) in ONE pass — subtotals + grand total without
+      * rescanning (q19's ROLLUP sibling; Spark plans both as a single
+      * Expand + partial/final aggregation, so the fact table is read
+      * once and the shuffle carries 4 expanded group rows per input
+      * row's combiner output, not 4 scans). Quantity sums over exact
+      * DECIMAL, cast to double at the boundary. */
+    QueryDef("q75_cube_stats",
+      "SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
     }
   )
 

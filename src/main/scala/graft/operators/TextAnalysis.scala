@@ -582,6 +582,79 @@ object TextAnalysis {
         .withColumn("cum", sum("n_tok").over(w))
         .select(col("doc_id"), col("bucket"), col("n_tok"),
           floor((col("cum") - 1) / 512).as("pack_id"))
+    },
+
+    /** Lexical diversity: per-document type-token ratio (distinct words
+      * / total words) — the repetitiveness signal that catches template
+      * spam and keyboard-mash that q27's adjacent-repetition ratio
+      * misses (e.g. a 2-word loop repeated 100× has TTR ≈ 0.02 but few
+      * ADJACENT repeats). Pure narrow Column arithmetic over the split
+      * array — no shuffle, whole-stage codegen'd; the distinct count
+      * happens inside one row's array, never across rows. */
+    QueryDef("q72_lexical_diversity", {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      s"SELECT doc_id, len($toks) AS n_tokens, " +
+        s"CAST(len(list_distinct($toks)) AS BIGINT) AS n_types, " +
+        s"round(len(list_distinct($toks)) * 1.0 / len($toks), 6) AS ttr " +
+        "FROM documents"
+    }) { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        round(size(array_distinct(toks)) * lit(1.0) / size(toks), 6).as("ttr"))
+    },
+
+    /** Corpus feature correlations per language: Pearson corr between
+      * document length and quality score, plus the length spread — the
+      * sanity report that tells a curation run whether its quality
+      * filter is just a length filter in disguise. corr/stddev are
+      * single-pass co-moment aggregates (partial+final merge — one
+      * shuffle of 4 moments per language, never documents); both engines
+      * share the textbook definition and the result is rounded to 6 so
+      * the ~1e-15 merge-order difference cannot flip the hash. */
+    QueryDef("q73_feature_corr",
+      s"WITH s AS (SELECT lang, length(text) AS len, $qualityScoreSql AS q " +
+        "FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "round(corr(len, q), 6) AS corr_len_quality, " +
+        "round(stddev_samp(len), 6) AS sd_len, " +
+        "round(avg(len), 6) AS avg_len FROM s GROUP BY 1") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).as("len"),
+          qualityScore(col("text")).as("q"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(corr("len", "q"), 6).as("corr_len_quality"),
+          round(stddev_samp("len"), 6).as("sd_len"),
+          round(avg("len"), 6).as("avg_len"))
+    },
+
+    /** Per-source length outliers: documents whose length z-score
+      * (vs their source's mean/stddev) exceeds |1.5| — the truncation/
+      * concatenation-artifact detector a crawl-curation pass runs per
+      * origin. Two scans: a 20-row per-source moment table, broadcast
+      * back onto the corpus (explicit `broadcast()` — the stats side is
+      * |sources| rows at ANY corpus size, so the fact side never
+      * shuffles). The z threshold sits ~12 orders of magnitude above the
+      * engines' 1e-15 moment-merge noise, so the row set is stable. */
+    QueryDef("q74_length_outliers",
+      "WITH st AS (SELECT source, avg(length(text)) AS mu, " +
+        "stddev_samp(length(text)) AS sd FROM documents GROUP BY 1) " +
+        "SELECT doc_id, d.source, length(text) AS len, " +
+        "round((length(text) - mu) / sd, 6) AS z " +
+        "FROM documents d JOIN st ON d.source = st.source " +
+        "WHERE abs((length(text) - mu) / sd) > 1.5") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy("source")
+        .agg(avg(length(col("text"))).as("mu"),
+          stddev_samp(length(col("text"))).as("sd"))
+      val z = (length(col("text")) - col("mu")) / col("sd")
+      docs.join(broadcast(stats), "source")
+        .filter(abs(z) > 1.5)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).as("len"), round(z, 6).as("z"))
     }
   )
 }
