@@ -130,4 +130,36 @@ object Curation {
           TextAnalysis.qualityScore(col("text")).as("quality"))
     }
   )
+
+  /** The write side of the pipeline: materialize the curated corpus as
+    * a hive-partitioned parquet layout `split=…/lang=…/` — the output
+    * contract a downstream tokenizer/trainer consumes with partition
+    * pruning (`WHERE split='train' AND lang='en'` reads only that
+    * directory, zero data skipped-then-filtered).
+    *
+    * Layout discipline at 100 TB:
+    *  - `repartition(partition cols)` BEFORE the write: without it every
+    *    task holding rows of a (split, lang) opens its own file there —
+    *    tasks × partitions small files, the classic output explosion.
+    *    With it, each hive partition is written by the task(s) that own
+    *    it. (If one partition dwarfs the rest, add a salt column to the
+    *    repartition — more writer tasks for that partition only.)
+    *  - `maxRecordsPerFile` bounds file size so a giant partition still
+    *    splits into scan-parallel files.
+    *  - `sortWithinPartitions(doc_id)` gives each file a sorted doc_id
+    *    run → parquet min/max row-group stats make point lookups and
+    *    range scans by doc_id skip whole files.
+    */
+  def exportCorpus(s: SparkSession, dir: String, outPath: String,
+      maxRecordsPerFile: Long = 1000000): Unit = {
+    val curated = queries.find(_.name == "q39_curated_corpus").get.build(s, dir)
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    curated.join(docs, "doc_id")
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("split", "lang")
+      .parquet(outPath)
+  }
 }

@@ -655,6 +655,38 @@ object TextAnalysis {
         .filter(abs(z) > 1.5)
         .select(col("doc_id"), col("source"),
           length(col("text")).as("len"), round(z, 6).as("z"))
+    },
+
+    /** Sketch-based corpus report: per-language approximate distinct
+      * token count (HyperLogLog++, rsd 2%) and approximate length
+      * percentiles (the Greenwald-Khanna quantile summary behind
+      * `approx_percentile`, accuracy 10k). This is the 100 TB form of
+      * q56/q62's exact versions: exact distinct shuffles every (lang,
+      * token) pair and exact percentile sorts each group's values,
+      * while both sketches reduce each partition to a KB-sized summary
+      * that merges associatively — the shuffle is |languages| ×
+      * sketch_size regardless of corpus size. No DuckDB oracle (sketch
+      * estimates are engine-specific by construction); the spec pins
+      * each estimate against its exact counterpart (HLL within its 3σ
+      * rsd band, quantiles within the documented rank-error bound). */
+    QueryDef.noOracle("q76_approx_stats") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // vocab sketch over the exploded token stream; length sketch over
+      // the per-DOC frame (exploding first would token-weight the
+      // quantiles) — two partial+final aggs, then a join of two
+      // |languages|-row results
+      val vocab = docs
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          approx_count_distinct(col("token"), 0.02).as("approx_vocab"))
+      val lens = docs
+        .select(col("lang"), length(col("text")).as("len"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          approx_percentile(col("len"), typedlit(Seq(0.5, 0.9, 0.99)),
+            lit(10000)).as("approx_len_pcts"))
+      vocab.join(lens, "lang")
     }
   )
 }

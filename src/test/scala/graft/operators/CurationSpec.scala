@@ -43,4 +43,43 @@ class CurationSpec extends SparkSuite {
     assert(splits.subsetOf(Set("train", "val", "test")))
     curated.unpersist(); clusters.unpersist()
   }
+
+  test("exportCorpus: hive layout, bounded sorted files, lossless round-trip") {
+    val out = tmpDir("export")
+    Curation.exportCorpus(spark, dir, out, maxRecordsPerFile = 50)
+
+    // hive-partitioned directories, nothing else at the top level
+    val top = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(top.nonEmpty && top.forall(_.matches("split=(train|val|test)")))
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("split=")).flatMap(_.listFiles())
+      .filter(_.isDirectory)
+    assert(langDirs.nonEmpty && langDirs.forall(_.getName.matches("lang=\\w+")))
+
+    // every data file respects maxRecordsPerFile and is doc_id-sorted
+    for (f <- langDirs.flatMap(_.listFiles())
+        if f.getName.endsWith(".parquet")) {
+      val ids = spark.read.parquet(f.getPath)
+        .select("doc_id").as[Long].collect()
+      assert(ids.length <= 50, s"${f.getName}: ${ids.length} rows")
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+    }
+
+    // round trip: partition columns come back, content matches q39 ∪ docs
+    val back = spark.read.parquet(out)
+    val expected = queries("q39_curated_corpus")(spark, dir)
+      .join(graft.sources.Tables.load(spark, dir, "documents")
+        .select("doc_id", "text", "lang"), "doc_id")
+    assert(back.count() == expected.count())
+    assert(back.select("doc_id", "text", "lang", "split", "quality")
+      .exceptAll(expected.select("doc_id", "text", "lang", "split", "quality"))
+      .isEmpty)
+    // partition pruning serves a split/lang slice from its directory only
+    val pruned = back.filter(col("split") === "train" && col("lang") === "en")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }).sum
+    assert(scanned == 1, s"expected 1 pruned partition, scanned $scanned")
+  }
 }

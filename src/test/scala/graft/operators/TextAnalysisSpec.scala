@@ -135,4 +135,38 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect()
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
+
+  test("q76 sketches land inside their documented error bounds") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val exactVocab = docs
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("lang").agg(countDistinct("token").as("v"))
+      .as[(String, Long)].collect().toMap
+    val exactLens = docs.select(col("lang"), length(col("text")).as("len"))
+      .groupBy("lang").agg(collect_list("len").as("lens"))
+      .as[(String, Seq[Int])].collect().toMap
+
+    val out = graft.SparkEntry.queries("q76_approx_stats")(spark, dir)
+      .select("lang", "approx_vocab", "n_docs", "approx_len_pcts")
+      .as[(String, Long, Long, Seq[Double])].collect()
+    assert(out.length == exactVocab.size)
+    for ((lang, approxV, nDocs, pcts) <- out) {
+      val exact = exactVocab(lang)
+      // HLL++ rsd 0.02 → 3σ = 6% relative (generous; typical error ≪)
+      assert(math.abs(approxV - exact) <= math.max(1, 0.06 * exact),
+        s"$lang vocab: approx $approxV vs exact $exact")
+      val lens = exactLens(lang).sorted
+      assert(nDocs == lens.length)
+      // GK accuracy 10000 → rank error ≤ n/10000 < 1 at this n: the
+      // estimate must be an EXACT order statistic neighboring the target
+      for ((p, est) <- Seq(0.5, 0.9, 0.99).zip(pcts)) {
+        val rank = (p * (lens.length - 1)).toInt
+        val lo = lens(math.max(0, rank - 1)).toDouble
+        val hi = lens(math.min(lens.length - 1, rank + 2)).toDouble
+        assert(est >= lo && est <= hi,
+          s"$lang p$p: $est outside [$lo,$hi]")
+      }
+    }
+  }
 }
