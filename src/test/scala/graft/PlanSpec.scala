@@ -151,6 +151,40 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("rangepartitioning"), p) // a global sort would use one
   }
 
+  test("q69: both session windows and the final agg share ONE user shuffle") {
+    val p = plan("q69_sessionize")
+    // LAG window, running-SUM window, and the per-(user, session)
+    // aggregation all cluster by user_id: one hash Exchange feeds a
+    // single sort, two Window operators, and a partial+final agg pair
+    // with NO re-shuffle (user_id partitioning satisfies the grouping)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Window \\[".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q70: corpus-sized work is one partial+final agg; window sees only day rows") {
+    val p = plan("q70_running_revenue")
+    assert(p.contains("partial_sum"), p) // daily rollup combines map-side
+    // the running-sum window sorts AFTER the aggregation, never the scan
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window [")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx, p)
+  }
+
+  test("q74: moment table broadcasts; the corpus side never shuffles") {
+    val p = plan("q74_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_avg"), p) // moments combine map-side
+  }
+
+  test("q75: CUBE is one Expand + one agg pass — not four scans") {
+    val p = plan("q75_cube_stats")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q64: salted join keys include the salt; result equals the plain join") {
     import org.apache.spark.sql.functions._
     val p = plan("q64_salted_join")
