@@ -684,6 +684,70 @@ object Relational {
       * once and the shuffle carries 4 expanded group rows per input
       * row's combiner output, not 4 scans). Quantity sums over exact
       * DECIMAL, cast to double at the boundary. */
+    /** FULL OUTER join (the last join type in the set): cohort churn —
+      * per customer, order counts in the early (pre-1998) vs late era,
+      * keeping customers who appear in only ONE era (exactly what inner/
+      * left joins lose; `coalesce` backfills the missing side's key and
+      * zero-counts). Both inputs pre-aggregate to one row per customer
+      * BEFORE the join, so the full-outer matches key-to-key — at 100 TB
+      * the join ships |customers| rows, not |orders|. */
+    QueryDef("q77_churn_cohorts",
+      "WITH a AS (SELECT o_custkey, count(*) AS n_early FROM orders " +
+        "WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1), " +
+        "b AS (SELECT o_custkey, count(*) AS n_late FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1) " +
+        "SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, " +
+        "coalesce(n_early, 0) AS n_early, coalesce(n_late, 0) AS n_late, " +
+        "CASE WHEN a.o_custkey IS NULL THEN 'new' " +
+        "WHEN b.o_custkey IS NULL THEN 'churned' " +
+        "ELSE 'retained' END AS cohort " +
+        "FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey") { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val cut = "1998-01-01"
+      val early = orders.filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .groupBy(col("o_custkey").as("ck_a"))
+        .agg(count(lit(1)).as("n_early"))
+      val late = orders.filter(col("o_orderdate") >= lit(cut).cast("timestamp"))
+        .groupBy(col("o_custkey").as("ck_b"))
+        .agg(count(lit(1)).as("n_late"))
+      early.join(late, col("ck_a") === col("ck_b"), "full_outer")
+        .select(coalesce(col("ck_a"), col("ck_b")).as("o_custkey"),
+          coalesce(col("n_early"), lit(0L)).as("n_early"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"),
+          when(col("ck_a").isNull, "new")
+            .when(col("ck_b").isNull, "churned")
+            .otherwise("retained").as("cohort"))
+    },
+
+    /** FIRST_VALUE / LAST_VALUE windows: each user's entry and exit
+      * event types — the funnel-endpoints report. last_value needs the
+      * explicit full frame (the default frame ends at CURRENT ROW, a
+      * classic silent-wrong-answer); ordering ties break on event_id so
+      * both engines read the same endpoints. Same single-shuffle shape
+      * as q69: the window's user_id partitioning satisfies the final
+      * grouping, so the dedup-to-one-row-per-user agg adds no Exchange. */
+    QueryDef("q78_first_last",
+      "WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM events), " +
+        "w AS (SELECT user_id, " +
+        "first_value(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS first_type, " +
+        "last_value(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type " +
+        "FROM e) " +
+        "SELECT user_id, first_type, last_type, count(*) AS n_events " +
+        "FROM w GROUP BY 1, 2, 3") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts_ns div 1000").as("tus"))
+        .withColumn("first_type", first("event_type").over(ord))
+        .withColumn("last_type", last("event_type").over(full))
+        .groupBy("user_id", "first_type", "last_type")
+        .agg(count(lit(1)).as("n_events"))
+    },
+
     QueryDef("q75_cube_stats",
       "SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty " +
