@@ -677,13 +677,6 @@ object Relational {
           round(avg("n_events").over(w), 6).as("ma7"))
     },
 
-    /** CUBE: all four grouping-set combinations of (returnflag,
-      * linestatus) in ONE pass — subtotals + grand total without
-      * rescanning (q19's ROLLUP sibling; Spark plans both as a single
-      * Expand + partial/final aggregation, so the fact table is read
-      * once and the shuffle carries 4 expanded group rows per input
-      * row's combiner output, not 4 scans). Quantity sums over exact
-      * DECIMAL, cast to double at the boundary. */
     /** FULL OUTER join (the last join type in the set): cohort churn —
       * per customer, order counts in the early (pre-1998) vs late era,
       * keeping customers who appear in only ONE era (exactly what inner/
@@ -748,15 +741,30 @@ object Relational {
         .agg(count(lit(1)).as("n_events"))
     },
 
+    /** CUBE: all four grouping-set combinations of (returnflag,
+      * linestatus) — subtotals + grand total from one scan (q19's
+      * ROLLUP sibling). Deliberately NOT `fact.cube(...)`: Spark plans
+      * that as Expand×4 BELOW the aggregation, multiplying the map-side
+      * rows (and combiner work) by the grouping-set count — measured
+      * 1.5 s vs 0.3 s here and linearly worse at scale. Because every
+      * measure is re-aggregatable (SUM of COUNTs/SUMs), the cube runs
+      * over the PRE-AGGREGATED group skeleton instead: one ordinary
+      * partial+final agg over the fact rows (|groups| output rows),
+      * then the Expand touches only those few. (Rule: aggregate-then-
+      * cube whenever no measure is distinct-style; q19's DISTINCT
+      * aggregates are exactly the case that forbids it.) Quantity sums
+      * over exact DECIMAL, cast to double at the boundary. */
     QueryDef("q75_cube_stats",
       "SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)") { (s, dir) =>
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
-            .as("sum_qty"))
+      val base = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("qty"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("cnt").as("n_items"),
+          sum("qty").cast("double").as("sum_qty"))
     }
   )
 
