@@ -1,0 +1,51 @@
+package graft
+
+/** Layout-invariance: every query that claims determinism must return the
+  * IDENTICAL row set when the physical layout changes — different scan
+  * split sizes (stand-in for a different executor count / file layout)
+  * and a different shuffle width. This is what "reshuffle-stable" and
+  * "replays pack identically" mean operationally on a cluster whose
+  * partitioning the user does not control: a query whose answer depends
+  * on partition boundaries (rand(), first() without order, accumulation
+  * order reaching the output) fails here even though the single-layout
+  * oracle gate cannot see it. */
+class PartitioningInvarianceSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // determinism-claiming queries across the families: content-hash split
+  // and sampling, sequence packing, sessionization windows, LSH pair
+  // generation, curriculum bins, cohort full-outer, salted join
+  private val names = Seq("q34_train_split", "q35_stratified_sample",
+    "q63_seq_pack", "q69_sessionize", "q21_minhash_lsh",
+    "q66_curriculum_bins", "q77_churn_cohorts", "q64_salted_join")
+
+  private def rowSet(name: String): Set[String] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(_.toString).toSet
+
+  test("row sets are identical under different scan splits and shuffle width") {
+    val conf = spark.conf
+    val baseline = names.map(n => n -> rowSet(n)).toMap
+    val origBytes = conf.get("spark.sql.files.maxPartitionBytes")
+    val origShuffle = conf.get("spark.sql.shuffle.partitions")
+    try {
+      // tiny splits: every parquet fractures into many input partitions;
+      // shuffle width changes reducer assignment of every key
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      conf.set("spark.sql.shuffle.partitions", "7")
+      for (n <- names) {
+        val relaid = rowSet(n)
+        assert(relaid == baseline(n), {
+          val miss = baseline(n) -- relaid
+          val extra = relaid -- baseline(n)
+          s"$n drifted under re-layout: ${miss.size} missing " +
+            s"(e.g. ${miss.take(2)}), ${extra.size} extra (e.g. ${extra.take(2)})"
+        })
+      }
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", origBytes)
+      conf.set("spark.sql.shuffle.partitions", origShuffle)
+    }
+  }
+}
