@@ -332,6 +332,47 @@ object Dedup {
       nearDupPairs(exploded, 0.7, bandRows = 4, nBands = 16)
     },
 
+    /** Edit-distance verified fuzzy pairs: the LSH near-dup candidates
+      * re-scored with character-level Levenshtein on 80-char prefixes —
+      * the "same doc, small edits?" check set-similarity cannot make
+      * (Jaccard is blind to order: shuffled words score 1.0; edit
+      * distance is not). Cost discipline: Levenshtein is O(len²) per
+      * pair, so it NEVER runs corpus-wide — only on the already-banded,
+      * already-Jaccard-verified pair set (work ∝ duplicates), and only
+      * on bounded prefixes. Both engines share the textbook Levenshtein
+      * definition, so the gate hash-matches the distances; the oracle
+      * pays O(n²) for the same pair set, the engine must not. */
+    QueryDef("q79_edit_distance",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8)
+        |SELECT p.doc_a, p.doc_b,
+        |       CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS BIGINT) AS edit_dist
+        |FROM pairs p
+        |JOIN documents da ON p.doc_a = da.doc_id
+        |JOIN documents db ON p.doc_b = db.doc_id
+        |WHERE levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) <= 20
+        |""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val exploded = materialize(t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("f")))
+      val pairs = nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
+        .select("doc_a", "doc_b")
+      val prefixes = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("pre"))
+      pairs
+        .join(prefixes.select(col("doc_id").as("doc_a"), col("pre").as("pa")),
+          "doc_a")
+        .join(prefixes.select(col("doc_id").as("doc_b"), col("pre").as("pb")),
+          "doc_b")
+        .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("edit_dist") <= 20)
+        .select("doc_a", "doc_b", "edit_dist")
+    },
+
     /** Near-dup CLUSTERS: survivor selection needs components, not pairs
       * (a∼b, b∼c must keep ONE of {a,b,c}). Pairs from the q21 LSH
       * pipeline; components by min-label propagation over the pair graph
