@@ -150,16 +150,32 @@ object Curation {
     *    run → parquet min/max row-group stats make point lookups and
     *    range scans by doc_id skip whole files.
     */
+  /** Write-audit metrics emitted by [[exportCorpus]]'s single pass. */
+  final case class ExportAudit(nRows: Long, nEmptyText: Long,
+      minQuality: Double)
+
   def exportCorpus(s: SparkSession, dir: String, outPath: String,
-      maxRecordsPerFile: Long = 1000000): Unit = {
+      maxRecordsPerFile: Long = 1000000): ExportAudit = {
     val curated = queries.find(_.name == "q39_curated_corpus").get.build(s, dir)
     val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    // Observation rides the write job itself — the audit row count /
+    // empty-text count / quality floor come from the SAME pass that
+    // wrote the files (free at 100 TB), not a second scan that could
+    // also silently disagree with what was written
+    val audit = new org.apache.spark.sql.Observation("export_audit")
     curated.join(docs, "doc_id")
+      .observe(audit,
+        count(lit(1)).as("n_rows"),
+        count(when(length(trim(col("text"))) === 0, 1)).as("n_empty"),
+        min("quality").as("min_q"))
       .repartition(col("split"), col("lang"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("split", "lang")
       .parquet(outPath)
+    val m = audit.get
+    ExportAudit(m("n_rows").asInstanceOf[Long],
+      m("n_empty").asInstanceOf[Long], m("min_q").asInstanceOf[Double])
   }
 }

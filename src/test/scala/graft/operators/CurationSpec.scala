@@ -46,7 +46,7 @@ class CurationSpec extends SparkSuite {
 
   test("exportCorpus: hive layout, bounded sorted files, lossless round-trip") {
     val out = tmpDir("export")
-    Curation.exportCorpus(spark, dir, out, maxRecordsPerFile = 50)
+    val audit = Curation.exportCorpus(spark, dir, out, maxRecordsPerFile = 50)
 
     // hive-partitioned directories, nothing else at the top level
     val top = new java.io.File(out).listFiles().map(_.getName)
@@ -72,6 +72,12 @@ class CurationSpec extends SparkSuite {
       .join(graft.sources.Tables.load(spark, dir, "documents")
         .select("doc_id", "text", "lang"), "doc_id")
     assert(back.count() == expected.count())
+    // the write-pass Observation audited exactly what landed on disk
+    assert(audit.nRows == back.count())
+    assert(audit.nEmptyText == 0L)
+    assert(audit.minQuality >= 0.5)
+    assert(audit.minQuality ==
+      back.agg(min("quality")).as[Double].head())
     assert(back.select("doc_id", "text", "lang", "split", "quality")
       .exceptAll(expected.select("doc_id", "text", "lang", "split", "quality"))
       .isEmpty)
