@@ -741,6 +741,47 @@ object Relational {
         .agg(count(lit(1)).as("n_events"))
     },
 
+    /** Data-quality audit: every ingest-gate rule evaluated in ONE scan
+      * — conditional counters aggregated together, then melted to
+      * (rule, n_bad) rows — instead of the naive rule-per-query audit
+      * that rescans the fact table once per rule (5 rules here = 5× the
+      * IO at 100 TB; this stays 1×). Two hard invariants (non-positive
+      * quantity / price — genuinely zero on sane data) plus three
+      * anomaly counters with thresholds INSIDE this corpus's range
+      * (discount > 8%, tax > 6%, pre-Jun-1995 shipments) so the gate
+      * verifies real counting, not six zeros. `n_rows` rides along as
+      * the denominator. The melt is the q67 Expand — zero shuffle past
+      * the 1-row aggregate. */
+    QueryDef("q80_dq_report", {
+      val rules = Seq(
+        "n_rows" -> "TRUE",
+        "nonpos_quantity" -> "l_quantity <= 0",
+        "nonpos_price" -> "l_extendedprice <= 0",
+        "high_discount" -> "l_discount > 0.08",
+        "high_tax" -> "l_tax > 0.06",
+        "early_shipdate" -> "l_shipdate < TIMESTAMP '1995-06-01'")
+      "WITH a AS (SELECT " + rules.map { case (n, p) =>
+        s"CAST(count(*) FILTER (WHERE $p) AS BIGINT) AS $n"
+      }.mkString(", ") + " FROM lineitem) " +
+        rules.map { case (n, _) =>
+          s"SELECT '$n' AS rule, $n AS n_bad FROM a"
+        }.mkString(" UNION ALL ")
+    }) { (s, dir) =>
+      val rules = Seq(
+        "n_rows" -> lit(true),
+        "nonpos_quantity" -> (col("l_quantity") <= 0),
+        "nonpos_price" -> (col("l_extendedprice") <= 0),
+        "high_discount" -> (col("l_discount") > 0.08),
+        "high_tax" -> (col("l_tax") > 0.06),
+        "early_shipdate" ->
+          (col("l_shipdate") < lit("1995-06-01").cast("timestamp")))
+      val counters = rules.map { case (n, p) => count(when(p, 1)).as(n) }
+      t(s, dir, "lineitem")
+        .agg(counters.head, counters.tail: _*)
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          rules.map(r => col(r._1)).toArray, "rule", "n_bad")
+    },
+
     /** CUBE: all four grouping-set combinations of (returnflag,
       * linestatus) — subtotals + grand total from one scan (q19's
       * ROLLUP sibling). Deliberately NOT `fact.cube(...)`: Spark plans
