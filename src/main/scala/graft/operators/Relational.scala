@@ -683,7 +683,12 @@ object Relational {
       * left joins lose; `coalesce` backfills the missing side's key and
       * zero-counts). Both inputs pre-aggregate to one row per customer
       * BEFORE the join, so the full-outer matches key-to-key — at 100 TB
-      * the join ships |customers| rows, not |orders|. */
+      * the join ships |customers| rows, not |orders|. (When both sides
+      * derive from the SAME table, as here, a conditional aggregation —
+      * one groupBy with count(when(era…)) — does it in one scan and no
+      * join at all; the two-sided form is kept because FULL OUTER is the
+      * operator under test, and it is what you need the moment the eras
+      * come from different tables.) */
     QueryDef("q77_churn_cohorts",
       "WITH a AS (SELECT o_custkey, count(*) AS n_early FROM orders " +
         "WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1), " +
