@@ -185,6 +185,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q79: levenshtein runs on the candidate join, never corpus-wide") {
+    val p = plan("q79_edit_distance")
+    // the edit-distance filter must sit above equi-joins (candidates ⋈
+    // prefixes), with no quadratic operator anywhere in the plan
+    assert(p.contains("levenshtein"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q80: all DQ rules aggregate in ONE scan, melted by Expand") {
+    val p = plan("q80_dq_report")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p) // counters combine map-side
+  }
+
   test("q64: salted join keys include the salt; result equals the plain join") {
     import org.apache.spark.sql.functions._
     val p = plan("q64_salted_join")
