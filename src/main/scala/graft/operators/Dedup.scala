@@ -406,6 +406,76 @@ object Dedup {
       clusterPairsStar(pairs)
     },
 
+    /** PageRank over the near-dup graph (10 damped iterations, d=0.85):
+      * centrality INSIDE duplicate clusters — a survivor-selection
+      * signal that prefers the most-connected variant (the min-id rule
+      * of q36/q39 is arbitrary; rank prefers the version most others
+      * resemble). Iterative-graph shape at scale: each iteration is one
+      * join+agg ∝ EDGES of the (duplicate-sized, corpus-independent)
+      * pair graph — the Pregel/GraphX contribution-passing pattern in
+      * plain DataFrames, with each iteration's ranks CHECKPOINTED so
+      * the logical plan stays one iteration deep. The
+      * symmetric edge set has no dangling nodes, so no rank leaks. The
+      * oracle runs the SAME 10 iterations as mechanically unrolled
+      * CTEs; 1e-16 summation-order noise cannot reach the rounded 6th
+      * decimal. */
+    QueryDef("q81_pagerank", {
+      val base =
+        """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+          |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+          |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+          |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |d AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+          |nodes AS (SELECT DISTINCT u AS node FROM e),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+          .stripMargin
+      val iters = (1 to 10).map { i =>
+        s"r$i AS (SELECT e.v AS node, (SELECT 0.15 / n FROM nn) + 0.85 * " +
+          s"sum(r${i - 1}.rank / d.deg) AS rank " +
+          s"FROM e JOIN r${i - 1} ON e.u = r${i - 1}.node " +
+          "JOIN d ON e.u = d.u GROUP BY e.v)"
+      }.mkString(", ")
+      (s"WITH $base, $iters " +
+        "SELECT node AS doc_id, round(rank, 6) AS rank FROM r10")
+        .replace("\n", " ")
+    }) { (s, dir) =>
+      val exploded = materialize(t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("f")))
+      val pairs = nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
+        .select("doc_a", "doc_b")
+      // reliable checkpoint, not persist: persist caches DATA but the
+      // LOGICAL plan keeps nesting — by iteration 10 the optimizer
+      // re-plans a tree holding every prior round (measured: heap
+      // exhaustion), while checkpoint() truncates lineage per round
+      // (same discipline and rationale as starContract's round loop)
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .checkpoint()
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).checkpoint()
+      val n = deg.count() // |nodes| of the dup graph: bounded driver scalar
+      var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
+      for (i <- 1 to 10) {
+        val next = edges
+          .join(ranks.withColumnRenamed("node", "u"), "u")
+          .join(deg, "u")
+          .groupBy(col("v").as("node"))
+          .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg")))
+            .as("rank"))
+        // every 2nd round is deep enough: the blow-up is exponential in
+        // UNBOUNDED nesting; depth ≤ 2 keeps planning flat and drops
+        // half the checkpoint I/O (3.9 s → 3.5 s warm; the remaining
+        // cost is the LSH pair pipeline plus 10 genuine join+agg rounds)
+        ranks = if (i % 2 == 0 || i == 10) next.checkpoint() else next
+      }
+      ranks.select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+    },
+
     /** Exact-substring duplication: document pairs sharing at least one
       * identical 50-character window, with the count of shared distinct
       * windows — the exact-overlap detector of the dedup literature
