@@ -76,6 +76,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment-threshold pairs over an exploded (doc_id, f) distinct-
+    * feature frame via EXACT prefix filtering. Recall proof: order every
+    * feature by the total order (corpus df, f). If containment(A→B) =
+    * |A∩B|/|A| ≥ θ then A has at most d = ⌊(1−θ)·|A|⌋ features missing
+    * from B (missing count is an integer ≤ (1−θ)·|A|), so among A's
+    * first d+1 features in that order at least one is in B — the
+    * candidate join on those prefix features misses NO qualifying pair.
+    * Ordering by ascending document frequency makes the prefix features
+    * the rarest ones, so the inverted-index join's collision volume
+    * tracks rare-feature co-occurrence (true overlap), not corpus size —
+    * the standard set-similarity-join bound. Cost anatomy at 100 TB:
+    * df is one map-side-combinable agg over the exploded frame; the
+    * per-doc rank window partitions by doc_id (each partition = one
+    * doc's features, no global sort); the candidate join ships only
+    * (prefix feature, doc_id) pairs; exact verification is the same
+    * relational intersection count as [[verifyJaccard]] — pair counts,
+    * never feature arrays, move through the verify shuffle. */
+  private[graft] def containmentPairs(exploded: DataFrame,
+      theta: Double): DataFrame = {
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = exploded.groupBy("f").agg(count(lit(1)).as("df"))
+    val prefix = exploded.join(dfreq, "f")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("f"))))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= floor((lit(1.0) - theta) * col("n")) + 1)
+      .select(col("doc_id").as("doc_a"), col("f"))
+    val candidates = prefix
+      .join(exploded.select(col("doc_id").as("doc_b"), col("f")), "f")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ea = exploded.select(col("doc_id").as("doc_a"), col("f"))
+    val eb = exploded.select(col("doc_id").as("doc_b"), col("f"))
+    candidates
+      .join(ea, "doc_a")
+      .join(eb, Seq("doc_b", "f"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("n_a")).as("containment"))
+      .filter(col("containment") >= theta)
+  }
+
   // deterministic universal-hash parameters for 64 MinHash permutations:
   // h_i(x) = (a_i * x + b_i) mod p over a base shingle hash reduced mod p.
   // p = 2^31-1 keeps a_i*x < 2^62 — no long overflow.
@@ -512,6 +557,31 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared_windows"))
+    },
+
+    /** Asymmetric containment pairs: (doc_a, doc_b) where ≥ 90% of
+      * doc_a's char-5-grams appear in doc_b — the "document A is a
+      * near-subset of document B" detector (quoted articles, boilerplate
+      * wrappers, expanded revisions). Jaccard-family operators (q21–q23)
+      * are structurally blind to this: a short doc fully contained in a
+      * 10× longer one has jaccard ≤ 0.1 and sails under every symmetric
+      * threshold, and MinHash banding on whole-set signatures misses the
+      * pair for the same reason. Candidate generation here is EXACT
+      * prefix filtering (the ssjoin literature's canonical trick), not
+      * LSH — see [[containmentPairs]] for the pigeonhole recall proof —
+      * so the gate can hash-match an exhaustive oracle with no
+      * probabilistic miss budget at all. */
+    QueryDef("q83_containment",
+      """WITH g AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(text)-4,0)),
+        |        i -> substr(text, CAST(i+1 AS INT), 5))) AS gs FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       len(list_intersect(a.gs, b.gs)) * 1.0 / len(a.gs) AS containment
+        |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.gs, b.gs)) * 1.0 / len(a.gs) >= 0.9
+        |""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val exploded = materialize(t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.NGrams.charGrams(col("text"), 5)).as("f")))
+      containmentPairs(exploded, 0.9)
     }
   )
 

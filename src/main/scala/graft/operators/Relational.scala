@@ -811,8 +811,64 @@ object Relational {
       base.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum("cnt").as("n_items"),
           sum("qty").cast("double").as("sum_qty"))
+    },
+
+    /** Bloom-prefiltered semi join — the runtime-filter pattern for the
+      * "reduce a huge fact table by a key list that is too big to
+      * broadcast as rows but tiny as a sketch" case (at 100 TB:
+      * decontaminating a corpus against a blocklist, or joining events
+      * to a churned-user list). A Bloom filter of the build-side keys
+      * (~1.2 bytes/key at 1% fpp — three orders of magnitude smaller
+      * than the rows) is built in one aggregation pass over the pruned
+      * build scan and broadcast to every probe task, which drops
+      * ~99% of non-matching rows BEFORE the shuffle; the exact semi
+      * join then runs on the survivors only, so false positives cannot
+      * reach the result — the bloom changes bytes shuffled, never
+      * values. The verify join is pinned to the shuffled path
+      * (shuffle_hash) because that is the scenario the pattern exists
+      * for; with a broadcastable build side Catalyst's plain broadcast
+      * semi join is strictly better and this operator is unnecessary.
+      * (Spark's own AQE runtime filters — InSubquery/bloom injection —
+      * are the automatic form; this is the explicit, engine-level
+      * version with a pinned plan shape. PlanSpec asserts the probe
+      * filter sits below the exchange and result equality with the
+      * plain semi join.) */
+    QueryDef("q82_bloom_semi_join",
+      "SELECT l_returnflag, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) " +
+        "AS DOUBLE) AS revenue FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_totalprice > 400000) GROUP BY 1") { (s, dir) =>
+      bloomSemiJoinAgg(s, dir)
     }
   )
+
+  /** q82's plan, exposed for PlanSpec. The bloom is built with the
+    * public sketch API (`df.stat.bloomFilter` — one partial+final
+    * aggregation over a two-column pruned scan) and shipped as a task
+    * broadcast; the probe filter is a scala UDF on the key long —
+    * deliberately: a codegen'd expression would save ns/row, but the
+    * filter's job is to eliminate SHUFFLE bytes, and its own cost is two
+    * hash probes per row. `expectedNumItems` comes from a count over the
+    * same pruned scan (cheap, exact sizing beats a guessed constant that
+    * either overallocates memory or degrades fpp at scale). */
+  def bloomSemiJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val buildKeys = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey")
+    val bloom = buildKeys.stat.bloomFilter(
+      "o_orderkey", math.max(buildKeys.count(), 1L), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    t(s, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey"))) // pre-shuffle row cull
+      .join(buildKeys.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+  }
 
   /** q64's plan, exposed for PlanSpec's salted-key assertion. Salt is
     * derived from `l_linenumber` (deterministic, uniform over the ≤7

@@ -687,6 +687,71 @@ object TextAnalysis {
           approx_percentile(col("len"), typedlit(Seq(0.5, 0.9, 0.99)),
             lit(10000)).as("approx_len_pcts"))
       vocab.join(lens, "lang")
+    },
+
+    /** Collocation mining: the top-25 adjacent word pairs by pointwise
+      * mutual information, PMI = ln(p(ab) / (p(a)·p(b))) with a minimum
+      * support of 5 occurrences — the association score behind
+      * multi-word-expression extraction and tokenizer-merge candidates
+      * (high PMI = the pair co-occurs far beyond what its parts'
+      * frequencies predict; the support floor keeps one-off typos from
+      * topping the list with unstable high scores). Shape at scale: two
+      * vocabulary-sized count aggregates (unigrams, bigrams — map-side
+      * combinable, shuffles carry (token, count), never text), their
+      * 1-row totals broadcast, the PMI join keyed on the two member
+      * tokens, and the final order+limit is TakeOrderedAndProject —
+      * per-partition top-25, the driver never sees the vocabulary. The
+      * ranking sorts the ROUNDED score (then w1, w2): both engines
+      * compute ln on bit-identical IEEE inputs, so rounding to 6 absorbs
+      * any last-ulp libm difference before it can flip an ordering. */
+    QueryDef("q84_pmi_collocations",
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |uc AS (SELECT unnest(w) AS tok FROM w),
+        |u AS (SELECT tok, count(*) AS c FROM uc GROUP BY 1),
+        |nu AS (SELECT sum(c) AS n FROM u),
+        |bg AS (SELECT unnest(list_transform(range(greatest(len(w)-1, 0)),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS bigram FROM w),
+        |bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+        |nb AS (SELECT sum(cnt) AS n FROM bc)
+        |SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+        |cnt, round(ln((cnt * 1.0 / nb.n) /
+        |  ((ua.c * 1.0 / nu.n) * (ub.c * 1.0 / nu.n))), 6) AS pmi
+        |FROM bc CROSS JOIN nb CROSS JOIN nu
+        |JOIN u ua ON ua.tok = split_part(bigram, ' ', 1)
+        |JOIN u ub ON ub.tok = split_part(bigram, ' ', 2)
+        |WHERE cnt >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin
+        .replace("\n", " ")) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      val docs = t(s, dir, "documents")
+      val uni = docs.select(explode(w).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nUni = uni.agg(sum("c").as("n_uni"))
+      val m = greatest(size(w) - 1, lit(0))
+      val biAll = docs.select(explode(zip_with(
+          slice(w, lit(1), m), slice(w, lit(2), m),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the probability denominator counts EVERY bigram occurrence;
+      // the support floor prunes only the candidate rows that flow into
+      // the PMI joins (one count table, read twice from cache)
+      val nBi = biAll.agg(sum("cnt").as("n_bi"))
+      biAll.filter(col("cnt") >= 5)
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+        .join(broadcast(nBi))
+        .join(broadcast(nUni))
+        .select(col("w1"), col("w2"), col("cnt"),
+          round(log(
+            (col("cnt").cast("double") / col("n_bi")) /
+              ((col("c1").cast("double") / col("n_uni")) *
+                (col("c2").cast("double") / col("n_uni")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(25)
     }
   )
 }

@@ -222,4 +222,40 @@ class PlanSpec extends SparkSuite {
       .collect().toSet
     assert(salted == plain)
   }
+
+  test("q82: bloom prefilter culls the probe below a shuffled semi join; " +
+      "values equal the plain semi join") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q82_bloom_semi_join")
+    // the verify join must be the SHUFFLED semi join the pattern exists
+    // for (broadcastable build side ⇒ the bloom would be pointless), and
+    // the bloom UDF must sit on the probe side BELOW the exchange —
+    // i.e. inside the scan stage, so culled rows never shuffle
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // the optimizer may wrap the UDF argument in knownnotnull(...)
+    val probeFilter = "Filter .*UDF\\((?:knownnotnull\\()?l_orderkey".r
+    assert(probeFilter.findFirstIn(p).isDefined, p)
+    // the filter and the lineitem scan share a codegen stage: no
+    // exchange string may appear between the filter line and its scan
+    val lines = p.linesIterator.toSeq
+    val fi = lines.indexWhere(probeFilter.findFirstIn(_).isDefined)
+    val si = lines.indexWhere(_.contains("Scan parquet"), fi)
+    assert(fi >= 0 && si > fi &&
+      !lines.slice(fi, si).exists(_.contains("Exchange")), p)
+    val bloomed = SparkEntry.queries("q82_bloom_semi_join")(spark, dir)
+      .collect().toSet
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val l = graft.sources.Tables.load(spark, dir, "lineitem")
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .collect().toSet
+    assert(bloomed == plain)
+  }
 }

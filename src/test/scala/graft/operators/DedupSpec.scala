@@ -137,4 +137,38 @@ class DedupSpec extends SparkSuite {
         s"pair ($a,$b) shares no 50-char run")
     }
   }
+
+  test("q83: prefix-filter containment equals brute force; catches the " +
+      "low-jaccard quote-in-article pair LSH is blind to") {
+    // planted asymmetry: "quote" is a verbatim slice of "article", ~8×
+    // shorter — containment(quote→article) = 1.0 but jaccard ≈ 0.12,
+    // far under every symmetric threshold in the q21–q23 family
+    val words = (0 until 400).map(i => s"w${i % 97}x$i")
+    val article = words.mkString(" ")
+    val quote = words.slice(40, 90).mkString(" ")
+    val others = (0 until 6).map(i =>
+      (100 + i).toLong -> (0 until 80).map(j => s"o${i}y$j").mkString(" "))
+    val docs = (Seq(1L -> article, 2L -> quote) ++ others)
+      .toDF("doc_id", "text")
+
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.functions.NGrams.charGrams(col("text"), 5)).as("f"))
+    val got = Dedup.containmentPairs(exploded, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    val grams = docs.select(col("doc_id"),
+      graft.functions.NGrams.charGrams(col("text"), 5).as("gs"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("gs").as("ga"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("gs").as("gb"))
+    val brute = a.crossJoin(b)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("c", size(array_intersect(col("ga"), col("gb")))
+        .cast("double") / size(col("ga")))
+      .filter(col("c") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    assert(got == brute)
+    assert(got.contains((2L, 1L)), "quote⊂article must be found")
+    assert(!got.contains((1L, 2L)), "containment is asymmetric")
+  }
 }
