@@ -79,9 +79,9 @@ object Dedup {
   /** Containment-threshold pairs over an exploded (doc_id, f) distinct-
     * feature frame via EXACT prefix filtering. Recall proof: order every
     * feature by the total order (corpus df, f). If containment(A→B) =
-    * |A∩B|/|A| ≥ θ then A has at most d = ⌊(1−θ)·|A|⌋ features missing
-    * from B (missing count is an integer ≤ (1−θ)·|A|), so among A's
-    * first d+1 features in that order at least one is in B — the
+    * |A∩B|/|A| ≥ θ then |A∩B| ≥ ⌈θ·|A|⌉ (it is an integer), so at most
+    * d = |A| − ⌈θ·|A|⌉ of A's features are missing from B, and among
+    * A's first d+1 features in that order at least one is in B — the
     * candidate join on those prefix features misses NO qualifying pair.
     * Ordering by ascending document frequency makes the prefix features
     * the rarest ones, so the inverted-index join's collision volume
@@ -102,7 +102,16 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("f"))))
       .join(sizes, "doc_id")
-      .filter(col("rk") <= floor((lit(1.0) - theta) * col("n")) + 1)
+      // prefix length = n − min qualifying intersection + 1, where
+      // min_i = ⌈θ·n⌉ (i ≥ θn over integer i). The ε guards the two
+      // double-rounding failure modes: (1−θ)·n rounding DOWN past an
+      // integer (θ=0.9, n=10: 0.0999…98·10 = 0.999…8 → floor 0, one
+      // feature short — missed an exactly-0.9 pair in the gate) and
+      // θ·n rounding UP past one (0.9·50 = 45.000…07 → ceil 46). i is
+      // an integer and θ a small rational, so the true θn is either an
+      // integer or ≥ 1/n away from one — 1e-9 cannot cross a boundary.
+      .filter(col("rk") <=
+        col("n") - ceil(col("n") * theta - lit(1e-9)) + 1)
       .select(col("doc_id").as("doc_a"), col("f"))
     val candidates = prefix
       .join(exploded.select(col("doc_id").as("doc_b"), col("f")), "f")
@@ -560,7 +569,7 @@ object Dedup {
     },
 
     /** Asymmetric containment pairs: (doc_a, doc_b) where ≥ 90% of
-      * doc_a's char-5-grams appear in doc_b — the "document A is a
+      * doc_a's word 3-shingles appear in doc_b — the "document A is a
       * near-subset of document B" detector (quoted articles, boilerplate
       * wrappers, expanded revisions). Jaccard-family operators (q21–q23)
       * are structurally blind to this: a short doc fully contained in a
@@ -570,17 +579,31 @@ object Dedup {
       * prefix filtering (the ssjoin literature's canonical trick), not
       * LSH — see [[containmentPairs]] for the pigeonhole recall proof —
       * so the gate can hash-match an exhaustive oracle with no
-      * probabilistic miss budget at all. */
+      * probabilistic miss budget at all.
+      *
+      * Feature choice is LOAD-BEARING for the prefix filter's cost
+      * bound, and we measured it on this corpus: char-5-grams here have
+      * median df = 292 of 5000 docs (5.8% — one shared vocabulary), so
+      * even each doc's RAREST grams collide corpus-wide and the
+      * candidate set degenerates to all-pairs (11.9M of a possible
+      * 12.5M at sf0.1 — the verify join then OOMs). Word 3-shingles
+      * have median df = 9: candidates drop 90× (133K) and track true
+      * overlap. The prefix-filter bound assumes a heavy-tailed df
+      * distribution; pick features rare enough that "rarest per doc"
+      * means something, or the filter silently stops filtering. Same
+      * lesson as q22/q23's feature notes, now with the failure mode
+      * measured instead of avoided. */
     QueryDef("q83_containment",
-      """WITH g AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(text)-4,0)),
-        |        i -> substr(text, CAST(i+1 AS INT), 5))) AS gs FROM documents)
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS gs FROM w)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       len(list_intersect(a.gs, b.gs)) * 1.0 / len(a.gs) AS containment
         |FROM g a JOIN g b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.gs, b.gs)) * 1.0 / len(a.gs) >= 0.9
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val exploded = materialize(t(s, dir, "documents").select(col("doc_id"),
-        explode(graft.functions.NGrams.charGrams(col("text"), 5)).as("f")))
+        explode(shingles(col("text"))).as("f")))
       containmentPairs(exploded, 0.9)
     }
   )

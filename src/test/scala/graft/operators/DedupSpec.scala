@@ -140,24 +140,33 @@ class DedupSpec extends SparkSuite {
 
   test("q83: prefix-filter containment equals brute force; catches the " +
       "low-jaccard quote-in-article pair LSH is blind to") {
-    // planted asymmetry: "quote" is a verbatim slice of "article", ~8×
-    // shorter — containment(quote→article) = 1.0 but jaccard ≈ 0.12,
-    // far under every symmetric threshold in the q21–q23 family
+    // planted asymmetry: "quote" is a verbatim 50-word slice of the
+    // 400-word "article" — every word 3-shingle of the quote appears in
+    // the article, so containment(quote→article) = 1.0 but jaccard
+    // ≈ 0.12, far under every symmetric threshold in the q21–q23 family
     val words = (0 until 400).map(i => s"w${i % 97}x$i")
     val article = words.mkString(" ")
     val quote = words.slice(40, 90).mkString(" ")
     val others = (0 until 6).map(i =>
       (100 + i).toLong -> (0 until 80).map(j => s"o${i}y$j").mkString(" "))
-    val docs = (Seq(1L -> article, 2L -> quote) ++ others)
+    // boundary pair at containment = 9/10 = θ EXACTLY: doc 3 has 12
+    // words → 10 shingles; doc 4 repeats its first 11 words (covering
+    // shingles 1..9) then diverges — regression for the prefix-length
+    // double-rounding bug (⌊(1−θ)·n⌋ = 0 at n=10) the gate caught
+    val bWords = (0 until 12).map(i => s"b_w$i")
+    val boundaryA = bWords.mkString(" ")
+    val boundaryB = (bWords.take(11) ++ Seq("zq1", "zq2", "zq3")).mkString(" ")
+    val docs = (Seq(1L -> article, 2L -> quote,
+        3L -> boundaryA, 4L -> boundaryB) ++ others)
       .toDF("doc_id", "text")
 
     val exploded = docs.select(col("doc_id"),
-      explode(graft.functions.NGrams.charGrams(col("text"), 5)).as("f"))
+      explode(graft.functions.NGrams.wordShingles(col("text"), 3)).as("f"))
     val got = Dedup.containmentPairs(exploded, 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
 
     val grams = docs.select(col("doc_id"),
-      graft.functions.NGrams.charGrams(col("text"), 5).as("gs"))
+      graft.functions.NGrams.wordShingles(col("text"), 3).as("gs"))
     val a = grams.select(col("doc_id").as("doc_a"), col("gs").as("ga"))
     val b = grams.select(col("doc_id").as("doc_b"), col("gs").as("gb"))
     val brute = a.crossJoin(b)
@@ -170,5 +179,6 @@ class DedupSpec extends SparkSuite {
     assert(got == brute)
     assert(got.contains((2L, 1L)), "quote⊂article must be found")
     assert(!got.contains((1L, 2L)), "containment is asymmetric")
+    assert(got.contains((3L, 4L)), "exactly-at-threshold pair must be found")
   }
 }
