@@ -26,6 +26,7 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
+      finally CacheScope.drain() // release per-query persists (r4 #1)
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -39,7 +40,7 @@ object Bench {
           case e: Throwable =>
             errors(name) = e.toString.linesIterator.next().take(200)
             -1.0
-        }
+        } finally CacheScope.drain() // outside the next query's timing
       name -> sec
     }
 

@@ -14,7 +14,9 @@ object BenchOne {
     val times = (0 until n).map { _ =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheScope.drain() // same per-query release discipline as Bench
+      sec
     }
     println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} " +
       f"min=${times.min}%.2f median=${times.sorted.apply(n / 2)}%.2f")

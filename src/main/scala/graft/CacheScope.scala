@@ -1,0 +1,54 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracked cache scope for batch query builders.
+  *
+  * Several builders persist an intermediate frame that feeds two or more
+  * downstream branches of the SAME query (an exploded token table, a
+  * shingle frame). persist is the right call — the expensive pass runs
+  * once — but a bare `.persist` has no release point: the builder returns
+  * a plan, the caller runs the action, and the cached blocks outlive the
+  * query. Across a long session (the driver's 84-query bench JVM, or a
+  * real long-lived engine serving many queries) those blocks accumulate
+  * until the store thrashes — measured in round 4 as a 4-15× tail
+  * inflation (q81 33.6s in-suite vs 5.2s isolated).
+  *
+  * The fix mirrors the streaming side's proven `ctx.defer(unpersist)`
+  * pattern (IncrementalAgg): builders register every persist here, and
+  * every executor of a query (Bench, BenchOne, Verify, the test gates)
+  * calls `drain()` once the action completes. Frames are released
+  * non-blocking, lineage intact — on a cluster nothing is lost but the
+  * blocks.
+  *
+  * A queue (not a set keyed by plan) on purpose: two executions of the
+  * same builder produce distinct DataFrames whose plans the CacheManager
+  * would de-duplicate; draining by reference unpersists whichever entry
+  * is still live and is idempotent for the rest.
+  */
+object CacheScope {
+  private val live = new ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK, lineage kept — a lost executor
+    * recomputes, unlike localCheckpoint) and register it for release at
+    * the end of the current query's action. */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(df)
+    df
+  }
+
+  /** Release every frame persisted since the last drain. Call after the
+    * query's action completes; non-blocking so the release never bills
+    * wall-clock to the next query. */
+  def drain(): Unit = {
+    var df = live.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = live.poll()
+    }
+  }
+}

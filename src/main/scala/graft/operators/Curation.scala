@@ -72,13 +72,12 @@ object Curation {
         lit(100L))
       // both the holdout and train branches read the same exploded gram
       // frame — persist so the 5-gram extraction pass runs once
-      val grams = t(s, dir, "documents")
+      val grams = graft.CacheScope.persist(t(s, dir, "documents")
         .select(col("doc_id"),
           when(bucket < 90, "train").when(bucket < 95, "val")
             .otherwise("test").as("split"),
           explode(graft.functions.NGrams.wordShingles(col("text"), 5))
-            .as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .as("g")))
       val holdout = grams.filter(col("split").isin("val", "test"))
         .select("g").distinct()
       // per-doc gram lists are already distinct (wordShingles), so this
@@ -111,9 +110,8 @@ object Curation {
       // LSH pipeline on the FULL corpus — dedup must see low-quality
       // duplicates too, or a cluster could lose its survivor to the
       // quality filter and a duplicate would slip through with it.
-      val exploded = docs
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("f"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exploded = graft.CacheScope.persist(docs
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("f")))
       val pairs = Dedup.nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
         .select("doc_a", "doc_b")
       val losers = Dedup.clusterPairsStar(pairs)
@@ -150,9 +148,11 @@ object Curation {
     *    run → parquet min/max row-group stats make point lookups and
     *    range scans by doc_id skip whole files.
     */
-  /** Write-audit metrics emitted by [[exportCorpus]]'s single pass. */
+  /** Write-audit metrics emitted by [[exportCorpus]]'s single pass.
+    * minQuality is None when the curated corpus is empty — `min` observes
+    * null there, and unboxing it would fabricate a 0.0 floor. */
   final case class ExportAudit(nRows: Long, nEmptyText: Long,
-      minQuality: Double)
+      minQuality: Option[Double])
 
   def exportCorpus(s: SparkSession, dir: String, outPath: String,
       maxRecordsPerFile: Long = 1000000): ExportAudit = {
@@ -176,6 +176,7 @@ object Curation {
       .parquet(outPath)
     val m = audit.get
     ExportAudit(m("n_rows").asInstanceOf[Long],
-      m("n_empty").asInstanceOf[Long], m("min_q").asInstanceOf[Double])
+      m("n_empty").asInstanceOf[Long],
+      Option(m("min_q")).map(_.asInstanceOf[Double]))
   }
 }

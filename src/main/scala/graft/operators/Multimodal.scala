@@ -147,6 +147,33 @@ object Multimodal {
     } else MediaHeader("unknown", -1, -1, -1, 0)
   }
 
+  /** Header-only decode stage: [[decodeHeader]] over the payload bytes in
+    * mapPartitions, emitting typed metadata (absent fields as -1, mapped
+    * to null by callers). This is the ONE parse implementation — q50 and
+    * [[extractFeatures]] both route through [[decodeHeader]]; the former
+    * hex-string expression variant materialized a 2×-payload string per
+    * row just to substring fields back out (r4 VERDICT #3). Bytes never
+    * leave the executor and never inflate. */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_bytes", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val hdr = decodeHeader(bytes)
+        Row(id, hdr.format, hdr.width, hdr.height, hdr.sampleRate,
+          bytes.length)
+      }
+    }(enc)
+  }
+
   /** Per-media features — the mapPartitions stage a real pipeline would
     * run a codec in (batched per partition, executor side). The header
     * parse is real ([[decodeHeader]]); the entropy decode is the STUB:
@@ -201,7 +228,9 @@ object Multimodal {
       * big-endian, jpeg SOF0, wav fmt little-endian). The oracle computes
       * the expected values independently from the doc_id formulas the
       * builder embedded — so a parse that doesn't exactly invert the byte
-      * construction fails the gate. */
+      * construction fails the gate. Parsing is [[decodeHeader]] on the
+      * raw bytes (shared with [[extractFeatures]]): a real chunk/marker
+      * walk, not fixed offsets, and no hex-string detour. */
     QueryDef("q50_multimodal_meta",
       """SELECT doc_id AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
@@ -211,26 +240,14 @@ object Multimodal {
         |octet_length(text::BLOB) +
         |  (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 44 END) AS n_bytes
         |FROM documents""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val hexp = upper(hex(col("payload")))
-      val isPng = substring(hexp, 1, 16) === "89504E470D0A1A0A"
-      val isJpeg = substring(hexp, 1, 4) === "FFD8"
-      val isWav = substring(hexp, 1, 8) === "52494646" &&
-        substring(hexp, 17, 8) === "57415645"
-      def beInt(startHexChar: Int, nBytes: Int): Column =
-        conv(substring(hexp, startHexChar, nBytes * 2), 16, 10).cast("long")
-      def leInt(startHexChar: Int, nBytes: Int): Column =
-        conv(concat((0 until nBytes).reverse.map(i =>
-          substring(hexp, startHexChar + i * 2, 2)): _*), 16, 10).cast("long")
-      mediaFrame(s, dir).select(
+      def orNull(c: Column): Column = when(c =!= -1, c.cast("long"))
+      decodeMeta(mediaFrame(s, dir)).select(
         col("media_id"),
-        when(isPng, "png").when(isJpeg, "jpeg").when(isWav, "wav").as("fmt"),
-        // png: sig(8) + len(4) + "IHDR"(4) → width at byte 16, height 20;
-        // jpeg SOI(2) SOF0(2) len(2) precision(1) → HEIGHT byte 7, WIDTH 9
-        when(isPng, beInt(33, 4)).when(isJpeg, beInt(19, 2)).as("width"),
-        when(isPng, beInt(41, 4)).when(isJpeg, beInt(15, 2)).as("height"),
-        // wav: fmt chunk data starts at byte 20; sampleRate at byte 24 LE
-        when(isWav, leInt(49, 4)).as("sample_rate"),
-        octet_length(col("payload")).cast("long").as("n_bytes"))
+        col("format").as("fmt"),
+        orNull(col("width")).as("width"),
+        orNull(col("height")).as("height"),
+        orNull(col("sample_rate")).as("sample_rate"),
+        col("n_bytes").cast("long").as("n_bytes"))
     },
 
     /** Frame sampling: every 4th 256-byte frame of the encoded stream

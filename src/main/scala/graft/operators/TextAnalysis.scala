@@ -231,8 +231,8 @@ object TextAnalysis {
         explode(split(trim(col("text")), "\\s+")).as("term"))
       // tf feeds both the document-frequency aggregate and the scoring
       // join — persist so the explode+count pass runs once
-      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = graft.CacheScope.persist(
+        words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf
@@ -356,11 +356,10 @@ object TextAnalysis {
       val m = greatest(size(w) - 1, lit(0))
       // the exploded bigram frame feeds BOTH the LM count table and the
       // scoring join — persist so the explode pass runs once
-      val bigrams = t(s, dir, "documents").select(
+      val bigrams = graft.CacheScope.persist(t(s, dir, "documents").select(
         col("doc_id"),
         explode(zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (a, b) => concat(a, lit(" "), b))).as("bigram")))
       val lm = bigrams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
       val pre = lm
         .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
@@ -424,11 +423,11 @@ object TextAnalysis {
       val qt = Seq("data", "vector", "window").toDF("term")
       // words feeds tf AND dl; tf feeds df AND scoring — persist both so
       // the corpus tokenization and the tf shuffle each run once
-      val words = t(s, dir, "documents").select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val words = graft.CacheScope.persist(
+        t(s, dir, "documents").select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term")))
+      val tf = graft.CacheScope.persist(
+        words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       val dfreq = tf.join(broadcast(qt), "term")
@@ -552,8 +551,11 @@ object TextAnalysis {
       * doc_id order by a running token total, so the same corpus always
       * packs identically (reshuffle-stable, like q34's split). Shape at
       * scale: ONE hash-partitioned sort (the window), each bucket packs
-      * independently in parallel — no driver sequencing; oversized docs
-      * (> budget) get a pack of their own rather than stalling the fill.
+      * independently in parallel — no driver sequencing. Contiguous-fill
+      * semantics: per-doc token counts are capped at the 512 budget
+      * (`least`), and pack_id = (cum-1) div 512 over the running total,
+      * so a doc may straddle two pack boundaries — packs are equal-sized
+      * token windows, not exact-fit bins.
       * Window semantics are identical in Spark and DuckDB (running sum
       * with ROWS UNBOUNDED PRECEDING), and bucketing uses the md5-prefix
       * portable hash (q34's recipe), so the gate hash-matches. */
@@ -668,7 +670,10 @@ object TextAnalysis {
       * sketch_size regardless of corpus size. No DuckDB oracle (sketch
       * estimates are engine-specific by construction); the spec pins
       * each estimate against its exact counterpart (HLL within its 3σ
-      * rsd band, quantiles within the documented rank-error bound). */
+      * rsd band, quantiles within the documented rank-error bound).
+      * Quantiles surface as three SCALAR columns, not an array: the
+      * driver's gate harness sorts result frames through pandas, which
+      * cannot hash an array cell (r4's one red row was exactly this). */
     QueryDef.noOracle("q76_approx_stats") { (s, dir) =>
       val docs = t(s, dir, "documents")
       // vocab sketch over the exploded token stream; length sketch over
@@ -685,8 +690,13 @@ object TextAnalysis {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           approx_percentile(col("len"), typedlit(Seq(0.5, 0.9, 0.99)),
-            lit(10000)).as("approx_len_pcts"))
+            lit(10000)).as("pcts"))
       vocab.join(lens, "lang")
+        .select(col("lang"), col("n_tokens"), col("approx_vocab"),
+          col("n_docs"),
+          element_at(col("pcts"), 1).cast("double").as("approx_len_p50"),
+          element_at(col("pcts"), 2).cast("double").as("approx_len_p90"),
+          element_at(col("pcts"), 3).cast("double").as("approx_len_p99"))
     },
 
     /** Collocation mining: the top-25 adjacent word pairs by pointwise
@@ -724,16 +734,14 @@ object TextAnalysis {
         .replace("\n", " ")) { (s, dir) =>
       val w = split(trim(col("text")), "\\s+")
       val docs = t(s, dir, "documents")
-      val uni = docs.select(explode(w).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni = graft.CacheScope.persist(docs.select(explode(w).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")))
       val nUni = uni.agg(sum("c").as("n_uni"))
       val m = greatest(size(w) - 1, lit(0))
-      val biAll = docs.select(explode(zip_with(
+      val biAll = graft.CacheScope.persist(docs.select(explode(zip_with(
           slice(w, lit(1), m), slice(w, lit(2), m),
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy("bigram").agg(count(lit(1)).as("cnt")))
       // the probability denominator counts EVERY bigram occurrence;
       // the support floor prunes only the candidate rows that flow into
       // the PMI joins (one count table, read twice from cache)

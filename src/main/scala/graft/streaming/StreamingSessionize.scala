@@ -60,8 +60,10 @@ object StreamingSessionize {
         (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
             state: GroupState[List[Sess]]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // drop input at/below the watermark: its session may already
-          // have been emitted — same too-late contract as window aggs
+          // drop input strictly BELOW the watermark; an event exactly at
+          // ts == wm is kept, which is safe — a closed session required
+          // lastUs + gap <= wm, so an at-watermark event can never
+          // extend one. Same too-late contract as window aggs.
           val fresh = it.map { case (_, ts, _) =>
             ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
           }.filter(_ >= wmUs).toArray.sorted

@@ -223,6 +223,29 @@ class PlanSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("q42: IVF search is a partition-pruned scan of probed cells only — " +
+      "no corpus pass, no centroid recompute") {
+    val df = SparkEntry.queries("q42_ivf_topk")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the SEARCH plan must not contain the index-build work: no avg
+    // aggregation over exploded dims (the centroid pass lives in the
+    // one-time index build, not here). The only Generate allowed is the
+    // k-row top-k unnest.
+    assert(!p.contains("partial_avg"), p)
+    assert(!p.contains("posexplode(embedding"), p)
+    // the scan reads the hive cells layout with a partition filter of
+    // ≤ NQ routed cells — never the whole corpus (AQE hides the scan
+    // node from collectLeaves, so pin it at the string level)
+    assert(p.contains("/cells"), p)
+    val pf = raw"PartitionFilters: \[label#\d+ IN \(([-0-9,]+)\)".r
+    val m = pf.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    assert(m.get.group(1).split(",").length <= 5, p) // ≤ one cell per probe
+    // probes broadcast into the pruned scan — never a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q82: bloom prefilter culls the probe below a shuffled semi join; " +
       "values equal the plain semi join") {
     import org.apache.spark.sql.functions._

@@ -12,6 +12,14 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // Same per-scope release discipline as Bench/Verify: suites share one
+  // JVM-wide session, so query-builder persists would otherwise
+  // accumulate across all 36 suites (r4 VERDICT #1).
+  override protected def afterAll(): Unit = {
+    CacheScope.drain()
+    super.afterAll()
+  }
 }
 
 object SparkSuite {

@@ -148,7 +148,9 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(String, Seq[Int])].collect().toMap
 
     val out = graft.SparkEntry.queries("q76_approx_stats")(spark, dir)
-      .select("lang", "approx_vocab", "n_docs", "approx_len_pcts")
+      .select(col("lang"), col("approx_vocab"), col("n_docs"),
+        array(col("approx_len_p50"), col("approx_len_p90"),
+          col("approx_len_p99")).as("pcts"))
       .as[(String, Long, Long, Seq[Double])].collect()
     assert(out.length == exactVocab.size)
     for ((lang, approxV, nDocs, pcts) <- out) {
