@@ -67,12 +67,18 @@ final class Engine(val spark: SparkSession) {
     * into a parquet-registered table (static targets) or registers a
     * continuous view on the attached streaming session (dynamic targets,
     * reference entry point 1, README.md:342-345).
+    * `CREATE TABLE <name> (<cols>) WITH ('connector'=..., ...)` — the
+    * reference's table-declaration surface, its very first statement
+    * (flink-ddl.sql:1-19) — registers spec + view via [[createTable]].
     * `CREATE TABLE <new> [WITH (...)] LIKE <src> [(INCLUDING|EXCLUDING
     * OPTIONS)]` — the reference's definition-clone DDL (README.md:215-225
     * EXCLUDING, :252-254 INCLUDING) — mutates only the session catalog,
     * like Flink (README.md:342: DDL creates session metadata, no job).
     * Everything else plans through stock Catalyst. */
   def sql(stmt: String): DataFrame = stmt match {
+    case Ddl.CreateTableStmt(ct) =>
+      createTable(ct)
+      spark.emptyDataFrame
     case Engine.CreateLike(newName, withOpts, src, mode) =>
       val overrides = Option(withOpts).toSeq.flatMap(
         Engine.OptionPair.findAllMatchIn(_).map(m => m.group(1) -> m.group(2)))
@@ -103,6 +109,43 @@ final class Engine(val spark: SparkSession) {
       case None => spark.sql(stmt)
     }
   }
+
+  /** Run a multi-statement script (e.g. the reference's flink-ddl.sql
+    * top-to-bottom) through [[sql]]; returns the last statement's frame. */
+  def sqlScript(script: String): DataFrame =
+    Ddl.statements(script).foldLeft(spark.emptyDataFrame)((_, s) => sql(s))
+
+  /** Materialize a parsed `CREATE TABLE ... WITH (connector)`:
+    *  - catalog spec always (schema + PK + options + computed columns as
+    *    `computed.<name>` options — DDL is session metadata, README.md:342);
+    *  - `'connector'='parquet'/'filesystem'` with a path binds a view over
+    *    those files (the batch-queryable case);
+    *  - every other connector (mysql-cdc, kafka, elasticsearch-7, jdbc)
+    *    binds the name to an EMPTY relation of the declared schema: batch
+    *    SQL over the name parses and runs (no data until a stream starts —
+    *    dynamic-table semantics), and an attached [[graft.streaming
+    *    .CdcSqlSession]] re-binds it to materialized state per batch. */
+  def createTable(ct: Ddl.CreateTable): TableSpec = {
+    val spec = TableSpec(ct.name, ct.schema, ct.primaryKey,
+      ct.options ++ ct.computed.map { case (n, e) => s"computed.$n" -> e })
+    catalog.register(spec)
+    ct.options.get("connector") match {
+      case Some("parquet" | "filesystem") if ct.options.contains("path") =>
+        spark.read.schema(ct.schema).parquet(ct.options("path"))
+          .createOrReplaceTempView(ct.name)
+      case _ =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ct.schema)
+          .createOrReplaceTempView(ct.name)
+    }
+    spec
+  }
+
+  /** The catalog's CDC-source specs — what a [[graft.streaming
+    * .CdcSqlSession]] is built over after DDL registration. */
+  def cdcSources: Seq[TableSpec] = catalog.list.filter(s =>
+    Set("mysql-cdc", "kafka", "mongodb-cdc")
+      .contains(s.options.getOrElse("connector", "")))
 }
 
 object Engine {
