@@ -119,6 +119,16 @@ object Dedup {
       .join(exploded.select(col("doc_id").as("doc_b"), col("f")), "f")
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    verifyContainment(candidates, exploded, theta)
+  }
+
+  /** Exact containment(A→B) = |A∩B|/|A| over DIRECTED candidate pairs,
+    * relationally (the [[verifyJaccard]] shape: pair counts move through
+    * the shuffle, never feature arrays) — shared by batch q83 and the
+    * incremental [[graft.streaming.StreamingContainment]] view. */
+  private[graft] def verifyContainment(candidates: DataFrame,
+      exploded: DataFrame, theta: Double): DataFrame = {
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ea = exploded.select(col("doc_id").as("doc_a"), col("f"))
     val eb = exploded.select(col("doc_id").as("doc_b"), col("f"))
     candidates
