@@ -126,6 +126,90 @@ object Curation {
           when(bucket < 90, "train").when(bucket < 95, "val")
             .otherwise("test").as("split"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
+    /** Span-REMOVAL decontamination — q26 locates contaminated training
+      * documents; this operator goes the step further real pipelines
+      * take (the GPT-3/PaLM decontamination recipe): cut the overlapping
+      * token spans out and keep the rest of the document. Every
+      * contaminated 5-gram at token position i covers positions
+      * i..i+4; the cleaned text is the positional anti-join of the
+      * doc's tokens against that cover, reassembled in order. No
+      * interval-merge pass is needed: overlapping spans union naturally
+      * through the DISTINCT covered-position set. Shape at scale: grams
+      * carry positions through the (gram-keyed) contamination join; the
+      * cover explode is 5× the contaminated-hit count — bounded by
+      * contamination density, not corpus size; the rebuild groups each
+      * affected doc's own tokens (affected docs only — the anti-join
+      * output is filtered to docs with a nonzero cover). */
+    QueryDef("q87_decontaminate_spans", {
+      val splitCase =
+        """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+          |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+          |     ELSE 'test' END""".stripMargin
+      val gram = (0 to 4).map(k => s"w[i+$k]").mkString("||' '||")
+      s"""WITH d AS (SELECT doc_id, $splitCase AS split,
+         |      regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |tok AS (SELECT doc_id, split, unnest(w) AS tok,
+         |      generate_subscripts(w, 1) AS pos FROM d),
+         |g AS (SELECT doc_id, split, i AS start, $gram AS gram
+         |  FROM d, unnest(range(1, greatest(len(w) - 3, 1))) AS u(i)),
+         |hold AS (SELECT DISTINCT gram FROM g WHERE split IN ('val', 'test')),
+         |cover AS (SELECT DISTINCT g.doc_id, g.start + k AS pos
+         |  FROM g JOIN hold USING (gram), unnest(range(0, 5)) AS u(k)
+         |  WHERE g.split = 'train'),
+         |removed AS (SELECT doc_id, count(*) AS n_removed FROM cover GROUP BY 1),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |  JOIN removed USING (doc_id)
+         |  LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL)
+         |SELECT r.doc_id, r.n_removed,
+         |  coalesce(k.cleaned_text, '') AS cleaned_text
+         |FROM removed r LEFT JOIN (SELECT doc_id,
+         |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+         |  FROM kept GROUP BY doc_id) k USING (doc_id)
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"),
+        split(trim(col("text")), "\\s+").as("w"))
+      val toks = d.select(col("doc_id"), col("split"),
+          posexplode(col("w")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), col("split"), (col("p0") + 1).as("pos"),
+          col("tok"))
+      // positional 5-grams: start is 1-based, like the oracle's subscripts
+      val n = size(col("w"))
+      val grams = d.select(col("doc_id"), col("split"),
+          posexplode(when(n >= 5,
+            transform(sequence(lit(1), n - 4), i =>
+              concat_ws(" ", (0 to 4).map(k =>
+                element_at(col("w"), i + k)): _*)))
+            .otherwise(array().cast("array<string>")))
+            .as(Seq("i0", "gram")))
+        .select(col("doc_id"), col("split"), (col("i0") + 1).as("start"),
+          col("gram"))
+      val hold = grams.filter(col("split").isin("val", "test"))
+        .select("gram").distinct()
+      val cover = grams.filter(col("split") === "train")
+        .join(hold, "gram")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 4)).as("pos"))
+        .distinct()
+      val removed = cover.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_removed"))
+      val kept = toks.join(removed.select("doc_id"), "doc_id")
+        .join(cover, Seq("doc_id", "pos"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("cleaned_text"))
+      removed.join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_removed"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
     }
   )
 

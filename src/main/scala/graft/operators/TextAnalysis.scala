@@ -760,6 +760,93 @@ object TextAnalysis {
                 (col("c2").cast("double") / col("n_uni")))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(25)
+    },
+
+    /** Train-and-apply quality classifier over hashed features — the
+      * model-application pattern a curation pipeline runs at scale
+      * (fasttext-style linear scorer): label every doc by the heuristic
+      * quality gate (≥ 0.5), hash each doc's DISTINCT word unigrams into
+      * 1024 buckets (md5-portable), learn per-bucket smoothed log-odds
+      * ln((hi+1)/(lo+1)) — the Naive-Bayes weight — and score each doc
+      * as the sum of its buckets' weights. Shape at scale: the hashed
+      * vocabulary is BOUNDED (1024 rows) however large the corpus, so
+      * the trained model broadcasts; train is one map-side-combinable
+      * aggregate over the exploded distinct (doc, bucket) frame, apply
+      * is a broadcast join + sum over the same frame (persisted — one
+      * tokenization pass). FP discipline: each ln weight is rounded to
+      * 6 and summed as DECIMAL(18,6) — exact, order-independent — so
+      * engine summation order can't flip the gate hash (the q08/q84
+      * lesson). */
+    QueryDef("q85_quality_classifier", {
+      val hb = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024"
+      s"""WITH lbl AS (SELECT doc_id,
+         |    CASE WHEN ${TextAnalysis.qualityScoreSql} >= 0.5 THEN 1 ELSE 0 END AS hi
+         |  FROM documents),
+         |db AS (SELECT DISTINCT doc_id, $hb AS b
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |        FROM documents)),
+         |wt AS (SELECT b, CAST(round(ln((sum(hi) + 1.0) / (count(*) - sum(hi) + 1.0)), 6)
+         |                     AS DECIMAL(18,6)) AS w
+         |  FROM db JOIN lbl USING (doc_id) GROUP BY b)
+         |SELECT db.doc_id, CAST(sum(wt.w) AS DOUBLE) AS score
+         |FROM db JOIN wt USING (b) GROUP BY db.doc_id
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lbl = docs.select(col("doc_id"),
+        when(qualityScore(col("text")) >= 0.5, 1).otherwise(0).as("hi"))
+      val db = graft.CacheScope.persist(docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+            lit(1024L)).as("b"))
+        .distinct())
+      val wt = db.join(lbl, "doc_id")
+        .groupBy("b")
+        .agg(round(log((sum("hi") + 1.0) /
+            (count(lit(1)) - sum("hi") + 1.0)), 6)
+          .cast("decimal(18,6)").as("w"))
+      db.join(broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(sum("w").cast("double").as("score"))
+    },
+
+    /** Weighted sampling WITHOUT replacement, the A-Res reservoir rule
+      * (Efraimidis-Spirakis): key = u^(1/w) with u a per-doc uniform and
+      * w the doc's quality weight; the top-k keys per language stratum
+      * ARE the weighted sample. Unlike q52's independent-coin-flip
+      * thinning, this yields an EXACT sample size per stratum with
+      * inclusion probability ∝ weight — the "pick exactly k docs per
+      * language, quality-weighted" curation move. Fully distributed: the
+      * key is per-row arithmetic on a portable md5 uniform, the top-k is
+      * one per-stratum window. Determinism across engines: u is an
+      * exact dyadic rational ((h+0.5)/2^32), and the rank orders the
+      * key ROUNDED to 9 (doc_id tiebreak) so a last-ulp libm pow
+      * difference cannot flip an ordering (the q84 discipline). */
+    QueryDef("q86_weighted_reservoir", {
+      val u = "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+      val w = s"(${TextAnalysis.qualityScoreSql} + 0.01)"
+      s"""WITH keyed AS (SELECT doc_id, lang,
+         |    round(pow($u, 1.0 / $w), 9) AS k
+         |  FROM documents)
+         |SELECT doc_id, lang, k FROM (
+         |  SELECT doc_id, lang, k,
+         |    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rnk
+         |  FROM keyed)
+         |WHERE rnk <= 5""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("s42"))), 1, 8), 16, 10).cast("long")
+      val u = (h + lit(0.5)) / lit(4294967296.0)
+      val k = round(pow(u, lit(1.0) / (qualityScore(col("text")) + 0.01)), 9)
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("k").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), k.as("k"))
+        .withColumn("rnk", row_number().over(byLang))
+        .filter(col("rnk") <= 5)
+        .select("doc_id", "lang", "k")
     }
   )
 }
