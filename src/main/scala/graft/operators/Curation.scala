@@ -210,6 +210,43 @@ object Curation {
       removed.join(rebuilt, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("n_removed"),
           coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    },
+
+    /** Temperature-flattened source-mixture weights — the corpus-mixing
+      * step before training: per (lang, source) stratum, sampling
+      * weight ∝ (token share)^0.5, i.e. α = 0.5 temperature sampling
+      * (the multilingual-pretraining recipe: upweight small sources,
+      * damp dominant ones). Since weightᵢ = √shareᵢ / Σ√shareⱼ and the
+      * corpus total cancels, the computation is √n_tokᵢ normalized by
+      * Σ√n_tokⱼ — no global token count needed. Shape at scale: one
+      * map-side-combinable groupBy over (lang, source) — the stratum
+      * frame is bounded metadata like centroids — then a 1-row
+      * broadcast for the normalizer. Determinism: sqrt is
+      * IEEE-correctly-rounded (unlike pow/ln), each √n_tok is rounded
+      * to 9 and summed as DECIMAL(18,9) — exact, order-independent —
+      * and the final weight is one double division. */
+    QueryDef("q90_source_mixture", {
+      s"""WITH st AS (SELECT lang, source,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY 1, 2),
+         |sq AS (SELECT lang, source, n_tok,
+         |    CAST(round(sqrt(n_tok), 9) AS DECIMAL(18,9)) AS sq FROM st),
+         |tot AS (SELECT sum(sq) AS ts FROM sq)
+         |SELECT lang, source, n_tok,
+         |  round(CAST(sq AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS weight
+         |FROM sq CROSS JOIN tot""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val st = t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tok"))
+      val sq = st.select(col("lang"), col("source"), col("n_tok"),
+        round(sqrt(col("n_tok")), 9).cast("decimal(18,9)").as("sq"))
+      val tot = sq.agg(sum("sq").as("ts"))
+      sq.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_tok"),
+          round(col("sq").cast("double") / col("ts").cast("double"), 6)
+            .as("weight"))
     }
   )
 

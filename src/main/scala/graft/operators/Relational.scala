@@ -840,6 +840,91 @@ object Relational {
         "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
         "WHERE o_totalprice > 400000) GROUP BY 1") { (s, dir) =>
       bloomSemiJoinAgg(s, dir)
+    },
+
+    /** Ordered funnel analysis over the event stream — the product
+      * analytics staple: for each user, the earliest `view`, the
+      * earliest `click` strictly after that view, and the earliest
+      * `purchase` strictly after that click. Computed as three chained
+      * conditional-min aggregations, each joined back user-keyed (the
+      * user frame is bounded by the user population, not the event
+      * count, and every join is an equi-join on user_id — at scale all
+      * three land in one shuffle partitioning reused across stages).
+      * Conversion windows (click ≤ 12 h after the view, purchase ≤ 24 h
+      * after the click) bound the join ranges — at scale they also cap
+      * how much state a streaming form would hold. Timestamp
+      * determinism: event timestamps are whole microseconds, so Spark's
+      * micros and the oracle's nanos compare identically, and interval
+      * arithmetic is exact in both. Output: one row per user that
+      * reached step 1, nulls marking where the funnel stopped, plus the
+      * step count reached. */
+    QueryDef("q91_funnel",
+      "SELECT user_id, t_view, t_click, t_purchase, " +
+        "CASE WHEN t_purchase IS NOT NULL THEN 3 " +
+        "WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS steps " +
+        "FROM (SELECT v.user_id, v.t_view, c.t_click, " +
+        "  (SELECT min(p.ts) FROM events p WHERE p.user_id = v.user_id " +
+        "   AND p.event_type = 'purchase' AND p.ts > c.t_click " +
+        "   AND p.ts <= c.t_click + INTERVAL 24 HOUR) AS t_purchase " +
+        "FROM (SELECT user_id, min(ts) AS t_view FROM events " +
+        "      WHERE event_type = 'view' GROUP BY 1) v " +
+        "LEFT JOIN (SELECT e.user_id, min(e.ts) AS t_click FROM events e " +
+        "  JOIN (SELECT user_id, min(ts) AS t_view FROM events " +
+        "        WHERE event_type = 'view' GROUP BY 1) vv " +
+        "  ON e.user_id = vv.user_id AND e.event_type = 'click' " +
+        "     AND e.ts > vv.t_view AND e.ts <= vv.t_view + INTERVAL 12 HOUR " +
+        "  GROUP BY 1) c " +
+        "ON v.user_id = c.user_id)") { (s, dir) =>
+      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+          col("e.ts") > col("v.t_view") &&
+          col("e.ts") <= col("v.t_view") + expr("INTERVAL 12 HOURS"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+          col("e.ts") > col("c.t_click") &&
+          col("e.ts") <= col("c.t_click") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2).otherwise(1).as("steps"))
+    },
+
+    /** Retention cohort triangle — users cohorted by their first-ever
+      * event day, activity counted as distinct active users per
+      * (cohort_day, day_offset). The classic warehouse retention query:
+      * one first-touch aggregation, one user-keyed join, one
+      * distinct-user rollup — every stage keyed and partial-aggregable;
+      * day arithmetic stays in exact integer date-diff space. */
+    QueryDef("q92_retention_cohorts",
+      "SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset, " +
+        "count(*) AS n_active FROM (" +
+        "SELECT DISTINCT e.user_id, f.cohort_day, " +
+        "  date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset " +
+        "FROM events e JOIN (SELECT user_id, " +
+        "    CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day " +
+        "  FROM events GROUP BY 1) f ON e.user_id = f.user_id" +
+        ") GROUP BY 1, 2") { (s, dir) =>
+      val ev = t(s, dir, "events").select("user_id", "ts")
+      val first = ev.groupBy("user_id")
+        .agg(to_date(date_trunc("day", min("ts"))).as("cohort_day"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(to_date(date_trunc("day", col("ts"))), col("cohort_day"))
+            .as("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_active"))
     }
   )
 

@@ -847,6 +847,138 @@ object TextAnalysis {
         .withColumn("rnk", row_number().over(byLang))
         .filter(col("rnk") <= 5)
         .select("doc_id", "lang", "k")
+    },
+
+    /** Bigram-LM perplexity scoring — the CCNet-recipe quality signal.
+      * Where q54 trains an unsmoothed MLE bigram model on the corpus and
+      * scores the corpus against itself (self-perplexity, OOV
+      * impossible), this is the held-out-model form real curation uses:
+      * train add-one-smoothed ONLY on the heuristic-high-quality subset
+      * (quality ≥ 0.5), then score EVERY document — including ones whose
+      * bigrams the model never saw — by mean negative log-likelihood.
+      * Low avg_nll ⇒ looks like the clean subset; high ⇒ out-of-model
+      * text a curation gate would drop. Shape at scale: model counts
+      * (c2 bigram, c1 left-context = Σ c2) are gram-keyed aggregates —
+      * map-side-combinable, shuffle ∝ distinct grams not corpus; the
+      * apply pass is two gram-keyed left joins (never broadcast — the
+      * vocabulary is unbounded) plus one 1-row broadcast for |V|. FP
+      * discipline: each −ln P is rounded to 6 and summed as
+      * DECIMAL(18,6) — order-independent — then the mean is one double
+      * division (the q85 lesson). Docs with fewer than two tokens have
+      * no bigrams and are absent from the output by construction. */
+    QueryDef("q88_lm_perplexity", {
+      s"""WITH d AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} >= 0.5 AS hi,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |bi AS (SELECT doc_id, hi, w[i] AS w1, w[i+1] AS w2
+         |  FROM d, unnest(range(1, greatest(len(w), 1))) AS u(i)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE hi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM (
+         |  SELECT w1 AS tok FROM bi WHERE hi UNION SELECT w2 FROM bi WHERE hi)),
+         |sc AS (SELECT bi.doc_id,
+         |    CAST(round(-ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + v.v)), 6)
+         |         AS DECIMAL(18,6)) AS nll
+         |  FROM bi LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+         |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        (qualityScore(col("text")) >= 0.5).as("hi"),
+        split(trim(col("text")), "\\s+").as("w"))
+      // bigram (w1, w2) rows: posexplode the first n-1 tokens, fetch the
+      // successor by position — no struct-in-lambda type plumbing
+      val bi = graft.CacheScope.persist(base
+        .select(col("doc_id"), col("hi"), col("w"),
+          posexplode(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
+            .as(Seq("p0", "w1")))
+        .select(col("doc_id"), col("hi"), col("w1"),
+          element_at(col("w"), col("p0") + 2).as("w2")))
+      val c2 = bi.filter(col("hi")).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val v = bi.filter(col("hi"))
+        .select(explode(array(col("w1"), col("w2"))).as("tok")).distinct()
+        .agg(count(lit(1)).as("v"))
+      bi.join(c2, Seq("w1", "w2"), "left_outer")
+        .join(c1, Seq("w1"), "left_outer")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(-log((coalesce(col("c2"), lit(0L)) + 1.0) /
+              (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+            .cast("decimal(18,6)").as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum("nll").cast("double") / count(lit(1)), 6).as("avg_nll"))
+    },
+
+    /** Gopher-style repetition filters — the published quality rules
+      * that catch boilerplate/spam by REPETITION rather than content:
+      * duplicate-word fraction, most-frequent-bigram share, and the
+      * fraction of 5-gram occurrences belonging to repeated 5-grams
+      * (Rae et al. 2021 §A1.1, adapted to word-frequency fractions so
+      * ties in "which gram is most frequent" can never flip the value —
+      * max COUNT is tie-invariant where argmax is not). Shape at scale:
+      * three gram-keyed (doc_id, gram) partial-agg counts — shuffle
+      * keyed by doc⊕gram so one giant doc cannot hot-spot a single
+      * reducer the way a naive groupBy(doc_id) over raw tokens would —
+      * then three doc-keyed rollups joined on doc_id. All fractions are
+      * exact-integer ratios through one IEEE double division each:
+      * deterministic across engines with no rounding discipline needed
+      * (rounded to 6 anyway for display stability). */
+    QueryDef("q89_repetition_filters", {
+      val g5 = (0 to 4).map(k => s"w[i+$k]").mkString("||' '||")
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(sum(c) - count(*) AS BIGINT) AS ndupw FROM (
+         |  SELECT doc_id, w[i] AS g, count(*) AS c
+         |  FROM d, unnest(range(1, len(w) + 1)) AS u(i) GROUP BY 1, 2) GROUP BY 1),
+         |bi AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topb,
+         |    CAST(sum(c) AS BIGINT) AS nb FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS c
+         |  FROM d, unnest(range(1, greatest(len(w), 1))) AS u(i) GROUP BY 1, 2) GROUP BY 1),
+         |five AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup5,
+         |    CAST(sum(c) AS BIGINT) AS n5 FROM (
+         |  SELECT doc_id, $g5 AS g, count(*) AS c
+         |  FROM d, unnest(range(1, greatest(len(w) - 3, 1))) AS u(i) GROUP BY 1, 2) GROUP BY 1)
+         |SELECT uni.doc_id, uni.n_words,
+         |  round(CAST(ndupw AS DOUBLE) / n_words, 6) AS dup_word_frac,
+         |  coalesce(round(CAST(topb AS DOUBLE) / nb, 6), 0.0) AS top_bigram_frac,
+         |  coalesce(round(CAST(dup5 AS DOUBLE) / n5, 6), 0.0) AS dup_5gram_frac
+         |FROM uni LEFT JOIN bi USING (doc_id) LEFT JOIN five USING (doc_id)
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val base = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w")))
+      val n = size(col("w"))
+      def gramCounts(k: Int): DataFrame = {
+        val g =
+          if (k == 1) base.select(col("doc_id"), explode(col("w")).as("g"))
+          else base.select(col("doc_id"),
+            explode(when(n >= k, transform(sequence(lit(1), n - (k - 1)), i =>
+              concat_ws(" ", (0 until k).map(j =>
+                element_at(col("w"), i + j)): _*)))
+              .otherwise(array().cast("array<string>"))).as("g"))
+        g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      }
+      val uni = gramCounts(1).groupBy("doc_id").agg(
+        sum("c").as("n_words"), (sum("c") - count(lit(1))).as("ndupw"))
+      val bi = gramCounts(2).groupBy("doc_id").agg(
+        max("c").as("topb"), sum("c").as("nb"))
+      val five = gramCounts(5).groupBy("doc_id").agg(
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup5"),
+        sum("c").as("n5"))
+      uni.join(bi, Seq("doc_id"), "left_outer")
+        .join(five, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_words"),
+          round(col("ndupw").cast("double") / col("n_words"), 6)
+            .as("dup_word_frac"),
+          coalesce(round(col("topb").cast("double") / col("nb"), 6), lit(0.0))
+            .as("top_bigram_frac"),
+          coalesce(round(col("dup5").cast("double") / col("n5"), 6), lit(0.0))
+            .as("dup_5gram_frac"))
     }
   )
 }

@@ -281,4 +281,46 @@ class PlanSpec extends SparkSuite {
       .collect().toSet
     assert(bloomed == plain)
   }
+
+  test("q85: the 1024-bucket model broadcasts; the token frame never re-shuffles for scoring") {
+    val p = plan("q85_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q88: model joins are equi-joins (free to broadcast when small), |V| is a 1-row broadcast") {
+    val p = plan("q88_lm_perplexity")
+    // the c2/c1 joins are keyed equi-joins: Catalyst broadcasts them at
+    // toy scale and shuffles at corpus scale — both fine; what must
+    // never appear is an unkeyed product beyond the 1-row |V| broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q89: gram counts combine map-side, keyed by doc⊕gram, no window") {
+    val p = plan("q89_repetition_filters")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q90: stratum frame is bounded — the normalizer is a 1-row broadcast, not a window") {
+    val p = plan("q90_source_mixture")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q91: funnel stages are user-keyed equi-joins, never nested-loop probes") {
+    val p = plan("q91_funnel")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q92: retention rollup partially aggregates; single join on user_id") {
+    val p = plan("q92_retention_cohorts")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
