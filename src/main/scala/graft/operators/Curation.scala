@@ -41,6 +41,29 @@ object Curation {
       |clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
       |""".stripMargin
 
+  /** Shared Java-regex ∩ RE2 PII patterns (q93 + the streaming scrub).
+    * Declared before `queries` — the oracle strings interpolate them at
+    * object init. */
+  private[graft] val EmailPat =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhonePat = "\\b555-[0-9]{4}\\b"
+  private[graft] val IpPat =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Masked text: email → phone → IP replacement (order-safe — masks
+    * contain no digits, the classes cannot overlap textually). */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
+
+  /** The scrub report columns shared by batch q93 and the streaming
+    * view: per-class match counts + an md5 signature of the redaction. */
+  def piiColumns(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    regexp_count(text, lit(EmailPat)).cast("long").as("n_emails"),
+    regexp_count(text, lit(PhonePat)).cast("long").as("n_phones"),
+    regexp_count(text, lit(IpPat)).cast("long").as("n_ips"),
+    md5(piiRedact(text)).as("clean_sig"))
+
   val queries: Seq[QueryDef] = Seq(
 
     /** Benchmark decontamination: flag training-split documents sharing
@@ -247,6 +270,103 @@ object Curation {
         .select(col("lang"), col("source"), col("n_tok"),
           round(col("sq").cast("double") / col("ts").cast("double"), 6)
             .as("weight"))
+    },
+
+    /** PII redaction: count and mask emails / phone numbers / IPv4
+      * addresses — the privacy-scrub step a training corpus passes
+      * through before tokenization. The synthetic corpus contains no
+      * PII, so each document first gets a deterministic doc_id-derived
+      * contact tail appended (emails on doc_id%7==0, phones on %5==0,
+      * IPs on %3==0 — the oracle runs the same derivation, the q50/q51
+      * payload-construction precedent), and the operator under test is
+      * the scrub itself: per-class match counts plus an md5 signature
+      * of the redacted text, which hash-pins byte-identical masking
+      * across engines. Patterns stay inside the Java-regex ∩ RE2
+      * common subset so Spark and DuckDB agree; replacement order
+      * (email → phone → IP) is safe because each mask token contains
+      * no digits and the classes cannot overlap textually.
+      *
+      * Scale shape: one narrow per-row map — the counts, replaces and
+      * signature all fuse into whole-stage codegen at the scan; no
+      * shuffle, no UDF (`PlanSpec` pins the exchange-free plan). */
+    QueryDef("q93_pii_redact", {
+      s"""WITH a AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$EmailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$PhonePat')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(aug, '$IpPat')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'),
+         |    '$IpPat', '<IP>', 'g')) AS clean_sig
+         |FROM a""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 7 === 0,
+          concat(lit(" user"), id.cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(id % 5 === 0,
+          concat(lit(" 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(id % 3 === 0,
+          concat(lit(" 10.0."), (id % 256).cast("string"), lit("."),
+            (id % 250).cast("string")))
+          .otherwise(""))
+      t(s, dir, "documents").select(id +: piiColumns(aug): _*)
+    },
+
+    /** Corpus-adaptive boilerplate vocabulary: tokens present in more
+      * than 90% of a source's documents are that source's boilerplate
+      * (navigation chrome, legal footers, template filler — the
+      * per-site analogue of a stopword list, learned from the corpus
+      * instead of hardcoded). Emits each document's token count, its
+      * boilerplate-token count against its own source's vocabulary,
+      * and the resulting content ratio — the signal the curation
+      * filter uses to drop chrome-dominated pages.
+      *
+      * Scale shape: document frequency is one agg keyed by
+      * (source, token) — work ∝ distinct vocabulary per source, never
+      * pairwise; the learned vocabulary (df > 0.9·|source|) is tiny by
+      * construction and BROADCAST back onto the per-doc token counts,
+      * so the only wide ops are vocabulary-sized aggregations. */
+    QueryDef("q94_boilerplate", {
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS ndocs FROM tok GROUP BY 1),
+        |df AS (SELECT source, tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1, 2),
+        |b AS (SELECT df.source, df.tok FROM df JOIN nd USING (source)
+        |  WHERE df * 1.0 > 0.9 * ndocs),
+        |cnt AS (SELECT doc_id, source, tok, count(*) AS c FROM tok GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CASE WHEN b.tok IS NOT NULL THEN c END), 0) AS BIGINT) AS n_boiler,
+        |  round(1.0 - coalesce(sum(CASE WHEN b.tok IS NOT NULL THEN c END), 0) * 1.0 / sum(c), 6) AS content_ratio
+        |FROM cnt LEFT JOIN b ON cnt.source = b.source AND cnt.tok = b.tok
+        |GROUP BY doc_id""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val tok = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok")))
+      val nd = tok.groupBy("source")
+        .agg(countDistinct("doc_id").as("ndocs"))
+      val df = tok.groupBy("source", "tok")
+        .agg(countDistinct("doc_id").as("df"))
+      val boiler = df.join(nd, "source")
+        .filter(col("df") * 1.0 > lit(0.9) * col("ndocs"))
+        .select(col("source"), col("tok"), lit(1).as("is_b"))
+      val cnt = tok.groupBy("doc_id", "source", "tok")
+        .agg(count(lit(1)).as("c"))
+      val boilerC = sum(when(col("is_b").isNotNull, col("c")))
+      cnt.join(broadcast(boiler), Seq("source", "tok"), "left")
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_tokens"),
+          coalesce(boilerC, lit(0)).cast("long").as("n_boiler"),
+          round(lit(1.0) -
+            coalesce(boilerC, lit(0)).cast("double") / sum(col("c")), 6)
+            .as("content_ratio"))
     }
   )
 

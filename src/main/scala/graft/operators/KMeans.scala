@@ -93,8 +93,11 @@ object KMeans {
       greatest(best("d") + dot(col("v"), col("v")), lit(0.0)).as("dist2"))
   }
 
-  /** Deterministic farthest-point seeds. `vectors`: (vec_id, v). */
-  private def farthestPointInit(vectors: DataFrame, k: Int): Seq[Seq[Double]] = {
+  /** Deterministic farthest-point seeds. `vectors`: (vec_id, v).
+    * Shared with [[Pq]] — PQ seeds all subspaces from one full-vector
+    * farthest-point pass instead of m independent ones. */
+  private[operators] def farthestPointInit(
+      vectors: DataFrame, k: Int): Seq[Seq[Double]] = {
     def vecOf(row: org.apache.spark.sql.Row): Seq[Double] =
       row.getSeq[Double](0)
     val first = vectors.orderBy("vec_id").select("v").head()

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Product quantization for embedding compression + asymmetric-distance
+  * ANN (Jégou et al., TPAMI 2011 — public method): each vector is cut
+  * into `m` subvectors, each subspace gets its own k-centroid codebook,
+  * and a vector is stored as m small codes (here m=8 × k=16 → 8 codes
+  * of 4 bits = 4 bytes for a 64-dim float vector, a 64× compression).
+  *
+  * Why this is the 100 TB shape for similarity search:
+  *  - the CODES table (4 bytes/vector) is what search scans — the raw
+  *    vectors are only read once at encode time;
+  *  - a probe precomputes its m×k distance TABLE once (asymmetric
+  *    distance: exact query subvector vs quantized corpus), and every
+  *    corpus candidate then costs m array lookups instead of a d-dim
+  *    dot product — per-candidate work drops 8× here, d/m× in general;
+  *  - codebooks are m×k×(d/m) doubles = bounded driver metadata,
+  *    broadcast into plans as literals (the k-means-centroid posture);
+  *    training state never grows with the corpus;
+  *  - all three phases (train update, encode, search) are narrow maps
+  *    plus one map-side-combined agg — no pairwise joins anywhere; at
+  *    cluster scale the codes table composes with the IVF cell layout
+  *    (q42's partition-pruned scan) for IVF-PQ.
+  *
+  * Training runs ONE joint Lloyd loop over all m subspaces at once: the
+  * (vec_id, sub, vs) exploded frame assigns every subvector against its
+  * own codebook in a single pass, and the update aggregates
+  * (sub, code, dim) partial means — m×k×(d/m) rows to the driver per
+  * iteration, corpus-independent.
+  */
+object Pq {
+
+  /** Codebooks indexed [subspace][code][dim]; `ds` = dims per subspace. */
+  final case class Model(m: Int, k: Int, ds: Int,
+      codebooks: Seq[Seq[Seq[Double]]]) {
+    def codebookLit: Column = typedlit(codebooks)
+    def normLit: Column =
+      typedlit(codebooks.map(_.map(c => c.map(x => x * x).sum)))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct(a, b)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Subvector of `v` for subspace `sub` (0-based), ds dims each. */
+  private def subvec(v: Column, sub: Column, ds: Int): Column =
+    slice(v, sub * ds + 1, lit(ds))
+
+  /** argmin code for one subvector against subspace `sub`'s codebook:
+    * ‖vs‖² is common across the k candidates, so the comparison key is
+    * ‖c‖² − 2·vs·c (the KMeans.assign identity). */
+  private def argminCode(model: Model, vs: Column, sub: Column): Column = {
+    val cb = model.codebookLit
+    val cn = model.normLit
+    aggregate(sequence(lit(0), lit(model.k - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+      (acc, i) => {
+        val d = element_at(element_at(cn, sub + 1), i + 1) -
+          lit(2.0) * dot(vs, element_at(element_at(cb, sub + 1), i + 1))
+        when(d < acc("d"), struct(d.as("d"), i.as("c"))).otherwise(acc)
+      })("c")
+  }
+
+  /** Train m×k codebooks by joint Lloyd over all subspaces. `vectors`:
+    * (vec_id, v). Deterministic: subspace seeds are slices of one
+    * full-vector farthest-point pass, and every update is an exact
+    * mean. */
+  def fit(vectors: DataFrame, m: Int, k: Int, maxIters: Int = 5,
+      tol: Double = 1e-9): Model = {
+    val vs = vectors.select(col("vec_id"),
+      col("v").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dims = vs.select(size(col("v"))).head().getInt(0)
+      require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+      val ds = dims / m
+      val seeds = KMeans.farthestPointInit(vs, k)
+      var model = Model(m, k, ds, (0 until m).map(sub =>
+        seeds.map(_.slice(sub * ds, sub * ds + ds))))
+      // one exploded (vec_id, sub, vs) frame drives every iteration
+      val sub = vs.select(col("vec_id"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+        .select(col("vec_id"), col("sub"),
+          subvec(col("v"), col("sub"), ds).as("vs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var iter = 0
+        var moved = Double.MaxValue
+        while (iter < maxIters && moved > tol) {
+          // two selects on purpose: a generator (posexplode) in the SAME
+          // select as the higher-order argmin trips Spark's generator
+          // pull-out rewrite, which strips the aliases inside the
+          // lambda's struct and fails the CASE type check
+          val means = sub
+            .select(col("sub"),
+              argminCode(model, col("vs"), col("sub")).as("code"),
+              col("vs"))
+            .select(col("sub"), col("code"), posexplode(col("vs")))
+            .groupBy("sub", "code", "pos").agg(avg("col").as("x"))
+            .groupBy("sub", "code")
+            .agg(array_sort(collect_list(struct(col("pos"), col("x"))))
+              .as("cs"))
+            .select(col("sub"), col("code"), col("cs.x").as("centroid"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+            .toMap
+          val next = (0 until m).map(s => (0 until k).map(c =>
+            means.getOrElse((s, c), model.codebooks(s)(c))))
+          moved = model.codebooks.flatten.flatten
+            .zip(next.flatten.flatten)
+            .map { case (a, b) => (a - b) * (a - b) }.max
+          model = model.copy(codebooks = next)
+          iter += 1
+        }
+        model
+      } finally sub.unpersist(blocking = false)
+    } finally vs.unpersist(blocking = false)
+  }
+
+  /** Encode vectors as m codes each — the 4-byte-per-vector table that
+    * replaces the raw embeddings at search time. Narrow map. */
+  def encode(model: Model, vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+      col("v").cast(ArrayType(DoubleType)).as("v"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(model.m - 1)), s =>
+          argminCode(model, subvec(col("v"), s, model.ds), s)).as("codes"))
+
+  /** Asymmetric-distance top-k: each probe precomputes its m×k table
+    * of exact ‖q_sub − c‖² entries ONCE, the (small) probes-with-table
+    * frame is broadcast against the codes table, and each candidate
+    * costs m lookups. Output (query_id, rank, neighbor_id, approx_d2),
+    * ties (distance ASC, id ASC). */
+  def adcSearch(model: Model, codes: DataFrame, probes: DataFrame,
+      topK: Int, excludeSelf: Boolean = true): DataFrame = {
+    val cb = model.codebookLit
+    val cn = model.normLit
+    val dtable = transform(sequence(lit(0), lit(model.m - 1)), s =>
+      transform(sequence(lit(0), lit(model.k - 1)), c => {
+        val qs = subvec(col("qv").cast(ArrayType(DoubleType)), s, model.ds)
+        val cv = element_at(element_at(cb, s + 1), c + 1)
+        dot(qs, qs) - lit(2.0) * dot(qs, cv) +
+          element_at(element_at(cn, s + 1), c + 1)
+      }))
+    val probesT = probes.select(col("query_id"), dtable.as("dt"))
+    val paired = codes.crossJoin(broadcast(probesT))
+    val candidates =
+      if (excludeSelf) paired.filter(col("vec_id") =!= col("query_id"))
+      else paired
+    val d2 = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(col("dt"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+    val topk = udaf(new graft.functions.TopKAggregator(topK))
+    candidates
+      .select(col("query_id"), col("vec_id"), (-d2).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(-col("col.score"), 6).as("approx_d2"))
+  }
+
+  /** The production PQ search shape: ADC shortlist of `shortlist ×
+    * topK` candidates, then EXACT re-rank of only those — quantization
+    * noise decides which ~50 candidates to look at, never the final
+    * order. The re-rank join touches `probes × shortlist × topK` raw
+    * vectors (a keyed semi-join-sized read, corpus-independent), so the
+    * full-precision pass costs a rounding error of the scan the codes
+    * table saved. Output (query_id, rank, neighbor_id, d2) with EXACT
+    * squared distances, ties (d2 ASC, id ASC). */
+  def adcSearchReranked(model: Model, codes: DataFrame, vectors: DataFrame,
+      probes: DataFrame, topK: Int, shortlist: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    val short = adcSearch(model, codes, probes, topK * shortlist, excludeSelf)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(probes, "query_id")
+      .join(vectors.select(col("vec_id").as("neighbor_id"),
+        col("v").cast(ArrayType(DoubleType)).as("nv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), {
+        val q = col("qv").cast(ArrayType(DoubleType))
+        dot(q, q) - lit(2.0) * dot(q, col("nv")) + dot(col("nv"), col("nv"))
+      }.as("d2"))
+    val topk = udaf(new graft.functions.TopKAggregator(topK))
+    exact
+      .select(col("query_id"), col("neighbor_id"), (-col("d2")).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(greatest(-col("col.score"), lit(0.0)), 6).as("d2"))
+  }
+
+  /** Train-once memo per (session, sf-dir) — the fitted-model posture
+    * shared with KMeans/Bpe. */
+  private val fitted =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Model]
+  private[operators] def fittedModel(s: SparkSession, dir: String): Model =
+    fitted.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      fit(e, m = 16, k = 16, maxIters = 5)
+    })
+
+  val queries: Seq[QueryDef] = Seq(
+
+    /** PQ-compressed ANN, full production shape: encode the corpus
+      * (16 codes/vector = 16× compression of the float rows), ADC
+      * shortlist, exact re-rank — top-5 for the first 5 vectors.
+      * Config is a measured trade on this corpus: m=8×k=16 leaves 55%
+      * of the vector energy as quantization noise (shortlist recall
+      * 0.40 at depth 20); m=16×k=16 with a 10× shortlist captures
+      * ~0.9 of the exact top-5 before the exact pass fixes the order.
+      * Approximate by design (no SQL oracle); `PqSpec` pins recall
+      * against exact euclidean brute force, the ADC identity
+      * (self-distance == the directly-computed quantization error),
+      * the Lloyd centroid-mean invariant, and determinism. */
+    QueryDef.noOracle("q97_pq_ann") { (s, dir) =>
+      val model = fittedModel(s, dir)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val codes = encode(model, e)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      adcSearchReranked(model, codes, e, probes, topK = 5)
+    }
+  )
+}

@@ -20,27 +20,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read natively (PARQUET_TYPE_ILLEGAL). We read it as a raw
-    * nanos long (`spark.sql.legacy.parquet.nanosAsLong`, set ONCE at
-    * session construction — mutating shared session conf per-read was a
-    * hidden ordering dependency and a race for concurrent readers) and
-    * convert with integer division — `ts DIV 1000` keeps full long
-    * precision (a double division would lose it: epoch-nanos ≈ 1.7e18 >
-    * 2^53). The original nanos long is kept as `ts_ns` so ordering
-    * comparisons (e.g. latest-row-per-key) match engines that order on
-    * full nano precision.
+  /** `events.parquet` has shipped with two `ts` encodings across driver
+    * testdata generations, and the loader normalizes BOTH to the same
+    * (ts TIMESTAMP, ts_ns BIGINT) contract, branching on the read schema:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it natively
+    *    (PARQUET_TYPE_ILLEGAL), so it arrives as a raw nanos long via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (set ONCE at session
+    *    construction — mutating shared session conf per-read was a hidden
+    *    ordering dependency and a race for concurrent readers); converted
+    *    with integer division — `ts DIV 1000` keeps full long precision
+    *    (a double division would lose it: epoch-nanos ≈ 1.7e18 > 2^53).
+    *  - TIMESTAMP(MICROS/MILLIS): reads natively (possibly as NTZ, cast
+    *    to the instant type — session TZ is pinned UTC so wall-clock
+    *    values are identical); `ts_ns` is derived as micros×1000.
+    *
+    * `ts_ns` exists so ordering comparisons (e.g. latest-row-per-key)
+    * match engines that order on the file's full precision.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     name match {
       case "events" =>
-        require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-          "events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-            "(Engine.session sets it)")
-        spark.read.parquet(path)
-          .withColumn("ts_ns", col("ts"))
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val raw = spark.read.parquet(path)
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // TIMESTAMP(NANOS) file read as a raw nanos long (see above)
+            require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+              "events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+                "(Engine.session sets it)")
+            raw.withColumn("ts_ns", col("ts"))
+              .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          case _ =>
+            // TIMESTAMP(MICROS/MILLIS) reads natively; normalize NTZ to the
+            // instant type (session TZ is pinned UTC, so the wall-clock
+            // values are identical) and derive ts_ns for full-precision
+            // ordering — same two-column contract as the nanos path
+            raw.withColumn("ts",
+                col("ts").cast(org.apache.spark.sql.types.TimestampType))
+              .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+        }
       case _ =>
         spark.read.parquet(path)
     }

@@ -323,4 +323,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q93: PII scrub is one exchange-free narrow map fused at the scan") {
+    val p = plan("q93_pii_redact")
+    assert(!p.contains("Exchange"), p)
+    // `*(1)` = the whole plan is a single whole-stage-codegen'd span
+    assert(p.contains("*(1) Project"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
+  test("q94: learned boilerplate vocabulary broadcasts back onto the " +
+      "per-doc counts; no corpus-side sort-merge") {
+    val p = plan("q94_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q95: pair stats partially aggregate map-side; top-25 is a " +
+      "TakeOrdered, not a global sort") {
+    val p = plan("q95_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }
