@@ -16,6 +16,13 @@ import graft.functions.{CharGrams, DotProduct, RollingHash, WordShingles}
   *   - `dot_product(a, b)` — deterministic left-to-right double dot
   *   - `word_shingles(text, n)` — distinct word n-grams
   *   - `char_grams(text, n)` — distinct character n-grams
+  *   - `pii_redact(text)` — the q93 email/phone/IPv4 masking
+  *   - `quality_score(text)` — the q30/q39 composite quality heuristic
+  *
+  * The last two are not native expressions but COMPOSITIONS of
+  * built-ins (`graft.operators` column builders); injection hands the
+  * resolver the composed tree, so they stay fully codegen'd — the same
+  * body the DataFrame operators run.
   *
   * This is the extension tier between composing built-ins and a custom
   * strategy: the expressions already power the DataFrame operators
@@ -52,5 +59,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
       (args: Seq[Expression]) =>
         CharGrams(args(0), litInt(args(1), "char_grams"))))
+    // Spark 4 Columns wrap ColumnNodes, not Expressions — the bridge
+    // (see its scaladoc) converts both ways so the operators' Column
+    // compositions register as SQL functions unchanged
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ext.injectFunction((
+      new FunctionIdentifier("pii_redact"),
+      new ExpressionInfo(graft.operators.Curation.getClass.getName, "pii_redact"),
+      (args: Seq[Expression]) => ColumnBridge.expression(
+        graft.operators.Curation.piiRedact(ColumnBridge.column(args.head)))))
+    ext.injectFunction((
+      new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(graft.operators.TextAnalysis.getClass.getName, "quality_score"),
+      (args: Seq[Expression]) => ColumnBridge.expression(
+        graft.operators.TextAnalysis.qualityScore(ColumnBridge.column(args.head)))))
   }
 }

@@ -100,6 +100,21 @@ object Bpe {
   def segment(w: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(split(w, ""))((acc, m) => mergePair(acc, m.left, m.right))
 
+  /** Persist a trained merge table as (rank, left, right) parquet —
+    * the tokenizer registry: training runs once, every later encode job
+    * loads a KB-sized table ([[KMeans.Model.save]] posture). */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right)).toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table persisted by [[saveMerges]], in rank order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq
+
   /** Train-once memo per (session, sf-dir) — q96/q98 share one corpus
     * and therefore one vocabulary (the q43 fittedModel posture). */
   private val trained =

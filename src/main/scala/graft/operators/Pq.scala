@@ -201,6 +201,29 @@ object Pq {
         round(greatest(-col("col.score"), lit(0.0)), 6).as("d2"))
   }
 
+  /** Persist codebooks as a tiny (sub, code, centroid) parquet table —
+    * the model-registry step: encode/search jobs load m×k×(d/m)
+    * doubles instead of re-fitting the corpus ([[KMeans.Model.save]]
+    * posture). */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    (for (s <- 0 until model.m; c <- 0 until model.k)
+      yield (s, c, model.codebooks(s)(c)))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[Model]] persisted by [[save]]. */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    Model(m, k, rows((0, 0)).size,
+      (0 until m).map(s => (0 until k).map(c => rows((s, c)))))
+  }
+
   /** Train-once memo per (session, sf-dir) — the fitted-model posture
     * shared with KMeans/Bpe. */
   private val fitted =
@@ -233,6 +256,116 @@ object Pq {
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       adcSearchReranked(model, codes, e, probes, topK = 5)
+    },
+
+    /** IVF-PQ — the composed 100 TB ANN architecture: q42's
+      * partition-pruned cell layout carries PQ CODES, so a search reads
+      * (a) a metadata-sized centroid table to route each probe to its
+      * nprobe cells driver-side, (b) ONLY the probed cells' code
+      * partitions (4–16 bytes a vector) for the ADC shortlist, and
+      * (c) only the shortlisted raw vectors — again from pruned cell
+      * partitions — for the exact re-rank. Nothing corpus-sized is
+      * ever scanned at full precision. `PlanSpec` pins the partition
+      * filters on both reads; `PqSpec` pins the machinery exactly
+      * (full-shortlist search == brute force within the probed
+      * cells). */
+    QueryDef.noOracle("q99_ivfpq_topk") { (s, dir) =>
+      ivfPqSearch(s, dir, topK = 5, nprobe = 2, shortlist = 10)
     }
   )
+
+  /** Session-scoped train-once PQ-codes layout for q99: the corpus
+    * encoded to m codes/vector, hive-partitioned by the same cell
+    * assignment as [[Similarity.ivfIndexPath]]'s raw-vector cells. */
+  private val codesPaths =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private[operators] def ivfPqCodesPath(s: SparkSession, dir: String): String =
+    codesPaths.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-codes").toString
+      val model = fittedModel(s, dir)
+      val e = t(s, dir, "embeddings")
+      encode(model, e.select(col("vec_id"), col("embedding").as("v")))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .write.mode("overwrite").partitionBy("label").parquet(path)
+      path
+    })
+
+  /** Routed IVF-PQ search (see q99). `shortlist` multiplies topK to set
+    * ADC shortlist depth; probes = the first 5 corpus vectors. */
+  private[operators] def ivfPqSearch(s: SparkSession, dir: String,
+      topK: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val model = fittedModel(s, dir)
+    val idx = Similarity.ivfIndexPath(s, dir)
+    val codesPath = ivfPqCodesPath(s, dir)
+
+    // driver-side routing: NQ×k×dim arithmetic on the metadata-sized
+    // centroid table, euclidean to match how PQ ranks candidates
+    val cents = s.read.parquet(s"$idx/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val probes = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val routed = probes.flatMap { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      cents.map { case (lbl, c) =>
+        val d2 = qd.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, lbl)
+      }.sortBy { case (d2, lbl) => (d2, lbl) }.take(nprobe)
+        .map { case (_, lbl) => (qid, lbl, qv) }
+    }
+    val probedLabels = routed.map(_._2).distinct.toSeq
+
+    import s.implicits._
+    val routedDf = s.createDataset(routed.toSeq)
+      .toDF("query_id", "probe_label", "qv")
+
+    // ADC shortlist over ONLY the probed cells' code partitions
+    val cb = model.codebookLit
+    val cn = model.normLit
+    val dtable = transform(sequence(lit(0), lit(model.m - 1)), sb =>
+      transform(sequence(lit(0), lit(model.k - 1)), c => {
+        val qs = subvec(col("qv").cast(ArrayType(DoubleType)), sb, model.ds)
+        val cv = element_at(element_at(cb, sb + 1), c + 1)
+        dot(qs, qs) - lit(2.0) * dot(qs, cv) +
+          element_at(element_at(cn, sb + 1), c + 1)
+      }))
+    val probesT = routedDf
+      .select(col("query_id"), col("probe_label"), col("qv"), dtable.as("dt"))
+    val codes = s.read.parquet(codesPath)
+      .filter(col("label").isin(probedLabels: _*))
+    val d2adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, sb) => acc + element_at(element_at(col("dt"), sb + 1),
+        element_at(col("codes"), sb + 1) + 1))
+    val short = udaf(new graft.functions.TopKAggregator(topK * shortlist))
+    val shortlisted = codes.join(broadcast(probesT),
+        col("label") === col("probe_label") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (-d2adc).as("score"))
+      .groupBy("query_id")
+      .agg(short(col("score"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+
+    // exact re-rank from the pruned RAW cells — shortlist-sized read
+    val cells = s.read.parquet(s"$idx/cells")
+      .filter(col("label").isin(probedLabels: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("nv"))
+    val qvs = routedDf.select("query_id", "qv").distinct()
+    val topk = udaf(new graft.functions.TopKAggregator(topK))
+    shortlisted
+      .join(broadcast(qvs), "query_id")
+      .join(cells, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), {
+        val q = col("qv").cast(ArrayType(DoubleType))
+        (-(dot(q, q) - lit(2.0) * dot(q, col("nv")) +
+          dot(col("nv"), col("nv")))).as("score")
+      })
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(greatest(-col("col.score"), lit(0.0)), 6).as("d2"))
+  }
 }

@@ -1,0 +1,198 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental corpus-adaptive boilerplate scoring — the streaming form
+  * of batch q94: the sink holds, at every instant, each live document's
+  * token count, boilerplate-token count against its source's CURRENT
+  * learned vocabulary (tokens with document frequency > 90% within the
+  * source), and the resulting content ratio.
+  *
+  * What makes this view different from the gram-keyed family
+  * ([[StreamingDecontamination]], [[StreamingBm25]]) is the GLOBAL
+  * threshold: vocabulary membership is df(source, token) > 0.9 ·
+  * ndocs(source), so a batch that only ADDS a document to a source can
+  * flip membership for tokens the batch never touched (the denominator
+  * moved). Affected-key enumeration therefore has two tiers:
+  *
+  *   - token tier (batch-sized): tokens whose df changed — their
+  *     postings are read/merged bucket-pruned, exactly like the gram
+  *     views;
+  *   - source tier (vocabulary-sized): for each source with any doc
+  *     change, the source's df rows are re-evaluated against the old
+  *     and new denominators to find membership FLIPS. This is a scan of
+  *     the source's vocabulary state — bounded by distinct tokens, never
+  *     by corpus size (the honest cost of a corpus-relative threshold;
+  *     at larger scale the upgrade is df-ratio bucketing so only rows
+  *     near the moving threshold are read, the [[StreamingBm25]]
+  *     shard pattern applied to the ratio dimension).
+  *
+  * Re-scored docs = batch docs ∪ post-state members of every flipped
+  * token's posting — the true data dependency (those docs' boilerplate
+  * counts changed), never a corpus re-scan. State merges carry the
+  * batchId → replay-idempotent.
+  */
+object StreamingBoilerplate {
+
+  private def postSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("members", ArrayType(StringType))))
+
+  private def ndSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("cnt", LongType)))
+
+  private def tokens(textCol: Column): Column =
+    split(trim(textCol), "\\s+")
+
+  /** Continuous boilerplate view over a CDC `documents`-shaped source
+    * with (doc key, source, text) rows. Sink documents:
+    * (id, n_tokens, n_boiler, content_ratio). */
+  def boilerplateView(
+      spark: SparkSession, stateDir: String,
+      name: String = "boilerplate", table: String = "documents",
+      textCol: String = "text", sourceCol: String = "source",
+      threshold: Double = 0.9, buckets: Int = 32): ViewDef = {
+    val postings =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-postings", "key", buckets)
+    val ndTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-ndocs", "key", buckets)
+
+    ViewDef(name, (pre, post, batch, ctx) => {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def pin(t: ParquetKeyedTable): Option[Int] = ctx.batchId match {
+        case Some(id) => t.versionBefore(id)
+        case None     => t.version
+      }
+      val prePV = pin(postings)
+      val preNV = pin(ndTable)
+
+      val touched = batch(table).select("key").distinct().persist(mem)
+      ctx.defer(touched.unpersist())
+
+      // distinct (source|token, doc) membership of the touched docs,
+      // before and after
+      def membership(docs: DataFrame): DataFrame = docs
+        .select(col("key").as("doc"), col(sourceCol).as("src"),
+          explode(array_distinct(tokens(col(textCol)))).as("tok"))
+        .select(col("doc"), col("src"),
+          concat_ws("|", col("src"), col("tok")).as("st"))
+      val preM = membership(pre.rows(table, touched)).persist(mem)
+      ctx.defer(preM.unpersist())
+      val postM = membership(post.rows(table, touched)).persist(mem)
+      ctx.defer(postM.unpersist())
+
+      // ndocs ± per source (an update may move a doc between sources)
+      val preSrc = pre.rows(table, touched)
+        .select(col("key").as("doc"), col(sourceCol).as("src"))
+      val postSrc = post.rows(table, touched)
+        .select(col("key").as("doc"), col(sourceCol).as("src"))
+      val ndDeltas = preSrc.groupBy("src").agg(count(lit(1)).as("pre_n"))
+        .join(postSrc.groupBy("src").agg(count(lit(1)).as("post_n")),
+          Seq("src"), "full_outer")
+        .select(col("src"),
+          (coalesce(col("post_n"), lit(0L)) - coalesce(col("pre_n"), lit(0L)))
+            .as("delta"))
+      val affectedSources = ndDeltas.select("src").distinct().persist(mem)
+      ctx.defer(affectedSources.unpersist())
+      val ndOld = ndTable.rowsForKeysAt(preNV, ndSchema,
+        affectedSources.select(col("src").as("key")))
+        .select(col("key").as("src"), col("cnt").as("old_nd"))
+      val ndNew = ndDeltas
+        .join(ndOld, Seq("src"), "left")
+        .select(col("src"), coalesce(col("old_nd"), lit(0L)).as("old_nd"),
+          (coalesce(col("old_nd"), lit(0L)) + col("delta")).as("new_nd"))
+        .persist(mem)
+      ctx.defer(ndNew.unpersist())
+      ndTable.merge(
+        ndNew.filter(col("new_nd") > 0)
+          .select(col("src").as("key"), col("new_nd").as("cnt")),
+        ndNew.filter(col("new_nd") <= 0).select(col("src").as("key")),
+        ctx.batchId)
+
+      // postings read-modify-write for the batch-touched (source, token)
+      // keys only — bucket-pruned, the gram-view pattern
+      val affectedSt = preM.select("st").union(postM.select("st"))
+        .distinct().withColumnRenamed("st", "key")
+      val pPre = postings.rowsForKeysAt(prePV, postSchema, affectedSt)
+        .select(col("key").as("st"), explode(col("members")).as("doc"))
+      val kept = pPre.join(
+        touched.withColumnRenamed("key", "doc"), Seq("doc"), "left_anti")
+      val postMembers = kept
+        .unionByName(postM.select(col("st"), col("doc")))
+      val pRows = postMembers.groupBy("st")
+        .agg(collect_list("doc").as("members"))
+        .select(col("st").as("key"), col("members"))
+      val emptied = affectedSt.join(pRows.select("key"), Seq("key"), "left_anti")
+      postings.merge(pRows, emptied, ctx.batchId)
+
+      // membership flips: evaluate the WHOLE vocabulary state of every
+      // affected source against old and new (df, ndocs). Old df from the
+      // pre posting version; new df from the post version (merge above
+      // — or the already-committed state on replay).
+      def dfOf(version: Option[Int]): DataFrame = postings
+        .snapshotAt(version, postSchema)
+        .select(col("key").as("st"), size(col("members")).cast("long").as("df"),
+          substring_index(col("key"), "|", 1).as("src"))
+        .join(broadcast(affectedSources), Seq("src"), "left_semi")
+      val oldDf = dfOf(prePV)
+      val newDf = dfOf(postings.version)
+      val flips = oldDf.withColumnRenamed("df", "old_df")
+        .join(newDf.withColumnRenamed("df", "new_df"),
+          Seq("st", "src"), "full_outer")
+        .join(broadcast(ndNew), Seq("src"), "left")
+        .select(col("st"),
+          (coalesce(col("old_df"), lit(0L)) >
+            lit(threshold) * coalesce(col("old_nd"), lit(0L))).as("was"),
+          (coalesce(col("new_df"), lit(0L)) >
+            lit(threshold) * coalesce(col("new_nd"), lit(0L))).as("is"))
+        .filter(col("was") =!= col("is"))
+        .select("st")
+
+      // re-score: batch docs ∪ post-state members of flipped tokens
+      val flipHolders = postings
+        .rowsForKeys(postSchema, flips.withColumnRenamed("st", "key"))
+        .select(explode(col("members")).as("key"))
+      val affectedDocs = touched.union(flipHolders).distinct().persist(mem)
+      ctx.defer(affectedDocs.unpersist())
+
+      // per-doc counts against the CURRENT vocabulary: token instances
+      // from post text, membership from the post df/ndocs state (pruned
+      // by the docs' own token keys)
+      val docToks = post.rows(table, affectedDocs)
+        .select(col("key"), col(sourceCol).as("src"),
+          explode(tokens(col(textCol))).as("tok"))
+        .select(col("key"), col("src"), col("tok"),
+          concat_ws("|", col("src"), col("tok")).as("st"))
+        .persist(mem)
+      ctx.defer(docToks.unpersist())
+      val liveDf = postings.rowsForKeys(postSchema,
+        docToks.select(col("st").as("key")).distinct())
+        .select(col("key").as("st"),
+          size(col("members")).cast("long").as("df"))
+      val liveNd = ndTable.rowsForKeys(ndSchema,
+        docToks.select(col("src")).distinct()
+          .select(col("src").as("key")))
+        .select(col("key").as("src"), col("cnt").as("nd"))
+      val upserts = docToks
+        .join(liveDf, Seq("st"), "left")
+        .join(broadcast(liveNd), Seq("src"), "left")
+        .withColumn("boiler",
+          coalesce(col("df"), lit(0L)) >
+            lit(threshold) * coalesce(col("nd"), lit(0L)))
+        .groupBy(col("key").as("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("boiler"), 1)).as("n_boiler"),
+          round(lit(1.0) -
+            count(when(col("boiler"), 1)).cast("double") / count(lit(1)), 6)
+            .as("content_ratio"))
+        .persist(mem)
+      ctx.defer(upserts.unpersist())
+      val deletes = affectedDocs.select(col("key").as("id"))
+        .join(upserts.select("id"), Seq("id"), "left_anti")
+      (upserts, deletes)
+    })
+  }
+}

@@ -345,4 +345,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q99: IVF-PQ reads ONLY probed cell partitions — codes for the " +
+      "ADC shortlist, raw cells for the exact re-rank") {
+    val p = SparkEntry.queries("q99_ivfpq_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // no corpus pass at full precision, no centroid recompute
+    assert(!p.contains("partial_avg"), p)
+    assert(!p.contains("posexplode(embedding"), p)
+    // BOTH stores scan with a bounded partition filter (≤ nprobe × NQ
+    // cells): the codes layout and the raw cells layout
+    val pf = raw"PartitionFilters: \[label#\d+ IN \(([-0-9,]+)\)".r
+    val hits = pf.findAllMatchIn(p).toSeq
+    assert(hits.size == 2, s"expected 2 pruned scans, got ${hits.size}\n$p")
+    assert(hits.forall(_.group(1).split(",").length <= 10), p)
+    // probes broadcast into the pruned scans — never a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

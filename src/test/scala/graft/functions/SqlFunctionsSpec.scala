@@ -32,6 +32,26 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(viaSql.exists(_._2 == Seq("a b", "b c", "c a")))
   }
 
+  test("pii_redact / quality_score resolve in spark.sql and agree " +
+      "with the Column API") {
+    Seq("mail bob@x.co or 555-0101 from 10.0.0.1",
+      "the quick a fox of note with no pii at all")
+      .toDF("text").createOrReplaceTempView("sqlfn_pii")
+
+    val viaSql = spark.sql(
+      """SELECT pii_redact(text) AS clean,
+        |       quality_score(text) AS q
+        |FROM sqlfn_pii""".stripMargin)
+      .as[(String, Double)].collect().toSet
+    val viaCols = spark.table("sqlfn_pii").select(
+      graft.operators.Curation.piiRedact(col("text")).as("clean"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toSet
+
+    assert(viaSql == viaCols)
+    assert(viaSql.exists(_._1 == "mail <EMAIL> or <PHONE> from <IP>"))
+  }
+
   test("non-literal n is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles(text, length(text)) FROM sqlfn_t")

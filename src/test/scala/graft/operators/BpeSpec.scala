@@ -83,6 +83,14 @@ class BpeSpec extends SparkSuite {
     assert(got.view.mapValues(_.toVector).toMap == expect)
   }
 
+  test("saveMerges/loadMerges round-trips the table in rank order") {
+    val words = toy.toSeq.toDF("w", "c")
+    val merges = Bpe.train(words, nMerges = 6)
+    val path = tmpDir("bpemerges")
+    Bpe.saveMerges(spark, merges, path)
+    assert(Bpe.loadMerges(spark, path) == merges)
+  }
+
   test("q98 piece counts: pieces never exceed characters and shrink " +
       "after merges for at least one language") {
     val rows = graft.SparkEntry

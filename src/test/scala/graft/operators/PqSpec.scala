@@ -49,6 +49,13 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("save/load round-trips the model exactly") {
+    val model = Pq.fit(plantedDf, m = 2, k = 4, maxIters = 5)
+    val path = tmpDir("pqmodel")
+    Pq.save(spark, model, path)
+    assert(Pq.loadModel(spark, path) == model)
+  }
+
   test("ADC self-distance equals the driver-computed quantization error") {
     val model = Pq.fit(plantedDf, m = 2, k = 4, maxIters = 5)
     val codes = Pq.encode(model, plantedDf)
@@ -109,5 +116,42 @@ class PqSpec extends SparkSuite {
     for ((q, id, d2) <- reranked)
       assert(math.abs(d2 - exactD(q)(id)) < 1e-4,
         s"q=$q id=$id reranked d2=$d2 exact=${exactD(q)(id)}")
+  }
+
+  test("IVF-PQ: full-depth shortlist equals brute force within the " +
+      "probed cells, ranks and distances included") {
+    val dir = "/root/testdata/sf0.001"
+    // depth ≥ cell population ⇒ the ADC stage only selects cells, the
+    // exact re-rank decides everything — output must be exactly brute
+    // force restricted to the probed cells
+    val got = Pq.ivfPqSearch(spark, dir, topK = 5, nprobe = 2,
+        shortlist = 1000)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)))
+      .toMap
+
+    val idx = Similarity.ivfIndexPath(spark, dir)
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val all = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    for ((q, _, qv) <- all.filter(_._1 < 5)) {
+      val qd = qv.map(_.toDouble)
+      val probed = cents.map { case (lbl, c) =>
+        (qd.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, lbl)
+      }.sortBy(identity).take(2).map(_._2).toSet
+      val expect = all
+        .filter(r => probed.contains(r._2) && r._1 != q)
+        .map { case (id, _, v) =>
+          (id, qd.zip(v.map(_.toDouble))
+            .map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.sortBy { case (id, d) => (d, id) }.take(5)
+      val g = got(q)
+      assert(g.map(_._1).toSeq == expect.map(_._1).toSeq,
+        s"q=$q got ${g.map(_._1).toSeq} expect ${expect.map(_._1).toSeq}")
+      for (((_, gd), (_, ed)) <- g.zip(expect))
+        assert(math.abs(gd - ed) < 1e-4, s"q=$q d2 $gd vs $ed")
+    }
   }
 }
