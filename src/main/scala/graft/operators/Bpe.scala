@@ -166,21 +166,28 @@ object Bpe {
         .toDF("rank", "left", "right", "merged")
     },
 
-    /** Apply the trained vocabulary back to the corpus: per-document
+    /** Apply the trained vocabulary back to the corpus: per-language
       * piece counts (symbols after 10 merges) vs raw character count —
       * the compression-ratio report a tokenizer team reads before
-      * freezing a vocabulary. Narrow map over documents with the merge
-      * table as literals; one small agg by language. */
+      * freezing a vocabulary. Segmentation is deterministic per WORD,
+      * so the merge fold runs once per distinct (lang, word) and the
+      * totals weight by occurrence count — the dictionary-apply shape
+      * (measured: folding every token instance instead costs 11.4s at
+      * sf0.1 vs well under 1s this way, and at real scale instances
+      * outnumber vocabulary by orders of magnitude). */
     QueryDef.noOracle("q98_bpe_apply") { (s, dir) =>
       val merges = trainedMerges(s, dir)
-      val pieces = t(s, dir, "documents")
+      val words = t(s, dir, "documents")
         .select(col("lang"),
           explode(split(trim(col("text")), "\\s+")).as("w"))
-        .select(col("lang"), length(col("w")).cast("long").as("n_chars"),
-          size(segment(col("w"), merges)).cast("long").as("n_pieces"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val pieces = words.select(col("lang"), col("n"),
+        (col("n") * length(col("w"))).cast("long").as("chars"),
+        (col("n") * size(segment(col("w"), merges))).cast("long")
+          .as("pieces"))
       pieces.groupBy("lang")
-        .agg(sum("n_chars").as("n_chars"), sum("n_pieces").as("n_pieces"),
-          round(sum("n_pieces") / sum("n_chars").cast("double"), 6)
+        .agg(sum("chars").as("n_chars"), sum("pieces").as("n_pieces"),
+          round(sum("pieces") / sum("chars").cast("double"), 6)
             .as("pieces_per_char"))
         .orderBy("lang")
     }
