@@ -367,6 +367,56 @@ object Curation {
           round(lit(1.0) -
             coalesce(boilerC, lit(0)).cast("double") / sum(col("c")), 6)
             .as("content_ratio"))
+    },
+
+    /** FUZZY decontamination: train-split documents near-duplicate
+      * (jaccard ≥ 0.8 on word 3-shingles) to any holdout document —
+      * the leakage q26's exact 5-gram overlap is structurally blind to
+      * (a lightly paraphrased eval document shares few exact 5-grams
+      * but high shingle jaccard). Composes the q21 banded-LSH pair
+      * machinery with the q34 content-hash split: candidates come from
+      * the banding (∝ true near-dups, never n² — the oracle may go
+      * all-pairs, the engine must not), and only cross-split verified
+      * pairs survive. Output keys the TRAIN side with its holdout
+      * near-dup count and the maximum verified similarity. */
+    QueryDef("q100_fuzzy_decontaminate", {
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 AS train,
+        |    list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |      i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS da, a.train AS ta, b.doc_id AS db, b.train AS tb,
+        |    len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |c AS (SELECT CASE WHEN ta THEN da ELSE db END AS doc_id, round(j, 6) AS jac
+        |  FROM p WHERE ta <> tb)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_holdout_neardups,
+        |  max(jac) AS max_jaccard
+        |FROM c GROUP BY doc_id""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (bucket < 90).as("train"), col("text"))
+      val exploded = graft.CacheScope.persist(docs
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("f")))
+      val tags = docs.select("doc_id", "train")
+      Dedup.nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
+        .join(tags.select(col("doc_id").as("doc_a"), col("train").as("ta")),
+          "doc_a")
+        .join(tags.select(col("doc_id").as("doc_b"), col("train").as("tb")),
+          "doc_b")
+        .filter(col("ta") =!= col("tb"))
+        .select(when(col("ta"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_id"),
+          round(col("jaccard"), 6).as("jac"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_holdout_neardups"),
+          max("jac").as("max_jaccard"))
     }
   )
 
