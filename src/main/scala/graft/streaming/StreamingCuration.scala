@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,4 +156,38 @@ object StreamingCuration {
       toDoc = m => m.select(col("key").as("id"),
         col("g_lang").as("lang"),
         col("amt").cast("long").as("tokens"), col("cnt").as("docs")))
+
+  /** Continuous (lang, source) token totals — the maintained half of
+    * batch q90's temperature-flattened mixture weights. The ± machinery
+    * keeps per-stratum token sums exact under create/update/delete
+    * (empty strata leave the sink); the √n_tok normalization is priced
+    * AT READ over the bounded strata table by [[mixtureWeights]] — the
+    * [[StreamingBm25]] posture (global normalizers computed on read
+    * from maintained aggregates, never corpus-rescanned on write). */
+  def sourceMixture(spark: SparkSession, stateDir: String,
+      table: String = "documents", textCol: String = "text",
+      langCol: String = "lang", srcCol: String = "source"): ViewDef =
+    IncrementalAgg.view(spark, stateDir, "source_mixture", table,
+      IncrementalAgg.GroupSpec(
+        Seq("g_lang" -> col(langCol), "g_source" -> col(srcCol)),
+        live = lit(true),
+        amount = size(split(trim(col(textCol)), "\\s+")).cast("double")),
+      toDoc = m => m.select(col("key").as("id"),
+        col("g_lang").as("lang"), col("g_source").as("source"),
+        col("amt").cast("long").as("n_tok"), col("cnt").as("docs")))
+
+  /** Batch q90's weight arithmetic over a maintained strata frame
+    * (lang, source, n_tok): √n_tok rounded to 9, summed as
+    * DECIMAL(18,9) (exact, order-independent), one double division —
+    * identical recipe, so the weights equal the batch query's on the
+    * same state. */
+  def mixtureWeights(strata: DataFrame): DataFrame = {
+    val sq = strata.select(col("lang"), col("source"), col("n_tok"),
+      round(sqrt(col("n_tok")), 9).cast("decimal(18,9)").as("sq"))
+    val tot = sq.agg(sum("sq").as("ts"))
+    sq.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_tok"),
+        round(col("sq").cast("double") / col("ts").cast("double"), 6)
+          .as("weight"))
+  }
 }

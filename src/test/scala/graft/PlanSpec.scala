@@ -346,6 +346,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q100: cross-split verify runs on the banded candidate set — " +
+      "no all-pairs scan anywhere in the engine plan") {
+    val p = plan("q100_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q99: IVF-PQ reads ONLY probed cell partitions — codes for the " +
       "ADC shortlist, raw cells for the exact re-rank") {
     val p = SparkEntry.queries("q99_ivfpq_topk")(spark, dir)
