@@ -30,25 +30,35 @@ import org.apache.spark.storage.StorageLevel
   * is still live and is idempotent for the rest.
   */
 object CacheScope {
-  private val live = new ConcurrentLinkedQueue[DataFrame]()
+  // Thread-local, not a global queue: an engine session serving
+  // CONCURRENT queries (each on its own thread, the Spark pattern)
+  // must not let one query's drain() release a frame another query is
+  // mid-action on — a global queue made that a silent timing-dependent
+  // recompute. The build→action→drain sequence of a query runs on one
+  // caller thread (Bench, Verify, the gates), so per-thread scoping
+  // releases exactly the caller's own frames.
+  private val live =
+    ThreadLocal.withInitial[ConcurrentLinkedQueue[DataFrame]](
+      () => new ConcurrentLinkedQueue[DataFrame]())
 
   /** Persist `df` (MEMORY_AND_DISK, lineage kept — a lost executor
     * recomputes, unlike localCheckpoint) and register it for release at
     * the end of the current query's action. */
   def persist(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(df)
+    live.get().add(df)
     df
   }
 
-  /** Release every frame persisted since the last drain. Call after the
-    * query's action completes; non-blocking so the release never bills
-    * wall-clock to the next query. */
+  /** Release every frame THIS THREAD persisted since its last drain.
+    * Call after the query's action completes; non-blocking so the
+    * release never bills wall-clock to the next query. */
   def drain(): Unit = {
-    var df = live.poll()
+    val q = live.get()
+    var df = q.poll()
     while (df != null) {
       df.unpersist(blocking = false)
-      df = live.poll()
+      df = q.poll()
     }
   }
 }

@@ -29,7 +29,8 @@ object Ddl {
       schema: StructType,
       primaryKey: Seq[String],
       computed: Seq[(String, String)],
-      options: Map[String, String])
+      options: Map[String, String],
+      watermark: Option[(String, String)] = None)
 
   /** Extractor form so [[Engine.sql]] can pattern-match statements. */
   object CreateTableStmt {
@@ -54,10 +55,13 @@ object Ddl {
     val fields = Vector.newBuilder[StructField]
     val pk = Vector.newBuilder[String]
     val computed = Vector.newBuilder[(String, String)]
+    var watermark: Option[(String, String)] = None
     splitTop(colSrc, ',').map(_.trim).filter(_.nonEmpty).foreach { item =>
       item match {
         case PkConstraint(cols) =>
           pk ++= splitTop(cols, ',').map(c => stripTicks(c.trim))
+        case WatermarkDecl(colName, expr) =>
+          watermark = Some(stripTicks(colName) -> expr.trim)
         case ComputedCol(name, expr) =>
           computed += stripTicks(name) -> expr.trim
         case ColumnDef(name, tpe, inlinePk) =>
@@ -70,7 +74,18 @@ object Ddl {
       }
     }
     Some(CreateTable(head.group(1), StructType(fields.result()),
-      pk.result(), computed.result(), options))
+      pk.result(), computed.result(), options, watermark))
+  }
+
+  /** `WATERMARK FOR col AS expr` — standard Flink event-time DDL. The
+    * declaration is retained as metadata (Spark declares watermarks on
+    * the streaming read, `withWatermark` — see
+    * graft.streaming.EventWindows); before this was recognized the
+    * clause fell into [[ColumnDef]] and aborted the whole statement. */
+  private object WatermarkDecl {
+    private val R = """(?is)^WATERMARK\s+FOR\s+(`[^`]+`|\w+)\s+AS\s+(.+)$""".r
+    def unapply(s: String): Option[(String, String)] =
+      R.findFirstMatchIn(s).map(m => (m.group(1), m.group(2)))
   }
 
   /** `PRIMARY KEY (a, b) [NOT ENFORCED]` table constraint. */

@@ -127,16 +127,22 @@ final class Engine(val spark: SparkSession) {
     *    .CdcSqlSession]] re-binds it to materialized state per batch. */
   def createTable(ct: Ddl.CreateTable): TableSpec = {
     val spec = TableSpec(ct.name, ct.schema, ct.primaryKey,
-      ct.options ++ ct.computed.map { case (n, e) => s"computed.$n" -> e })
+      ct.options ++
+        ct.computed.map { case (n, e) => s"computed.$n" -> e } ++
+        ct.watermark.map { case (c, e) => s"watermark.$c" -> e })
     catalog.register(spec)
+    // temp view names are single-part: a catalog-qualified Flink name
+    // (`db.orders`) binds its LAST segment as the queryable view while
+    // the spec stays registered under the full name
+    val viewName = ct.name.split('.').last
     ct.options.get("connector") match {
       case Some("parquet" | "filesystem") if ct.options.contains("path") =>
         spark.read.schema(ct.schema).parquet(ct.options("path"))
-          .createOrReplaceTempView(ct.name)
+          .createOrReplaceTempView(viewName)
       case _ =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ct.schema)
-          .createOrReplaceTempView(ct.name)
+          .createOrReplaceTempView(viewName)
     }
     spec
   }

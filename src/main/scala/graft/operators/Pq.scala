@@ -134,6 +134,27 @@ object Pq {
         transform(sequence(lit(0), lit(model.m - 1)), s =>
           argminCode(model, subvec(col("v"), s, model.ds), s)).as("codes"))
 
+  /** A probe's m×k table of exact ‖q_sub − c‖² entries — computed ONCE
+    * per probe row; shared by the flat ADC search and the composed
+    * IVF-PQ path so the arithmetic cannot drift between them. */
+  private def distanceTable(model: Model, qv: Column): Column = {
+    val cb = model.codebookLit
+    val cn = model.normLit
+    transform(sequence(lit(0), lit(model.m - 1)), s =>
+      transform(sequence(lit(0), lit(model.k - 1)), c => {
+        val qs = subvec(qv.cast(ArrayType(DoubleType)), s, model.ds)
+        val cv = element_at(element_at(cb, s + 1), c + 1)
+        dot(qs, qs) - lit(2.0) * dot(qs, cv) +
+          element_at(element_at(cn, s + 1), c + 1)
+      }))
+  }
+
+  /** ADC distance: m table lookups of `dt` indexed by `codes`. */
+  private def adcD2(model: Model, dt: Column, codes: Column): Column =
+    aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(dt, s + 1),
+        element_at(codes, s + 1) + 1))
+
   /** Asymmetric-distance top-k: each probe precomputes its m×k table
     * of exact ‖q_sub − c‖² entries ONCE, the (small) probes-with-table
     * frame is broadcast against the codes table, and each candidate
@@ -141,23 +162,13 @@ object Pq {
     * ties (distance ASC, id ASC). */
   def adcSearch(model: Model, codes: DataFrame, probes: DataFrame,
       topK: Int, excludeSelf: Boolean = true): DataFrame = {
-    val cb = model.codebookLit
-    val cn = model.normLit
-    val dtable = transform(sequence(lit(0), lit(model.m - 1)), s =>
-      transform(sequence(lit(0), lit(model.k - 1)), c => {
-        val qs = subvec(col("qv").cast(ArrayType(DoubleType)), s, model.ds)
-        val cv = element_at(element_at(cb, s + 1), c + 1)
-        dot(qs, qs) - lit(2.0) * dot(qs, cv) +
-          element_at(element_at(cn, s + 1), c + 1)
-      }))
-    val probesT = probes.select(col("query_id"), dtable.as("dt"))
+    val probesT = probes.select(col("query_id"),
+      distanceTable(model, col("qv")).as("dt"))
     val paired = codes.crossJoin(broadcast(probesT))
     val candidates =
       if (excludeSelf) paired.filter(col("vec_id") =!= col("query_id"))
       else paired
-    val d2 = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
-      (acc, s) => acc + element_at(element_at(col("dt"), s + 1),
-        element_at(col("codes"), s + 1) + 1))
+    val d2 = adcD2(model, col("dt"), col("codes"))
     val topk = udaf(new graft.functions.TopKAggregator(topK))
     candidates
       .select(col("query_id"), col("vec_id"), (-d2).as("score"))
@@ -321,22 +332,12 @@ object Pq {
       .toDF("query_id", "probe_label", "qv")
 
     // ADC shortlist over ONLY the probed cells' code partitions
-    val cb = model.codebookLit
-    val cn = model.normLit
-    val dtable = transform(sequence(lit(0), lit(model.m - 1)), sb =>
-      transform(sequence(lit(0), lit(model.k - 1)), c => {
-        val qs = subvec(col("qv").cast(ArrayType(DoubleType)), sb, model.ds)
-        val cv = element_at(element_at(cb, sb + 1), c + 1)
-        dot(qs, qs) - lit(2.0) * dot(qs, cv) +
-          element_at(element_at(cn, sb + 1), c + 1)
-      }))
     val probesT = routedDf
-      .select(col("query_id"), col("probe_label"), col("qv"), dtable.as("dt"))
+      .select(col("query_id"), col("probe_label"), col("qv"),
+        distanceTable(model, col("qv")).as("dt"))
     val codes = s.read.parquet(codesPath)
       .filter(col("label").isin(probedLabels: _*))
-    val d2adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
-      (acc, sb) => acc + element_at(element_at(col("dt"), sb + 1),
-        element_at(col("codes"), sb + 1) + 1))
+    val d2adc = adcD2(model, col("dt"), col("codes"))
     val short = udaf(new graft.functions.TopKAggregator(topK * shortlist))
     val shortlisted = codes.join(broadcast(probesT),
         col("label") === col("probe_label") &&

@@ -25,7 +25,9 @@ final class HttpEsTransport(
   private val next = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def post(path: String, body: String): String = {
-    val host = hosts(math.abs(next.getAndIncrement()) % hosts.size)
+    // floorMod, not abs(x) % n: abs(Int.MinValue) is negative, so the
+    // counter wrapping after 2^31 posts would index out of bounds
+    val host = hosts(Math.floorMod(next.getAndIncrement(), hosts.size))
     val url = new java.net.URI(host.stripSuffix("/") + path).toURL
     val conn = url.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]

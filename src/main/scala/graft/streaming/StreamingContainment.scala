@@ -120,8 +120,18 @@ object StreamingContainment {
       ctx.defer(affectedPref.unpersist())
       val preFull = members(fullPost, preFullV, affectedFull).persist(mem)
       ctx.defer(preFull.unpersist())
-      val prePref = members(prefPost, prefPreV, affectedPref).persist(mem)
+      // prefix postings are READ over affectedFull, not affectedPref:
+      // the as-B directions join a batch doc's WHOLE feature set against
+      // resident prefixes, and a resident partner's prefix key need not
+      // appear in the batch doc's own prefix — reading only prefix keys
+      // missed those partners (discovery) and left their stale pairs
+      // unretracted. Membership, by contrast, only changes on the batch
+      // docs' own prefix keys, so the MERGE below stays affectedPref-
+      // scoped (prePrefNarrow).
+      val prePref = members(prefPost, prefPreV, affectedFull).persist(mem)
       ctx.defer(prePref.unpersist())
+      val prePrefNarrow = prePref.join(
+        affectedPref.withColumnRenamed("key", "f"), Seq("f"), "left_semi")
 
       // retract superset: pairs any previous batch could have emitted
       // with a batch member on either side
@@ -151,7 +161,15 @@ object StreamingContainment {
         postMembers
       }
       val postFull = updatePostings(fullPost, preFull, affectedFull, newFeats)
-      val postPref = updatePostings(prefPost, prePref, affectedPref, newPrefix)
+      updatePostings(prefPost, prePrefNarrow, affectedPref, newPrefix)
+      // post-state prefix members over the WIDE read set (discovery
+      // needs resident prefix keys outside affectedPref — see above)
+      val postPref = prePref.join(
+          touchedDocs.withColumnRenamed("doc_id", "member"),
+          Seq("member"), "left_anti")
+        .unionByName(newPrefix.select(col("f"), col("doc_id").as("member")))
+        .persist(mem)
+      ctx.defer(postPref.unpersist())
 
       // discover, both directions, against POST postings (residents and
       // same-batch partners both present)

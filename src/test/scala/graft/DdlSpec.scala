@@ -112,6 +112,31 @@ class DdlSpec extends SparkSuite {
     assert(row("quantity").dataType == LongType)
   }
 
+  test("WATERMARK FOR ... AS declaration parses as metadata, not a column") {
+    val ct = Ddl.parseCreateTable(
+      """CREATE TABLE user_log (
+        |  user_id STRING,
+        |  ts TIMESTAMP(3),
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        |) WITH ('connector' = 'kafka')""".stripMargin).get
+    assert(ct.schema.fieldNames.toSeq == Seq("user_id", "ts"))
+    assert(ct.watermark == Some("ts" -> "ts - INTERVAL '5' SECOND"))
+    // and through the engine: registered + queryable, watermark kept
+    val engine = Engine(spark)
+    val spec = engine.createTable(ct)
+    assert(spec.options("watermark.ts") == "ts - INTERVAL '5' SECOND")
+    assert(spark.sql("SELECT * FROM user_log").count() == 0)
+  }
+
+  test("catalog-qualified names bind their last segment as the view") {
+    val engine = Engine(spark)
+    engine.sql(
+      "CREATE TABLE mydb.qualified_t (id STRING, v INT) WITH " +
+        "('connector' = 'mysql-cdc')")
+    assert(spark.sql("SELECT * FROM qualified_t").columns.toSeq ==
+      Seq("id", "v"))
+  }
+
   test("non-connector statements fall through: plain SQL still runs") {
     val engine = Engine(spark)
     engine.registerParquet("region", "/root/testdata/sf0.001")

@@ -102,6 +102,62 @@ class StreamingContainmentSpec extends SparkSuite {
     assert(sinkPairs(sink).map(p => (p._1, p._2)).contains(("e1", "b2")))
   }
 
+  test("resident-as-A discovery and retraction when the new superset's " +
+      "own prefix misses the resident's prefix keys entirely") {
+    // The as-B directions join a batch doc's WHOLE feature set against
+    // resident prefix postings; a bug reading those postings only for
+    // the batch doc's own prefix keys stays invisible whenever the two
+    // prefixes happen to overlap (as in the tests above). Construct, by
+    // searching filler blocks against the real xxhash64 order, a
+    // superset B whose prefix provably shares NO key with resident A's
+    // prefix — then the pair (A ⊆ B) is discoverable ONLY through A's
+    // prefix keys outside B's own prefix.
+    def shinglesOf(text: String): Seq[String] =
+      text.trim.split("\\s+").toSeq.sliding(3).map(_.mkString(" "))
+        .toSeq.distinct
+    def prefixKeys(text: String): Set[String] = {
+      val fs = shinglesOf(text)
+      val hs = fs.toDF("f")
+        .select(col("f"), xxhash64(col("f")).as("h"))
+        .as[(String, Long)].collect().toMap
+      val keep = fs.size - math.ceil(fs.size * 0.9 - 1e-9).toInt + 1
+      fs.sortBy(f => (hs(f), f)).take(keep).toSet
+    }
+
+    // vary BOTH the resident and the filler: a fixed A whose minimum
+    // shingle hashes very low would defeat every filler block
+    val (textA, textB) = (0 until 100).iterator.map { k =>
+      val aWords = (0 until 12).map(i => s"r${k}a$i")
+      val a = aWords.mkString(" ")
+      val b = ((0 until 12).map(i => s"q${k}x$i") ++ aWords).mkString(" ")
+      (a, b)
+    }.find { case (a, b) =>
+      prefixKeys(b).intersect(prefixKeys(a)).isEmpty
+    }.getOrElse(fail("no (resident, superset) construction in 100 tries"))
+    assert(shinglesOf(textA).toSet.subsetOf(shinglesOf(textB).toSet))
+
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("scontain-wide")
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingContainment.containmentView(spark, stateDir)))
+    def step(batchId: Long, recs: (String, String, Long)*): Unit = {
+      pipeline.processBatch(recs.toDF("table", "value", "seq"),
+        Some(batchId))
+      assert(sinkPairs(sink) == batchRecompute(pipeline.state("documents")),
+        s"batch $batchId: incremental != batch recompute")
+    }
+
+    step(0, create("wa", textA))
+    step(1, create("wb", textB)) // discovery via wa's prefix keys only
+    assert(sinkPairs(sink).map(p => (p._1, p._2)) == Set(("wa", "wb")))
+    assert(sinkPairs(sink).head._3 == 1.0)
+
+    // retraction through the same wide read: B rewritten without A's
+    // content must retract the resident pair
+    step(2, update("wb", textB, textOther))
+    assert(sinkPairs(sink).isEmpty)
+  }
+
   test("replayed batch is idempotent (state merges skip, sink converges)") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("scontain-replay")
