@@ -61,6 +61,9 @@ object Ddl {
         case PkConstraint(cols) =>
           pk ++= splitTop(cols, ',').map(c => stripTicks(c.trim))
         case WatermarkDecl(colName, expr) =>
+          if (watermark.isDefined)
+            throw new IllegalArgumentException(
+              "multiple WATERMARK declarations in one statement")
           watermark = Some(stripTicks(colName) -> expr.trim)
         case ComputedCol(name, expr) =>
           computed += stripTicks(name) -> expr.trim
@@ -73,7 +76,16 @@ object Ddl {
             s"cannot parse column definition: '$other'")
       }
     }
-    Some(CreateTable(head.group(1), StructType(fields.result()),
+    val schema = StructType(fields.result())
+    // a watermark on a nonexistent column is a DDL-time error in Flink;
+    // accepting it here would only defer the failure to the first
+    // streaming read of the typo'd name
+    watermark.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"WATERMARK FOR $c: no such column (have " +
+          s"${schema.fieldNames.mkString(", ")})")
+    }
+    Some(CreateTable(head.group(1), schema,
       pk.result(), computed.result(), options, watermark))
   }
 

@@ -79,7 +79,8 @@ final class Engine(val spark: SparkSession) {
     case Ddl.CreateTableStmt(ct) =>
       createTable(ct)
       spark.emptyDataFrame
-    case Engine.CreateLike(newName, withOpts, src, mode) =>
+    case Engine.CreateLike(newNameRaw, withOpts, srcRaw, mode) =>
+      val (newName, src) = (localName(newNameRaw), localName(srcRaw))
       val overrides = Option(withOpts).toSeq.flatMap(
         Engine.OptionPair.findAllMatchIn(_).map(m => m.group(1) -> m.group(2)))
       val base =
@@ -89,7 +90,8 @@ final class Engine(val spark: SparkSession) {
       registerLike(newName, src, base ++ overrides)
       spark.emptyDataFrame
     case _ => graft.streaming.SqlInsert.parse(stmt) match {
-      case Some((target, select)) =>
+      case Some((targetRaw, select)) =>
+        val target = localName(targetRaw)
         catalog.get(target) match {
           case Some(spec)
               if spec.options.get("connector").contains("parquet") =>
@@ -125,24 +127,41 @@ final class Engine(val spark: SparkSession) {
     *    SQL over the name parses and runs (no data until a stream starts —
     *    dynamic-table semantics), and an attached [[graft.streaming
     *    .CdcSqlSession]] re-binds it to materialized state per batch. */
+  /** Temp views and the spec catalog are single-part namespaces, so a
+    * catalog-qualified Flink name (`db.orders`) is normalized to its
+    * LAST segment at this boundary — consistently for DDL, LIKE clones
+    * and INSERT targets, or half the paths would look a name up under
+    * the form the other half didn't register. The original qualified
+    * name is retained as spec metadata. */
+  private def localName(n: String): String = n.split('.').last
+
   def createTable(ct: Ddl.CreateTable): TableSpec = {
-    val spec = TableSpec(ct.name, ct.schema, ct.primaryKey,
-      ct.options ++
+    val name = localName(ct.name)
+    val qualified =
+      if (name == ct.name) Map.empty[String, String]
+      else Map("qualified-name" -> ct.name)
+    // two qualified names sharing a last segment would silently rebind
+    // one another's view — fail fast instead
+    catalog.get(name).foreach { prev =>
+      val prevQ = prev.options.getOrElse("qualified-name", prev.name)
+      if (prevQ != qualified.getOrElse("qualified-name", ct.name))
+        throw new IllegalArgumentException(
+          s"table name collision: '$prevQ' and '${ct.name}' both bind " +
+            s"local name '$name'")
+    }
+    val spec = TableSpec(name, ct.schema, ct.primaryKey,
+      ct.options ++ qualified ++
         ct.computed.map { case (n, e) => s"computed.$n" -> e } ++
         ct.watermark.map { case (c, e) => s"watermark.$c" -> e })
     catalog.register(spec)
-    // temp view names are single-part: a catalog-qualified Flink name
-    // (`db.orders`) binds its LAST segment as the queryable view while
-    // the spec stays registered under the full name
-    val viewName = ct.name.split('.').last
     ct.options.get("connector") match {
       case Some("parquet" | "filesystem") if ct.options.contains("path") =>
         spark.read.schema(ct.schema).parquet(ct.options("path"))
-          .createOrReplaceTempView(viewName)
+          .createOrReplaceTempView(name)
       case _ =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ct.schema)
-          .createOrReplaceTempView(viewName)
+          .createOrReplaceTempView(name)
     }
     spec
   }

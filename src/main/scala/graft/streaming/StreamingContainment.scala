@@ -56,7 +56,7 @@ object StreamingContainment {
     * ε-guarded integer arithmetic as the batch form
     * (Dedup.containmentPairs): θn is either an integer or ≥ 1/n from
     * one, so 1e-9 cannot cross a rounding boundary. */
-  private def prefixOf(exploded: DataFrame, theta: Double): DataFrame = {
+  private[streaming] def prefixOf(exploded: DataFrame, theta: Double): DataFrame = {
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     exploded
       .withColumn("rk", row_number().over(
@@ -130,8 +130,6 @@ object StreamingContainment {
       // scoped (prePrefNarrow).
       val prePref = members(prefPost, prefPreV, affectedFull).persist(mem)
       ctx.defer(prePref.unpersist())
-      val prePrefNarrow = prePref.join(
-        affectedPref.withColumnRenamed("key", "f"), Seq("f"), "left_semi")
 
       // retract superset: pairs any previous batch could have emitted
       // with a batch member on either side
@@ -161,15 +159,24 @@ object StreamingContainment {
         postMembers
       }
       val postFull = updatePostings(fullPost, preFull, affectedFull, newFeats)
-      updatePostings(prefPost, prePrefNarrow, affectedPref, newPrefix)
-      // post-state prefix members over the WIDE read set (discovery
-      // needs resident prefix keys outside affectedPref — see above)
+      // post-state prefix members over the WIDE read set, computed ONCE:
+      // discovery joins against all of it (resident prefix keys outside
+      // affectedPref included — see above), while the prefix-table MERGE
+      // takes only its affectedPref slice (the only keys whose
+      // membership can change)
       val postPref = prePref.join(
           touchedDocs.withColumnRenamed("doc_id", "member"),
           Seq("member"), "left_anti")
         .unionByName(newPrefix.select(col("f"), col("doc_id").as("member")))
         .persist(mem)
       ctx.defer(postPref.unpersist())
+      val prefRows = postPref.join(
+          affectedPref.withColumnRenamed("key", "f"), Seq("f"), "left_semi")
+        .groupBy("f").agg(collect_list("member").as("members"))
+        .select(col("f").as("key"), col("members"))
+      val prefEmptied = affectedPref
+        .join(prefRows.select("key"), Seq("key"), "left_anti")
+      prefPost.merge(prefRows, prefEmptied, ctx.batchId)
 
       // discover, both directions, against POST postings (residents and
       // same-batch partners both present)

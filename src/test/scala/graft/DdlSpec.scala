@@ -128,13 +128,35 @@ class DdlSpec extends SparkSuite {
     assert(spark.sql("SELECT * FROM user_log").count() == 0)
   }
 
-  test("catalog-qualified names bind their last segment as the view") {
+  test("catalog-qualified names normalize to their last segment; " +
+      "colliding local names fail fast") {
     val engine = Engine(spark)
     engine.sql(
       "CREATE TABLE mydb.qualified_t (id STRING, v INT) WITH " +
         "('connector' = 'mysql-cdc')")
     assert(spark.sql("SELECT * FROM qualified_t").columns.toSeq ==
       Seq("id", "v"))
+    // spec registered under the LOCAL name (the form every later lookup
+    // uses), original name kept as metadata
+    val spec = engine.catalog.get("qualified_t").get
+    assert(spec.options("qualified-name") == "mydb.qualified_t")
+    // a second qualified name sharing the segment would silently rebind
+    // the first table's view — rejected instead
+    val e = intercept[IllegalArgumentException] {
+      engine.sql("CREATE TABLE otherdb.qualified_t (x STRING) WITH " +
+        "('connector' = 'mysql-cdc')")
+    }
+    assert(e.getMessage.contains("collision"))
+  }
+
+  test("WATERMARK on a nonexistent column is a DDL-time error") {
+    val e = intercept[IllegalArgumentException] {
+      Ddl.parseCreateTable(
+        """CREATE TABLE t (ts TIMESTAMP(3),
+          |  WATERMARK FOR tss AS tss - INTERVAL '5' SECOND
+          |) WITH ('connector' = 'kafka')""".stripMargin)
+    }
+    assert(e.getMessage.contains("no such column"))
   }
 
   test("non-connector statements fall through: plain SQL still runs") {

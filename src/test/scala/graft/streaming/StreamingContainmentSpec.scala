@@ -112,17 +112,15 @@ class StreamingContainmentSpec extends SparkSuite {
     // superset B whose prefix provably shares NO key with resident A's
     // prefix — then the pair (A ⊆ B) is discoverable ONLY through A's
     // prefix keys outside B's own prefix.
-    def shinglesOf(text: String): Seq[String] =
-      text.trim.split("\\s+").toSeq.sliding(3).map(_.mkString(" "))
-        .toSeq.distinct
-    def prefixKeys(text: String): Set[String] = {
-      val fs = shinglesOf(text)
-      val hs = fs.toDF("f")
-        .select(col("f"), xxhash64(col("f")).as("h"))
-        .as[(String, Long)].collect().toMap
-      val keep = fs.size - math.ceil(fs.size * 0.9 - 1e-9).toInt + 1
-      fs.sortBy(f => (hs(f), f)).take(keep).toSet
-    }
+    // the REAL shingling and prefix implementation, so the construction
+    // cannot drift away from what the view actually computes
+    def explodedOf(text: String) = Seq(("d", text)).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("f"))
+    def shingleSet(text: String): Set[String] =
+      explodedOf(text).select("f").as[String].collect().toSet
+    def prefixKeys(text: String): Set[String] =
+      StreamingContainment.prefixOf(explodedOf(text), 0.9)
+        .select("f").as[String].collect().toSet
 
     // vary BOTH the resident and the filler: a fixed A whose minimum
     // shingle hashes very low would defeat every filler block
@@ -134,7 +132,7 @@ class StreamingContainmentSpec extends SparkSuite {
     }.find { case (a, b) =>
       prefixKeys(b).intersect(prefixKeys(a)).isEmpty
     }.getOrElse(fail("no (resident, superset) construction in 100 tries"))
-    assert(shinglesOf(textA).toSet.subsetOf(shinglesOf(textB).toSet))
+    assert(shingleSet(textA).subsetOf(shingleSet(textB)))
 
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("scontain-wide")
