@@ -79,14 +79,17 @@ object Ddl {
     val schema = StructType(fields.result())
     // a watermark on a nonexistent column is a DDL-time error in Flink;
     // accepting it here would only defer the failure to the first
-    // streaming read of the typo'd name
+    // streaming read of the typo'd name. Computed (virtual) columns are
+    // valid watermark targets — Flink's own examples declare
+    // `ts AS TO_TIMESTAMP(raw), WATERMARK FOR ts AS ...`
+    val comp = computed.result()
     watermark.foreach { case (c, _) =>
-      require(schema.fieldNames.contains(c),
-        s"WATERMARK FOR $c: no such column (have " +
-          s"${schema.fieldNames.mkString(", ")})")
+      val known = schema.fieldNames ++ comp.map(_._1)
+      require(known.contains(c),
+        s"WATERMARK FOR $c: no such column (have ${known.mkString(", ")})")
     }
     Some(CreateTable(head.group(1), schema,
-      pk.result(), computed.result(), options, watermark))
+      pk.result(), comp, options, watermark))
   }
 
   /** `WATERMARK FOR col AS expr` — standard Flink event-time DDL. The

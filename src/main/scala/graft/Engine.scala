@@ -81,13 +81,19 @@ final class Engine(val spark: SparkSession) {
       spark.emptyDataFrame
     case Engine.CreateLike(newNameRaw, withOpts, srcRaw, mode) =>
       val (newName, src) = (localName(newNameRaw), localName(srcRaw))
+      checkCollision(newName, newNameRaw)
       val overrides = Option(withOpts).toSeq.flatMap(
         Engine.OptionPair.findAllMatchIn(_).map(m => m.group(1) -> m.group(2)))
       val base =
         if (mode != null && mode.equalsIgnoreCase("INCLUDING"))
-          catalog.get(src).map(_.options).getOrElse(Map.empty)
+          // the source's qualified-name is ITS identity, not the clone's
+          catalog.get(src).map(_.options - "qualified-name")
+            .getOrElse(Map.empty)
         else Map.empty[String, String] // EXCLUDING is Flink's default-ish safe clone
-      registerLike(newName, src, base ++ overrides)
+      val qualified =
+        if (newName == newNameRaw) Map.empty[String, String]
+        else Map("qualified-name" -> newNameRaw)
+      registerLike(newName, src, base ++ overrides ++ qualified)
       spark.emptyDataFrame
     case _ => graft.streaming.SqlInsert.parse(stmt) match {
       case Some((targetRaw, select)) =>
@@ -135,20 +141,24 @@ final class Engine(val spark: SparkSession) {
     * name is retained as spec metadata. */
   private def localName(n: String): String = n.split('.').last
 
+  /** Two (qualified) names sharing a last segment would silently rebind
+    * one another's view — fail fast instead. Re-declaring the SAME name
+    * is fine (CREATE TABLE is idempotent-by-name here). */
+  private def checkCollision(local: String, declared: String): Unit =
+    catalog.get(local).foreach { prev =>
+      val prevQ = prev.options.getOrElse("qualified-name", prev.name)
+      if (prevQ != declared)
+        throw new IllegalArgumentException(
+          s"table name collision: '$prevQ' and '$declared' both bind " +
+            s"local name '$local'")
+    }
+
   def createTable(ct: Ddl.CreateTable): TableSpec = {
     val name = localName(ct.name)
     val qualified =
       if (name == ct.name) Map.empty[String, String]
       else Map("qualified-name" -> ct.name)
-    // two qualified names sharing a last segment would silently rebind
-    // one another's view — fail fast instead
-    catalog.get(name).foreach { prev =>
-      val prevQ = prev.options.getOrElse("qualified-name", prev.name)
-      if (prevQ != qualified.getOrElse("qualified-name", ct.name))
-        throw new IllegalArgumentException(
-          s"table name collision: '$prevQ' and '${ct.name}' both bind " +
-            s"local name '$name'")
-    }
+    checkCollision(name, ct.name)
     val spec = TableSpec(name, ct.schema, ct.primaryKey,
       ct.options ++ qualified ++
         ct.computed.map { case (n, e) => s"computed.$n" -> e } ++

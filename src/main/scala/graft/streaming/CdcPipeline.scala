@@ -142,7 +142,12 @@ final class CdcPipeline(
     //    merge AND by every view, and on a cluster a lost executor must
     //    recompute the decode from the batch, not fail the query
     val changelogs: Map[String, DataFrame] = sources.map { spec =>
-      val raw = batch.filter(col("table") === spec.name)
+      // a spec declared with a catalog-qualified Flink name keeps the
+      // original as `qualified-name` metadata (Engine.createTable);
+      // envelopes may label the table either way — Debezium topics are
+      // typically db-qualified — so route on both
+      val labels = spec.name +: spec.options.get("qualified-name").toSeq
+      val raw = batch.filter(col("table").isin(labels: _*))
       val normalized =
         if (spec.options.get("format").contains("debezium-mongo"))
           Debezium.normalizeMongo(raw.withColumn("env",

@@ -55,6 +55,14 @@ object StreamingFuzzyDecon {
 
     ViewDef(name, (pre, post, batch, ctx) => {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // pin the pre-batch pair version BEFORE the merge below: in the
+      // direct-call (batchId=None) mode `version` after the merge IS the
+      // post state, and the retraction logic would lose every
+      // retracted-pair partner
+      val prePairV = ctx.batchId match {
+        case Some(id) => pairTable.versionBefore(id)
+        case None     => pairTable.version
+      }
 
       // 1. pair maintenance (shared ladder) + pair-table merge
       val delta = StreamingDedup.maintainPairState(
@@ -68,10 +76,6 @@ object StreamingFuzzyDecon {
         .join(pairUpserts.select("key"), Seq("key"), "left_anti")
       pairTable.merge(pairUpserts, pairDeletes, ctx.batchId)
 
-      val prePairV = ctx.batchId match {
-        case Some(id) => pairTable.versionBefore(id)
-        case None     => pairTable.version
-      }
       val touched = batch(table).select("key").distinct().persist(mem)
       ctx.defer(touched.unpersist())
       // post-state pairs (duplicate-density-sized; on replay the merge
@@ -90,21 +94,20 @@ object StreamingFuzzyDecon {
       // the delta's verify-ladder lineage must not leak into every
       // downstream plan (it blows the plan tree up; the table reads are
       // file-rooted and shallow).
-      def partnersIn(pairs: DataFrame): DataFrame =
-        pairs.select(col("doc_a").as("d"), col("doc_b").as("p"))
-          .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("p")))
-          .join(touched.withColumnRenamed("key", "d"), Seq("d"), "left_semi")
-          .select(col("p").as("key"))
+      def expand(pairs: DataFrame): DataFrame = pairs
+        .select(col("doc_a").as("d"), col("doc_b").as("p"), col("j"))
+        .union(pairs
+          .select(col("doc_b").as("d"), col("doc_a").as("p"), col("j")))
+      def partnersOfTouched(expanded: DataFrame): DataFrame = expanded
+        .join(touched.withColumnRenamed("key", "d"), Seq("d"), "left_semi")
+        .select(col("p").as("key"))
       val prePairs = pairTable.snapshotAt(prePairV, pairSchema)
         .select("doc_a", "doc_b", "j")
-      val both = postPairs
-        .select(col("doc_a").as("d"), col("doc_b").as("p"), col("j"))
-        .union(postPairs
-          .select(col("doc_b").as("d"), col("doc_a").as("p"), col("j")))
-        .persist(mem)
+      val both = expand(postPairs).persist(mem)
       ctx.defer(both.unpersist())
       val affected = touched
-        .union(partnersIn(prePairs)).union(partnersIn(postPairs))
+        .union(partnersOfTouched(expand(prePairs)))
+        .union(partnersOfTouched(both))
         .distinct().persist(mem)
       ctx.defer(affected.unpersist())
 

@@ -149,6 +149,42 @@ class DdlSpec extends SparkSuite {
     assert(e.getMessage.contains("collision"))
   }
 
+  test("WATERMARK on a computed column is valid (Flink's TO_TIMESTAMP " +
+      "pattern)") {
+    val ct = Ddl.parseCreateTable(
+      """CREATE TABLE t2 (raw BIGINT, ts AS TO_TIMESTAMP(raw),
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        |) WITH ('connector' = 'kafka')""".stripMargin).get
+    assert(ct.watermark == Some("ts" -> "ts - INTERVAL '5' SECOND"))
+    assert(ct.computed == Seq("ts" -> "TO_TIMESTAMP(raw)"))
+  }
+
+  test("CDC envelopes labeled with the qualified name route to the " +
+      "local-named spec") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val engine = Engine(spark)
+    engine.sql(
+      "CREATE TABLE qdb.qdocs (doc_id STRING, text STRING, " +
+        "PRIMARY KEY (doc_id) NOT ENFORCED) WITH ('connector' = 'mysql-cdc')")
+    val spec = engine.catalog.get("qdocs").get
+    val sink = new InMemoryUpsertSink
+    val passthrough = graft.streaming.ViewDef("qview", (pre, post, batch, ctx) => {
+      val ups = post("qdocs").select(col("key").as("id"), col("text"))
+      val dels = ups.select("id").limit(0)
+      (ups, dels)
+    })
+    val pipeline = new graft.streaming.CdcPipeline(
+      spark, Seq(spec), tmpDir("qcdc"), sink, Seq(passthrough))
+    // envelope labeled with the DECLARED (qualified) name, the typical
+    // Debezium topic form
+    val env = """{"before":null,"after":{"doc_id":"d1","text":"hello"},"op":"c","ts_ms":1}"""
+    pipeline.processBatch(
+      Seq(("qdb.qdocs", env, 1L)).toDF("table", "value", "seq"), Some(0L))
+    assert(sink.docs("qview").get("d1").map(_("text").toString) ==
+      Some("hello"))
+  }
+
   test("WATERMARK on a nonexistent column is a DDL-time error") {
     val e = intercept[IllegalArgumentException] {
       Ddl.parseCreateTable(
