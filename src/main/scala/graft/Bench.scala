@@ -26,7 +26,9 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
-      finally CacheScope.drain() // release per-query persists (r4 #1)
+      // release per-query persists (r4 #1) AND the query's checkpoint
+      // scope (r5 #2) — neither may accumulate across the bench JVM
+      finally CacheScope.drainWithCheckpoints(spark)
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -40,7 +42,7 @@ object Bench {
           case e: Throwable =>
             errors(name) = e.toString.linesIterator.next().take(200)
             -1.0
-        } finally CacheScope.drain() // outside the next query's timing
+        } finally CacheScope.drainWithCheckpoints(spark) // outside the next query's timing
       name -> sec
     }
 
@@ -62,8 +64,15 @@ object Bench {
       "q10_listagg", "q11_collect_items", "q12_scan_star",
       "q13_materialize_latest", "q14_json_extract")
     val r1Total = results.collect { case (k, v) if v >= 0 && r1Set(k) => v }.sum
+    // one-time session-scoped build costs (pair table, IVF index, models)
+    // paid during the warm-up pass — emitted separately so the per-query
+    // rows are explicitly search-only and a training-cost regression is
+    // visible instead of hiding in whichever query touched the memo first
+    val build = BuildMetrics.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"r1_subset_total":$r1Total,"n_queries":${results.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"errors":$es,"failed":${errors.size},"r1_subset_total":$r1Total,"n_queries":${results.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

@@ -15,7 +15,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      CacheScope.drain() // same per-query release discipline as Bench
+      CacheScope.drainWithCheckpoints(spark) // same per-query discipline as Bench
       sec
     }
     println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} " +

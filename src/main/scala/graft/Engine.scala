@@ -138,8 +138,30 @@ final class Engine(val spark: SparkSession) {
     * LAST segment at this boundary — consistently for DDL, LIKE clones
     * and INSERT targets, or half the paths would look a name up under
     * the form the other half didn't register. The original qualified
-    * name is retained as spec metadata. */
-  private def localName(n: String): String = n.split('.').last
+    * name is retained as spec metadata.
+    *
+    * Splitting honors backtick quoting (ADVICE r5): a quoted identifier
+    * may contain a LITERAL dot (`` `my.table` ``) that is part of the
+    * name, not a namespace separator — a naive split truncated it to the
+    * post-dot segment. Only top-level dots separate; quotes are stripped
+    * from the result (the catalog stores bare names).
+    *
+    * Known restriction (documented, matching the single-part catalog):
+    * normalization applies to statement TARGETS (DDL names, LIKE
+    * sources, INSERT sinks). A qualified reference inside a SELECT body
+    * (`... FROM db.src`) is passed to Spark as written and will not
+    * resolve against the temp view registered under `src` — reference
+    * tables inside query bodies by their single-part name. */
+  private def localName(n: String): String = {
+    val segs = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var inQuote = false
+    n.foreach {
+      case '`' => inQuote = !inQuote
+      case '.' if !inQuote => segs += new StringBuilder
+      case c => segs.last += c
+    }
+    segs.last.result()
+  }
 
   /** Two (qualified) names sharing a last segment would silently rebind
     * one another's view — fail fast instead. Re-declaring the SAME name

@@ -40,25 +40,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: n must be a literal integer, got $other")
   }
 
+  // Arity guard for every builder (ADVICE r5): without it a wrong-arity
+  // call surfaces as NoSuchElementException/IndexOutOfBounds out of the
+  // function registry — and EXTRA arguments were silently ignored, which
+  // is worse (a user's third argument changed nothing, with no error).
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$fn requires exactly $n argument(s), got ${args.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args.head)))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "rolling_hash"); RollingHash(args.head) }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "dot_product"); DotProduct(args(0), args(1)) }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) =>
-        WordShingles(args(0), litInt(args(1), "word_shingles"))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "word_shingles")
+        WordShingles(args(0), litInt(args(1), "word_shingles")) }))
     ext.injectFunction((
       new FunctionIdentifier("char_grams"),
       new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
-      (args: Seq[Expression]) =>
-        CharGrams(args(0), litInt(args(1), "char_grams"))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "char_grams")
+        CharGrams(args(0), litInt(args(1), "char_grams")) }))
     // Spark 4 Columns wrap ColumnNodes, not Expressions — the bridge
     // (see its scaladoc) converts both ways so the operators' Column
     // compositions register as SQL functions unchanged
@@ -66,12 +79,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("pii_redact"),
       new ExpressionInfo(graft.operators.Curation.getClass.getName, "pii_redact"),
-      (args: Seq[Expression]) => ColumnBridge.expression(
-        graft.operators.Curation.piiRedact(ColumnBridge.column(args.head)))))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "pii_redact")
+        ColumnBridge.expression(
+          graft.operators.Curation.piiRedact(ColumnBridge.column(args.head))) }))
     ext.injectFunction((
       new FunctionIdentifier("quality_score"),
       new ExpressionInfo(graft.operators.TextAnalysis.getClass.getName, "quality_score"),
-      (args: Seq[Expression]) => ColumnBridge.expression(
-        graft.operators.TextAnalysis.qualityScore(ColumnBridge.column(args.head)))))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "quality_score")
+        ColumnBridge.expression(
+          graft.operators.TextAnalysis.qualityScore(
+            ColumnBridge.column(args.head))) }))
   }
 }

@@ -121,7 +121,8 @@ object Bpe {
     scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[Merge]]
   private[operators] def trainedMerges(s: SparkSession, dir: String): Seq[Merge] =
     trained.getOrElseUpdate((System.identityHashCode(s), dir),
-      train(wordFreqs(t(s, dir, "documents")), nMerges = 10))
+      graft.BuildMetrics.timed("bpe_merges")(
+        train(wordFreqs(t(s, dir, "documents")), nMerges = 10)))
 
   val queries: Seq[QueryDef] = Seq(
 

@@ -30,7 +30,7 @@ object Curation {
       |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND len(list_intersect(a.sh, b.sh)) * 1.0 /
       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs
@@ -129,14 +129,11 @@ object Curation {
       val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
 
       // near-dup losers: every clustered doc except its cluster's
-      // minimum (the survivor). Pairs + clusters re-run the q21/q36
-      // LSH pipeline on the FULL corpus — dedup must see low-quality
-      // duplicates too, or a cluster could lose its survivor to the
-      // quality filter and a duplicate would slip through with it.
-      val exploded = graft.CacheScope.persist(docs
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("f")))
-      val pairs = Dedup.nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
-        .select("doc_a", "doc_b")
+      // minimum (the survivor). Pairs come from the session-scoped
+      // SHARED q21 pair table over the FULL corpus — dedup must see
+      // low-quality duplicates too, or a cluster could lose its survivor
+      // to the quality filter and a duplicate would slip through with it.
+      val pairs = Dedup.sharedNearDupPairs(s, dir).select("doc_a", "doc_b")
       val losers = Dedup.clusterPairsStar(pairs)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
@@ -389,7 +386,7 @@ object Curation {
         |    len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
         |c AS (SELECT CASE WHEN ta THEN da ELSE db END AS doc_id, round(j, 6) AS jac
         |  FROM p WHERE ta <> tb)
@@ -402,10 +399,8 @@ object Curation {
         lit(100L))
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), (bucket < 90).as("train"), col("text"))
-      val exploded = graft.CacheScope.persist(docs
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("f")))
       val tags = docs.select("doc_id", "train")
-      Dedup.nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
+      Dedup.sharedNearDupPairs(s, dir)
         .join(tags.select(col("doc_id").as("doc_a"), col("train").as("ta")),
           "doc_a")
         .join(tags.select(col("doc_id").as("doc_b"), col("train").as("tb")),

@@ -69,7 +69,7 @@ object KMeans {
   private def fittedModel(s: SparkSession, dir: String,
       vectors: DataFrame): Model =
     fitted.getOrElseUpdate((System.identityHashCode(s), dir),
-      fit(vectors, k = 8, maxIters = 5))
+      graft.BuildMetrics.timed("kmeans_model")(fit(vectors, k = 8, maxIters = 5)))
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)

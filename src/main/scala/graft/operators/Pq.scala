@@ -240,7 +240,8 @@ object Pq {
   private val fitted =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Model]
   private[operators] def fittedModel(s: SparkSession, dir: String): Model =
-    fitted.getOrElseUpdate((System.identityHashCode(s), dir), {
+    fitted.getOrElseUpdate((System.identityHashCode(s), dir),
+        graft.BuildMetrics.timed("pq_codebooks") {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       fit(e, m = 16, k = 16, maxIters = 5)
@@ -291,7 +292,8 @@ object Pq {
   private val codesPaths =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
   private[operators] def ivfPqCodesPath(s: SparkSession, dir: String): String =
-    codesPaths.getOrElseUpdate((System.identityHashCode(s), dir), {
+    codesPaths.getOrElseUpdate((System.identityHashCode(s), dir),
+        graft.BuildMetrics.timed("ivfpq_codes") {
       val path = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-codes").toString
       val model = fittedModel(s, dir)

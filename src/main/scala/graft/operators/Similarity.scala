@@ -288,7 +288,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   private[operators] def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexes.getOrElseUpdate((System.identityHashCode(s), dir), {
+    ivfIndexes.getOrElseUpdate((System.identityHashCode(s), dir),
+        graft.BuildMetrics.timed("ivf_index") {
       val path = java.nio.file.Files
         .createTempDirectory("graft-ivf-index").toString
       val e = t(s, dir, "embeddings")

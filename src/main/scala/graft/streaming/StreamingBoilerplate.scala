@@ -47,6 +47,20 @@ object StreamingBoilerplate {
   private def tokens(textCol: Column): Column =
     split(trim(textCol), "\\s+")
 
+  /** Composite (source, token) state key. The source segment is base64-
+    * encoded so a literal '|' in a source value can neither corrupt the
+    * prefix parse in [[srcOfKey]] nor collide two distinct (src, tok)
+    * pairs (ADVICE r5: a raw concat_ws silently mis-attributed such a
+    * source's vocabulary rows). base64 emits no '|', so the first field
+    * parses unambiguously; the token rides verbatim after the delimiter
+    * (it is never parsed back out of the key, and a '|' inside it is
+    * harmless because the prefix boundary is the FIRST '|'). */
+  private def stKey(src: Column, tok: Column): Column =
+    concat_ws("|", base64(encode(src, "UTF-8")), tok)
+
+  private def srcOfKey(key: Column): Column =
+    decode(unbase64(substring_index(key, "|", 1)), "UTF-8")
+
   /** Continuous boilerplate view over a CDC `documents`-shaped source
     * with (doc key, source, text) rows. Sink documents:
     * (id, n_tokens, n_boiler, content_ratio). */
@@ -78,7 +92,7 @@ object StreamingBoilerplate {
         .select(col("key").as("doc"), col(sourceCol).as("src"),
           explode(array_distinct(tokens(col(textCol)))).as("tok"))
         .select(col("doc"), col("src"),
-          concat_ws("|", col("src"), col("tok")).as("st"))
+          stKey(col("src"), col("tok")).as("st"))
       val preM = membership(pre.rows(table, touched)).persist(mem)
       ctx.defer(preM.unpersist())
       val postM = membership(post.rows(table, touched)).persist(mem)
@@ -135,7 +149,7 @@ object StreamingBoilerplate {
       def dfOf(version: Option[Int]): DataFrame = postings
         .snapshotAt(version, postSchema)
         .select(col("key").as("st"), size(col("members")).cast("long").as("df"),
-          substring_index(col("key"), "|", 1).as("src"))
+          srcOfKey(col("key")).as("src"))
         .join(broadcast(affectedSources), Seq("src"), "left_semi")
       val oldDf = dfOf(prePV)
       val newDf = dfOf(postings.version)
@@ -165,7 +179,7 @@ object StreamingBoilerplate {
         .select(col("key"), col(sourceCol).as("src"),
           explode(tokens(col(textCol))).as("tok"))
         .select(col("key"), col("src"), col("tok"),
-          concat_ws("|", col("src"), col("tok")).as("st"))
+          stKey(col("src"), col("tok")).as("st"))
         .persist(mem)
       ctx.defer(docToks.unpersist())
       val liveDf = postings.rowsForKeys(postSchema,

@@ -198,10 +198,10 @@ object StreamingContainment {
       ctx.defer(verified.unpersist())
 
       val upserts = verified.select(
-        concat_ws("|", col("doc_a"), col("doc_b")).as("id"),
+        Keys.pair(col("doc_a"), col("doc_b")).as("id"),
         col("doc_a"), col("doc_b"), col("containment"))
       val deletes = retractCandidates
-        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("id"))
+        .select(Keys.pair(col("doc_a"), col("doc_b")).as("id"))
         .join(upserts.select("id"), Seq("id"), "left_anti")
       (upserts, deletes)
     })

@@ -79,10 +79,10 @@ object StreamingDedup {
       val delta = maintainPairState(sigTable, bucketTable, post, batch, ctx,
         table, textCol, threshold, bandRows, nBands, shingleN)
       val upserts = delta.verified.select(
-        concat_ws("|", col("doc_a"), col("doc_b")).as("id"),
+        Keys.pair(col("doc_a"), col("doc_b")).as("id"),
         col("doc_a"), col("doc_b"), col("jaccard"))
       val deletes = delta.retractCandidates
-        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("id"))
+        .select(Keys.pair(col("doc_a"), col("doc_b")).as("id"))
         .join(upserts.select("id"), Seq("id"), "left_anti")
       (upserts, deletes)
     })

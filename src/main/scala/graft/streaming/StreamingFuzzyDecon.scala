@@ -69,10 +69,10 @@ object StreamingFuzzyDecon {
         sigTable, bucketTable, post, batch, ctx,
         table, textCol, threshold, bandRows, nBands, shingleN)
       val pairUpserts = delta.verified.select(
-        concat_ws("|", col("doc_a"), col("doc_b")).as("key"),
+        Keys.pair(col("doc_a"), col("doc_b")).as("key"),
         col("doc_a"), col("doc_b"), col("jaccard").as("j"))
       val pairDeletes = delta.retractCandidates
-        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("key"))
+        .select(Keys.pair(col("doc_a"), col("doc_b")).as("key"))
         .join(pairUpserts.select("key"), Seq("key"), "left_anti")
       pairTable.merge(pairUpserts, pairDeletes, ctx.batchId)
 

@@ -113,11 +113,11 @@ object StreamingSubstringDedup {
         .distinct()
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared_windows"))
-        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("id"),
+        .select(Keys.pair(col("doc_a"), col("doc_b")).as("id"),
           col("doc_a"), col("doc_b"), col("shared_windows"))
 
       val deletes = oldPairs
-        .select(concat_ws("|", col("doc_a"), col("doc_b")).as("id"))
+        .select(Keys.pair(col("doc_a"), col("doc_b")).as("id"))
         .join(upserts.select("id"), Seq("id"), "left_anti")
       (upserts, deletes)
     })

@@ -20,9 +20,24 @@ class PartitioningInvarianceSpec extends SparkSuite {
     "q63_seq_pack", "q69_sessionize", "q21_minhash_lsh",
     "q66_curriculum_bins", "q77_churn_cohorts", "q64_salted_join")
 
-  private def rowSet(name: String): Set[String] =
-    SparkEntry.queries(name)(spark, dir).collect()
-      .map(_.toString).toSet
+  // q21's production form reads the session-memoized parquet pair table,
+  // which would make re-layout runs trivially identical — invariance must
+  // exercise the LIVE ladder (explode → MinHash → band → verify) instead
+  private val liveQ21: (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame = { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val exploded = graft.sources.Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"))).as("f"))
+    graft.operators.Dedup.nearDupPairs(exploded, 0.8, bandRows = 2,
+      nBands = 32)
+  }
+
+  private def rowSet(name: String): Set[String] = {
+    val build =
+      if (name == "q21_minhash_lsh") liveQ21 else SparkEntry.queries(name)
+    build(spark, dir).collect().map(_.toString).toSet
+  }
 
   test("row sets are identical under different scan splits and shuffle width") {
     val conf = spark.conf

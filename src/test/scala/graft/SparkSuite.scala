@@ -17,7 +17,7 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   // JVM-wide session, so query-builder persists would otherwise
   // accumulate across all 36 suites (r4 VERDICT #1).
   override protected def afterAll(): Unit = {
-    CacheScope.drain()
+    CacheScope.drainWithCheckpoints(spark)
     super.afterAll()
   }
 }
