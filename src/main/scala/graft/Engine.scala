@@ -74,8 +74,12 @@ final class Engine(val spark: SparkSession) {
     * OPTIONS)]` — the reference's definition-clone DDL (README.md:215-225
     * EXCLUDING, :252-254 INCLUDING) — mutates only the session catalog,
     * like Flink (README.md:342: DDL creates session metadata, no job).
-    * Everything else plans through stock Catalyst. */
-  def sql(stmt: String): DataFrame = stmt match {
+    * Everything else plans through stock Catalyst, after the
+    * [[FlinkDialect]] shims (salt elision, COLLECT(ROW(...))) so the
+    * reference's DML statements run verbatim. */
+  def sql(rawStmt: String): DataFrame = {
+    val stmt = FlinkDialect.normalize(rawStmt)
+    stmt match {
     case Ddl.CreateTableStmt(ct) =>
       createTable(ct)
       spark.emptyDataFrame
@@ -115,6 +119,7 @@ final class Engine(val spark: SparkSession) {
           }
         }
       case None => spark.sql(stmt)
+    }
     }
   }
 

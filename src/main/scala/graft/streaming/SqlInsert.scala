@@ -63,9 +63,21 @@ object SqlInsert {
     * incremental views. Binds each referenced source name as a temp view
     * (the statement's FROM clause reads the materialized dynamic table
     * verbatim), so the session's view namespace for those names belongs
-    * to the pipeline. */
+    * to the pipeline.
+    *
+    * `sinkCols` (the target table's declared column names, in order)
+    * enables Flink's POSITIONAL insert mapping: `INSERT INTO t SELECT a,
+    * b FROM ...` writes a into t's first column regardless of a's name
+    * (the reference relies on this — flink-ddl.sql:125 inserts
+    * `order_id` into the sink's `id`). When the select's arity matches,
+    * columns are renamed positionally before keying; on arity mismatch
+    * the names are left as-is (Flink would reject the statement — here
+    * the primary-key resolution fails loudly instead). `index` overrides
+    * the sink index the documents land in (the DDL's 'index' option —
+    * several reference tables share one index, flink-ddl.sql:121,165). */
   def viewDef(spark: SparkSession, name: String, select: String,
-      sourceNames: Seq[String], idCols: Seq[String] = Seq("id")): ViewDef = {
+      sourceNames: Seq[String], idCols: Seq[String] = Seq("id"),
+      sinkCols: Seq[String] = Nil, index: String = null): ViewDef = {
     val referenced = referencedTables(spark, select, sourceNames.toSet)
 
     ViewDef(name, (pre, post, batch, ctx) => {
@@ -78,7 +90,10 @@ object SqlInsert {
         def run(bind: String => DataFrame): DataFrame = {
           referenced.foreach(t => bind(t).drop("key")
             .createOrReplaceTempView(t))
-          spark.sql(select)
+          val res = spark.sql(select)
+          if (sinkCols.nonEmpty && res.columns.length == sinkCols.length)
+            res.toDF(sinkCols: _*)
+          else res
         }
         val postRes = run(post(_))
         val preRes = run(pre(_))
@@ -89,7 +104,7 @@ object SqlInsert {
           .join(upserts.select("id"), Seq("id"), "left_anti")
         (upserts, deletes)
       }
-    })
+    }, index)
   }
 }
 
@@ -100,15 +115,19 @@ object SqlInsert {
   * micro-batch topology maintaining all of them. */
 final class CdcSqlSession(
     spark: SparkSession,
-    sources: Seq[TableSpec],
+    sources: => Seq[TableSpec],
     sinkKeys: Map[String, Seq[String]] = Map.empty) {
+  // `sources` is by-name so the session can attach BEFORE a DDL script
+  // runs: the reference's flink-ddl.sql interleaves INSERT INTO with
+  // later CREATE TABLE statements, and each registration/pipeline build
+  // must see the catalog as of ITS statement, not construction time.
 
   private val defs = mutable.Buffer.empty[ViewDef]
 
-  private def register(target: String, select: String,
-      pk: Seq[String]): Unit =
+  private def register(target: String, select: String, pk: Seq[String],
+      sinkCols: Seq[String] = Nil, index: String = null): Unit =
     defs += SqlInsert.viewDef(spark, target, select,
-      sources.map(_.name), pk)
+      sources.map(_.name), pk, sinkCols, index)
 
   /** Issue one `INSERT INTO sink SELECT ...` statement. */
   def insertInto(stmt: String): Unit = {
@@ -120,14 +139,19 @@ final class CdcSqlSession(
   /** Wire this session behind an [[Engine]]'s SQL front door: INSERT
     * INTO statements whose target is not a parquet table register here,
     * keyed by the target's catalog primary key (the reference's ES sink
-    * DDL PRIMARY KEY, flink-ddl.sql:96-109). */
+    * DDL PRIMARY KEY, flink-ddl.sql:96-109), mapped positionally to the
+    * target's declared columns, and routed to the target's declared
+    * 'index' option (shared-index merge, flink-ddl.sql:121,165). */
   def attachTo(engine: Engine): this.type = {
     engine.onContinuousInsert { (target, select) =>
-      val pk = engine.catalog.get(target).map(_.primaryKey)
+      val spec = engine.catalog.get(target)
+      val pk = spec.map(_.primaryKey)
         .filter(_.nonEmpty)
         .orElse(sinkKeys.get(target))
         .getOrElse(Seq("id"))
-      register(target, select, pk)
+      register(target, select, pk,
+        spec.map(_.schema.fieldNames.toSeq).getOrElse(Nil),
+        spec.flatMap(_.options.get("index")).orNull)
     }
     this
   }
