@@ -129,12 +129,11 @@ object Curation {
       val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
 
       // near-dup losers: every clustered doc except its cluster's
-      // minimum (the survivor). Pairs come from the session-scoped
-      // SHARED q21 pair table over the FULL corpus — dedup must see
+      // minimum (the survivor). Clusters come from the session-scoped
+      // SHARED q36 cluster table over the FULL corpus — dedup must see
       // low-quality duplicates too, or a cluster could lose its survivor
       // to the quality filter and a duplicate would slip through with it.
-      val pairs = Dedup.sharedNearDupPairs(s, dir).select("doc_a", "doc_b")
-      val losers = Dedup.clusterPairsStar(pairs)
+      val losers = Dedup.sharedNearDupClusters(s, dir)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
 

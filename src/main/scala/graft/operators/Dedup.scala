@@ -287,26 +287,56 @@ object Dedup {
     * pipeline stages — and a later session would [[s.read.parquet]] it
     * the way [[KMeans.loadModel]] reloads a saved model. */
   private val pairTables = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Double, Int, Int), String]
+    .empty[(Int, String, Double, Int, Int, String), String]
 
+  /** `features`: "word3" (word 3-shingles, the q21 family) or "char5"
+    * (character 5-grams, q23) — part of the memo key because the two
+    * ladders run over different exploded feature frames. */
   private[graft] def sharedNearDupPairs(s: SparkSession, dir: String,
       threshold: Double = 0.8, bandRows: Int = 2,
-      nBands: Int = 32): DataFrame = {
+      nBands: Int = 32, features: String = "word3"): DataFrame = {
     val path = pairTables.getOrElseUpdate(
-      (System.identityHashCode(s), dir, threshold, bandRows, nBands),
-      graft.BuildMetrics.timed("neardup_pair_table") {
+      (System.identityHashCode(s), dir, threshold, bandRows, nBands, features),
+      graft.BuildMetrics.timed(s"neardup_pair_table_$features") {
         val p = java.nio.file.Files
           .createTempDirectory("graft-neardup-pairs").toString
+        val feat =
+          if (features == "char5") graft.functions.NGrams.charGrams(col("text"), 5)
+          else shingles(col("text"))
         // plain persist, not CacheScope: the explode feeds the signature
         // AND the verify join INSIDE this one build, whose action (the
         // write) completes here — release immediately instead of holding
         // the blocks until the consuming query's drain
         val exploded = t(s, dir, "documents")
-          .select(col("doc_id"), explode(shingles(col("text"))).as("f"))
+          .select(col("doc_id"), explode(feat).as("f"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try nearDupPairs(exploded, threshold, bandRows, nBands)
           .write.mode("overwrite").parquet(p)
         finally exploded.unpersist(blocking = false)
+        p
+      })
+    s.read.parquet(path)
+  }
+
+  /** Session-scoped cluster table over [[sharedNearDupPairs]]: the star
+    * contraction also runs ONCE per (session, dir, geometry) — q36 emits
+    * it and q39's survivor anti-join reads it, the same one-artifact-many-
+    * consumers posture as the pair table (a production dedup pipeline
+    * materializes cluster assignments exactly once per corpus build). */
+  private val clusterTables = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Double, Int, Int), String]
+
+  private[graft] def sharedNearDupClusters(s: SparkSession, dir: String,
+      threshold: Double = 0.8, bandRows: Int = 2,
+      nBands: Int = 32): DataFrame = {
+    val path = clusterTables.getOrElseUpdate(
+      (System.identityHashCode(s), dir, threshold, bandRows, nBands),
+      graft.BuildMetrics.timed("neardup_cluster_table") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-neardup-clusters").toString
+        val pairs = sharedNearDupPairs(s, dir, threshold, bandRows, nBands)
+          .select("doc_a", "doc_b")
+        clusterPairsStar(pairs).write.mode("overwrite").parquet(p)
         p
       })
     s.read.parquet(path)
@@ -429,14 +459,14 @@ object Dedup {
         |WHERE len(list_intersect(a.gs, b.gs)) * 1.0 /
         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.7
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val exploded = materialize(t(s, dir, "documents").select(col("doc_id"),
-        explode(graft.functions.NGrams.charGrams(col("text"), 5)).as("f")))
       // char-gram background similarity ≈ 0.3 on this corpus → tighter
       // r=4 × 16 bands keeps the background out of the candidate set
       // (P(cand | 0.31) ≈ 0.14) while P(miss | j≥0.9) < 1e-7; the
       // estimate prefilter then drops the surviving background before
-      // the exact verify
-      nearDupPairs(exploded, 0.7, bandRows = 4, nBands = 16)
+      // the exact verify. Session-memoized like the word-shingle ladder
+      // (its own feature set → its own table)
+      sharedNearDupPairs(s, dir, 0.7, bandRows = 4, nBands = 16,
+        features = "char5")
     },
 
     /** Edit-distance verified fuzzy pairs: the LSH near-dup candidates
@@ -503,8 +533,7 @@ object Dedup {
         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
         |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val pairs = sharedNearDupPairs(s, dir).select("doc_a", "doc_b")
-      clusterPairsStar(pairs)
+      sharedNearDupClusters(s, dir)
     },
 
     /** PageRank over the near-dup graph (10 damped iterations, d=0.85):
