@@ -135,9 +135,11 @@ object Pq {
           argminCode(model, subvec(col("v"), s, model.ds), s)).as("codes"))
 
   /** A probe's m×k table of exact ‖q_sub − c‖² entries — computed ONCE
-    * per probe row; shared by the flat ADC search and the composed
-    * IVF-PQ path so the arithmetic cannot drift between them. */
-  private def distanceTable(model: Model, qv: Column): Column = {
+    * per probe row; shared by the flat ADC search, the composed IVF-PQ
+    * path AND the streaming index's search
+    * ([[graft.streaming.StreamingIvfPq]]) so the arithmetic cannot
+    * drift between them. */
+  private[graft] def distanceTable(model: Model, qv: Column): Column = {
     val cb = model.codebookLit
     val cn = model.normLit
     transform(sequence(lit(0), lit(model.m - 1)), s =>
@@ -150,7 +152,7 @@ object Pq {
   }
 
   /** ADC distance: m table lookups of `dt` indexed by `codes`. */
-  private def adcD2(model: Model, dt: Column, codes: Column): Column =
+  private[graft] def adcD2(model: Model, dt: Column, codes: Column): Column =
     aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
       (acc, s) => acc + element_at(element_at(dt, s + 1),
         element_at(codes, s + 1) + 1))
