@@ -411,6 +411,74 @@ object Curation {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_holdout_neardups"),
           max("jac").as("max_jaccard"))
+    },
+
+    /** DSIR — data selection by importance resampling (Xie et al. 2023,
+      * arXiv:2302.03169): score every raw document by how much its
+      * hashed-n-gram profile looks like a TARGET domain vs the raw pool,
+      * log w(x) = Σ_f c_f(x)·(ln p̂_target[f] − ln p̂_raw[f]) over
+      * hashed word-bigram features. The target here is the English
+      * slice (stand-in for "looks like Wikipedia" — any labeled subset
+      * plugs in); docs ranked by log-weight are what importance
+      * resampling would then sample ∝ exp(logw).
+      *
+      * Shape at 100 TB: the feature space is HASHED to 1024 buckets, so
+      * both distribution estimates are bounded aggregates however large
+      * the corpus (map-side-combined (bucket, count) partials), the
+      * log-ratio table broadcasts, and scoring is one broadcast join on
+      * the per-doc bucket counts — one corpus-wide shuffle total, on
+      * (doc_id, bucket). FP discipline: each log-ratio is rounded to 6
+      * and summed per doc as count×DECIMAL — exact, order-independent
+      * (the q85/q88 lesson); the md5 bucket hash is the engine-portable
+      * one q34/q85 use. Docs with <2 words have no bigram features and
+      * are absent by construction (the q88 posture). */
+    QueryDef("q102_dsir_importance", {
+      val hb = "CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024"
+      s"""WITH w AS (SELECT doc_id, lang,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |bg AS (SELECT doc_id, lang, unnest(list_transform(
+         |    range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM w),
+         |dc AS (SELECT doc_id, lang, $hb AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM bg GROUP BY 1, 2, 3),
+         |rf AS (SELECT b, sum(c) AS rc FROM dc GROUP BY 1),
+         |tf AS (SELECT b, sum(c) AS tc FROM dc WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(rc) FROM rf) AS rn,
+         |               (SELECT coalesce(sum(tc), 0) FROM tf) AS tn),
+         |lam AS (SELECT rf.b,
+         |    CAST(round(ln((coalesce(tf.tc, 0) + 1.0) / (tot.tn + 1024.0))
+         |             - ln((rf.rc + 1.0) / (tot.rn + 1024.0)), 6)
+         |         AS DECIMAL(18,6)) AS lam
+         |  FROM rf LEFT JOIN tf ON rf.b = tf.b CROSS JOIN tot)
+         |SELECT dc.doc_id, CAST(sum(dc.c * lam.lam) AS DOUBLE) AS logw
+         |FROM dc JOIN lam ON dc.b = lam.b GROUP BY 1""".stripMargin
+        .replace("\n", " ")
+    }) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      val m = greatest(size(w) - 1, lit(0))
+      val dc = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+            lit(1024L)).as("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("c")))
+      val rf = dc.groupBy("b").agg(sum("c").as("rc"))
+      val tf = dc.filter(col("lang") === "en")
+        .groupBy("b").agg(sum("c").as("tc"))
+      val tot = rf.agg(sum("rc").as("rn"))
+        .crossJoin(tf.agg(coalesce(sum("tc"), lit(0L)).as("tn")))
+      val lam = rf.join(tf, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log((coalesce(col("tc"), lit(0L)) + 1.0) / (col("tn") + 1024.0))
+              - log((col("rc") + 1.0) / (col("rn") + 1024.0)), 6)
+            .cast("decimal(18,6)").as("lam"))
+      dc.join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("lam")).cast("double").as("logw"))
     }
   )
 

@@ -230,10 +230,18 @@ object KMeans {
     *    decimals like q57's matching diagnostics.
     * `AS MATERIALIZED` prevents DuckDB's CTE inlining from exponentially
     * duplicating the chain (each step references its predecessor twice —
-    * the [[Bpe.bpeCtes]] lesson). */
-  private val kmeansOracle: String = {
-    def dot(a: String, b: String): String =
-      s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
+    * the [[Bpe.bpeCtes]] lesson). The doc above describes [[assignCtes]],
+    * the unrolled-trainer replica both oracles share. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
+
+  /** The shared CTE chain through the FINAL assignment: every oracle that
+    * needs the trained clustering (q43's report, q101's within-cluster
+    * dedup) prefixes these and reads `afin(vec_id, cluster, d2)` — one
+    * unrolled trainer, many consumers, mirroring [[fittedModel]]'s
+    * session memo on the engine side. */
+  private val assignCtes: String = {
+    def dot(a: String, b: String): String = dotSql(a, b)
     val head = Seq(
       "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
       "ex AS MATERIALIZED (SELECT vec_id, unnest(v) AS val, " +
@@ -273,20 +281,44 @@ object KMeans {
            |  SELECT $prev.cluster, coalesce(m$it.c, $prev.c) AS c
            |  FROM $prev LEFT JOIN m$it ON $prev.cluster = m$it.cluster)""".stripMargin)
     }
-    val ctes = (head ++ seeds ++ Seq(c0) ++ iters).mkString(",\n")
-    (s"WITH $ctes " +
-      s"""SELECT cluster, CAST(count(*) AS BIGINT) AS n,
-         |  round(avg(sqrt(greatest(d2, 0.0))), 6) AS mean_dist
-         |FROM (
+    val afin =
+      s"""afin AS MATERIALIZED (
          |  SELECT vec_id, cluster, d2 FROM (
          |    SELECT e.vec_id, c5.cluster,
          |      ${dot("c5.c", "c5.c")} - 2.0 * ${dot("e.v", "c5.c")} + ${dot("e.v", "e.v")} AS d2,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        ${dot("c5.c", "c5.c")} - 2.0 * ${dot("e.v", "c5.c")} ASC,
          |        c5.cluster ASC) AS rk
-         |    FROM e, c5) WHERE rk = 1)
-         |GROUP BY cluster ORDER BY cluster""".stripMargin).replace("\n", " ")
+         |    FROM e, c5) WHERE rk = 1)""".stripMargin
+    (head ++ seeds ++ Seq(c0) ++ iters ++ Seq(afin)).mkString(",\n")
   }
+
+  private val kmeansOracle: String =
+    (s"WITH $assignCtes " +
+      """SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(sqrt(greatest(d2, 0.0))), 6) AS mean_dist
+        |FROM afin GROUP BY cluster ORDER BY cluster""".stripMargin)
+      .replace("\n", " ")
+
+  /** DuckDB replica of q101: the same trained assignment (via
+    * [[assignCtes]]), then ALL within-cluster pairs scored by exact
+    * cosine — the oracle may go quadratic per cluster; the engine's plan
+    * is the per-cluster join it would actually ship. Cosine is the same
+    * left-to-right double fold both engines use for q40, rounded to 6
+    * before the threshold so a last-ulp difference can only matter for a
+    * pair landing exactly on the 1e-6 boundary. */
+  private val semdedupOracle: String =
+    (s"WITH $assignCtes, " +
+      s"""nv AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, sqrt(${dotSql("e.v", "e.v")}) AS nrm, afin.cluster
+         |  FROM e JOIN afin USING (vec_id)),
+         |p AS (SELECT b.vec_id AS vec_id, a.cluster,
+         |    round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cs
+         |  FROM nv a JOIN nv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT vec_id, cluster, CAST(count(*) AS BIGINT) AS n_dups,
+         |  max(cs) AS max_cos
+         |FROM p WHERE cs >= 0.45 GROUP BY 1, 2""".stripMargin)
+      .replace("\n", " ")
 
   val queries: Seq[QueryDef] = Seq(
     /** Train k=8 centroids on the embeddings corpus, emit the cluster
@@ -329,6 +361,56 @@ object KMeans {
         .select(col("vec_id"), col("embedding").as("v"))
       val model = fittedModel(s, dir, e)
       diversitySample(model, e, perCluster = 3)
+    },
+
+    /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+      * deduplication by clustering first, then comparing ONLY within a
+      * cluster — the move that makes embedding-level dedup tractable at
+      * corpus scale, because the candidate set shrinks from n² to
+      * Σ_c |c|² with k chosen so clusters stay bounded. Reuses the same
+      * session-memoized trained model as q43/q44/q49 (train once, every
+      * consumer reads). A vector is REMOVED when some smaller-id vector
+      * in its cluster has cosine ≥ τ (the deterministic keep-lowest-id
+      * form of the paper's keep-one rule); emitted rows are the removals
+      * with their duplicate count and closest similarity. τ = 0.45 sits
+      * above this synthetic corpus's 99.99th cosine percentile (near-
+      * random vectors — real text embeddings run τ ≈ 0.95+); the
+      * threshold is applied to the 6-rounded score like q40's ordering.
+      *
+      * Shape at 100 TB: one assignment pass (narrow map against literal
+      * centroids), then a cluster-keyed self-join — pairs are generated
+      * per cluster, never across, and norms are computed once per VECTOR
+      * before the join (the q24 lesson). A skewed giant cluster is the
+      * known failure mode; the production guard is capping cluster size
+      * by raising k (the paper trains k ∝ n) or sub-banding oversized
+      * cells, not changing this plan's shape. */
+    QueryDef("q101_semdedup", semdedupOracle) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      semDedup(e, fittedModel(s, dir, e), tau = 0.45)
     }
   )
+
+  /** SemDeDup core (see q101's doc): within-cluster cosine-duplicate
+    * removals under `model`'s assignment, keep-lowest-id. `vectors`:
+    * (vec_id, v). Returns (vec_id, cluster, n_dups, max_cos) — one row
+    * per REMOVED vector. */
+  def semDedup(vectors: DataFrame, model: Model, tau: Double): DataFrame = {
+    val assigned = model.assign(vectors).select("vec_id", "cluster")
+    val nv = vectors
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .join(assigned, "vec_id")
+    val a = nv.select(col("vec_id").as("va"), col("v").as("xa"),
+      col("nrm").as("na"), col("cluster"))
+    val b = nv.select(col("vec_id").as("vb"), col("v").as("xb"),
+      col("nrm").as("nb"), col("cluster"))
+    a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .select(col("vb").as("vec_id"), col("cluster"),
+        round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+          .as("cs"))
+      .filter(col("cs") >= tau)
+      .groupBy("vec_id", "cluster")
+      .agg(count(lit(1)).as("n_dups"), max("cs").as("max_cos"))
+  }
 }

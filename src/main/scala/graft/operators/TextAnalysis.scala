@@ -979,6 +979,103 @@ object TextAnalysis {
             .as("top_bigram_frac"),
           coalesce(round(col("dup5").cast("double") / col("n5"), 6), lit(0.0))
             .as("dup_5gram_frac"))
+    },
+
+    /** Per-document n-gram NOVELTY against everything ingested before it
+      * (doc_id as ingestion order): the fraction of a doc's distinct
+      * word 5-grams whose FIRST corpus occurrence is this doc. The
+      * memorization-risk / contribution signal a dataset builder ranks
+      * incoming shards by — a doc whose grams all appeared earlier adds
+      * nothing the model hasn't seen (Lee et al. 2022's dedup analysis
+      * motivates exactly this per-shard novelty accounting).
+      *
+      * Shape at 100 TB: one gram-keyed aggregate computes min(doc_id)
+      * per distinct gram (map-side-combinable min — the same shuffle
+      * class as q26's gram join), then one join back on the doc's own
+      * distinct grams; novel-or-not is `min == doc_id`, an exact integer
+      * compare, and the fraction an exact rational rounded at the end.
+      * Docs with <5 words have no 5-grams and are absent (q88 posture). */
+    QueryDef("q103_ngram_novelty", {
+      val g5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |dg AS (SELECT DISTINCT doc_id, $g5 AS g
+         |  FROM d, unnest(range(1, greatest(len(w) - 3, 1))) AS u(i)),
+         |fst AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY 1)
+         |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN fst.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  round(sum(CASE WHEN fst.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+         |        * 1.0 / count(*), 6) AS novel_frac
+         |FROM dg JOIN fst USING (g) GROUP BY 1""".stripMargin
+        .replace("\n", " ")
+    }) { (s, dir) =>
+      val w = split(trim(col("text")), "\\s+")
+      val n = size(w)
+      val dg = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(when(n >= 5, transform(sequence(lit(1), n - 4), i =>
+            concat_ws(" ", (0 until 5).map(j =>
+              element_at(w, i + j)): _*)))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .distinct())
+      val fst = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
+      dg.join(fst, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"),
+          round(sum(when(col("first_doc") === col("doc_id"), 1L)
+            .otherwise(0L)) * 1.0 / count(lit(1)), 6).as("novel_frac"))
+    },
+
+    /** Cross-source vocabulary overlap matrix: Jaccard similarity of the
+      * distinct-token vocabularies of every source pair — the corpus-
+      * composition diagnostic behind mixture design (two sources with
+      * near-identical vocabularies add redundancy, not coverage; RedPajama
+      * / Dolma reports tabulate exactly this).
+      *
+      * Shape at 100 TB: the distinct (source, token) frame is ONE
+      * corpus shuffle; pairs are then generated PER TOKEN across the ≤S
+      * sources holding it (S = source count, bounded metadata — here 10,
+      * so ≤45 pair rows per token, never doc×doc); vocabulary sizes are
+      * a bounded S-row aggregate broadcast onto the 45-row result.
+      * Jaccard is exact integer arithmetic rounded once (q21 posture). */
+    QueryDef("q104_vocab_overlap", {
+      """WITH st AS (SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)),
+        |vs AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY 1),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT inter.source_a, inter.source_b, inter.n_common,
+        |  round(inter.n_common * 1.0 /
+        |        (va.nv + vb.nv - inter.n_common), 6) AS jaccard
+        |FROM inter JOIN vs va ON va.source = inter.source_a
+        |JOIN vs vb ON vb.source = inter.source_b""".stripMargin
+        .replace("\n", " ")
+    }) { (s, dir) =>
+      val st = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .distinct())
+      val vs = st.groupBy("source").agg(count(lit(1)).as("nv"))
+      val a = st.select(col("source").as("source_a"), col("tok"))
+      val b = st.select(col("source").as("source_b"), col("tok"))
+      val inter = a.join(b, Seq("tok"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(vs.select(col("source").as("source_a"),
+          col("nv").as("na"))), "source_a")
+        .join(broadcast(vs.select(col("source").as("source_b"),
+          col("nv").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          round(col("n_common") * 1.0 /
+            (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
     }
   )
 }

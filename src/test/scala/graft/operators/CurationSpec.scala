@@ -88,4 +88,47 @@ class CurationSpec extends SparkSuite {
         f.selectedPartitions.partitionCount }).sum
     assert(scanned == 1, s"expected 1 pruned partition, scanned $scanned")
   }
+
+  test("q102 DSIR == independent in-memory reference; target docs rank high") {
+    // full third-engine recompute (neither Spark nor DuckDB): hashed
+    // word-bigram counts, add-one-smoothed log-ratios rounded to 6,
+    // exact BigDecimal accumulation — must match the engine EXACTLY
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    val docCnt: Map[(Long, Long), Long] = docs.flatMap { case (id, _, text) =>
+      val w = text.trim.split("\\s+")
+      w.iterator.zip(w.iterator.drop(1))
+        .map { case (a, b) => (id, bucket(a + " " + b)) }.toSeq
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val isTarget = docs.map(d => d._1 -> (d._2 == "en")).toMap
+    val rf = docCnt.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val tf = docCnt.filter(kv => isTarget(kv._1._1))
+      .groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val (rn, tn) = (rf.values.sum, tf.values.sum)
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lam: Map[Long, BigDecimal] = rf.map { case (b, rc) =>
+      b -> r6(math.log((tf.getOrElse(b, 0L) + 1.0) / (tn + 1024.0)) -
+        math.log((rc + 1.0) / (rn + 1024.0)))
+    }
+    val expected: Map[Long, Double] = docCnt.toSeq
+      .map { case ((id, b), c) => id -> (lam(b) * c) }
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sum.toDouble }
+
+    val got = queries("q102_dsir_importance")(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    assert(got == expected)
+
+    // sanity of the SIGNAL: English (target-domain) docs must average a
+    // higher importance weight than the rest of the pool
+    val (t, o) = got.partition(kv => isTarget(kv._1))
+    assert(t.values.sum / t.size > o.values.sum / o.size)
+  }
 }

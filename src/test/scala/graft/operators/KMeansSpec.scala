@@ -113,6 +113,51 @@ class KMeansSpec extends SparkSuite {
     assert(got.size == 4)
   }
 
+  test("semDedup == within-cluster brute force; keep-lowest-id; planted dups flagged") {
+    // plant two exact copies of point 0 and a near-copy of point 1 —
+    // all land in their source's cluster on this separated data
+    val extra = Seq(
+      (100L, points(0)._2), (101L, points(0)._2),
+      (102L, points(1)._2.map(_ + 0.001)))
+    val all = points.map(p => (p._1, p._2)) ++ extra
+    val df = all.toDF("vec_id", "v")
+    val model = KMeans.fit(df, k = 3, maxIters = 10)
+    val tau = 0.9999
+
+    val got = KMeans.semDedup(df, model, tau)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // independent brute force with the engine's exact arithmetic:
+    // left-to-right double dot fold, HALF_UP rounding to 6 before τ
+    val assign = model.assign(df).select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = all.toMap
+    val expected = all.map(_._1).flatMap { b =>
+      val dups = all.map(_._1)
+        .filter(a => a < b && assign(a) == assign(b))
+        .map { a =>
+          val (va, vb) = (byId(a), byId(b))
+          r6(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+        }
+        .filter(_ >= tau)
+      if (dups.isEmpty) None
+      else Some(b -> ((assign(b), dups.size.toLong, dups.max)))
+    }.toMap
+    assert(got == expected)
+
+    // the planted copies are removed against their lower-id original;
+    // the original (the global min id) can never be removed
+    assert(!got.contains(0L))
+    assert(got(100L)._3 == 1.0 && got(101L)._3 == 1.0)
+    assert(got(101L)._2 == 2L, "101 duplicates both 0 and 100")
+    assert(got.contains(102L), "near-copy above τ flagged")
+  }
+
   test("save/load round-trips the model; assignments identical") {
     val vecs = points.map(p => (p._1, p._2)).toDF("vec_id", "v")
     val model = KMeans.fit(vecs, k = 3, maxIters = 5)

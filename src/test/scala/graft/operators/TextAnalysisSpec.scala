@@ -171,4 +171,64 @@ class TextAnalysisSpec extends SparkSuite {
       }
     }
   }
+
+  test("q103 novelty == in-memory reference; copies score zero novel") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(text: String): Set[String] = {
+      val w = text.trim.split("\\s+")
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val dg = docs.map { case (id, t) => id -> grams(t) }.filter(_._2.nonEmpty)
+    val first: Map[String, Long] = dg
+      .flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = dg.map { case (id, gs) =>
+      val novel = gs.count(g => first(g) == id)
+      id -> ((gs.size.toLong, novel.toLong, r6(novel.toDouble / gs.size)))
+    }.toMap
+    val got = graft.SparkEntry.queries("q103_ngram_novelty")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+
+    // a verbatim copy of an earlier doc scores 0 novel; its source keeps
+    // full credit (synthetic construction, independent of the corpus)
+    val planted = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "a b c d e zz ww")).toDF("doc_id", "text")
+    val pd = tmpDir("novel")
+    planted.write.mode("overwrite").parquet(pd + "/documents.parquet")
+    val out = graft.SparkEntry.queries("q103_ngram_novelty")(spark, pd)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0)
+    assert(out(3L) == r6(2.0 / 3.0)) // shares "a b c d e" with doc 1
+  }
+
+  test("q104 vocab overlap == in-memory reference") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    val vocab: Map[String, Set[String]] = docs
+      .groupBy(_._1)
+      .map { case (src, ds) =>
+        src -> ds.flatMap(_._2.trim.split("\\s+")).toSet }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srcs = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      a = srcs(i); b = srcs(j)
+      inter = (vocab(a) & vocab(b)).size
+    } yield (a, b) -> ((inter.toLong,
+      r6(inter.toDouble / (vocab(a).size + vocab(b).size - inter))))).toMap
+    val got = graft.SparkEntry.queries("q104_vocab_overlap")(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == expected)
+  }
 }
