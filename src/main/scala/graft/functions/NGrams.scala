@@ -66,6 +66,36 @@ case class WordShingles(child: Expression, n: Int) extends NGramExpression {
     copy(child = c)
 }
 
+/** ALL word n-gram occurrences in order (the non-distinct sibling of
+  * [[WordShingles]]) — for frequency-weighted consumers (language-model
+  * counts, hashed-feature distributions) where each occurrence carries
+  * weight; semantics identical to the declarative
+  * `zip_with(slice(w,1,m), slice(w,2,m), concat)` chain and the oracle's
+  * `list_transform(range(len-n+1), ...)`. */
+case class WordGrams(child: Expression, n: Int) extends NGramExpression {
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].trim().toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(
+      (0 to words.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        UTF8String.fromString(sb.toString)
+      }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGrams =
+    copy(child = c)
+}
+
 /** Distinct character n-grams: sliding window of n chars; inputs shorter
   * than n yield the whole string (matching the declarative
   * `sequence(1, greatest(len-n+1, 1))` edge case). */
@@ -86,6 +116,8 @@ case class CharGrams(child: Expression, n: Int) extends NGramExpression {
 object NGrams {
   def wordShingles(text: Column, n: Int = 3): Column =
     bridge.column(WordShingles(bridge.expression(text), n))
+  def wordGrams(text: Column, n: Int): Column =
+    bridge.column(WordGrams(bridge.expression(text), n))
   def charGrams(text: Column, n: Int = 5): Column =
     bridge.column(CharGrams(bridge.expression(text), n))
 }

@@ -454,12 +454,9 @@ object Curation {
          |FROM dc JOIN lam ON dc.b = lam.b GROUP BY 1""".stripMargin
         .replace("\n", " ")
     }) { (s, dir) =>
-      val w = split(trim(col("text")), "\\s+")
-      val m = greatest(size(w) - 1, lit(0))
       val dc = graft.CacheScope.persist(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          explode(zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
-            (a, b) => concat(a, lit(" "), b))).as("g"))
+          explode(graft.functions.NGrams.wordGrams(col("text"), 2)).as("g"))
         .select(col("doc_id"), col("lang"),
           pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
             lit(1024L)).as("b"))
