@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CharGrams, DotProduct, RollingHash, WordShingles}
+import graft.functions.{CharGrams, DotProduct, RollingHash, WinnowedFingerprints, WordGrams, WordShingles}
 
 /** SQL surface for the engine's native Catalyst expressions, injected via
   * the standard `SparkSessionExtensions` hook — set
@@ -72,6 +72,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity(args, 2, "char_grams")
         CharGrams(args(0), litInt(args(1), "char_grams")) }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "word_grams")
+        WordGrams(args(0), litInt(args(1), "word_grams")) }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnowed_fingerprints"),
+      new ExpressionInfo(classOf[WinnowedFingerprints].getName,
+        "winnowed_fingerprints"),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "winnowed_fingerprints")
+        WinnowedFingerprints(args(0),
+          litInt(args(1), "winnowed_fingerprints"),
+          litInt(args(2), "winnowed_fingerprints")) }))
     // Spark 4 Columns wrap ColumnNodes, not Expressions — the bridge
     // (see its scaladoc) converts both ways so the operators' Column
     // compositions register as SQL functions unchanged

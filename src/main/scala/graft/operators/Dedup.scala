@@ -683,6 +683,96 @@ object Dedup {
       val exploded = materialize(t(s, dir, "documents").select(col("doc_id"),
         explode(shingles(col("text"))).as("f")))
       containmentPairs(exploded, 0.9)
+    },
+
+    /** Winnowing fingerprint near-dup pairs (Schleimer et al. SIGMOD
+      * 2003 — the MOSS algorithm; see
+      * [[graft.functions.WinnowedFingerprints]]): each doc reduces to
+      * ~2/(w+1) of its char-8-gram hashes via per-window minima, with
+      * the guarantee that any verbatim run ≥ w+k−1 = 11 chars shares a
+      * selected hash; pairs sharing ≥ 5 surviving fingerprints are the
+      * plagiarism-style partial-overlap channel — position-robust where
+      * q59's fixed 50-char windows need long exact runs, and
+      * order-sensitive where the Jaccard family (q21/q23) is blind to
+      * rearrangement.
+      *
+      * Shape at 100 TB: fingerprint-keyed equi-join — the banded-LSH
+      * candidate class. The df cap (keep 2 ≤ df ≤ 10) is the honest
+      * posting-cap discipline: a fingerprint held by MANY docs is
+      * boilerplate evidence, not pairwise-duplication evidence, and
+      * capping it bounds per-key pair fan-out at df·(df−1)/2 — without
+      * it one ubiquitous 8-gram manufactures a quadratic bucket (the
+      * q83 char-gram df lesson, applied before it bites). Counts are
+      * exact integers; no FP in the gate. */
+    QueryDef("q105_winnow_dup",
+      """WITH h AS (SELECT doc_id,
+        |    list_transform(range(greatest(length(text) - 8 + 1, 0)),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i+1 AS INT), 8)), 1, 8)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(greatest(len(hs) - 4 + 1, 1)),
+        |    p -> list_min(hs[CAST(p+1 AS INT):CAST(p+4 AS INT)])))) AS f
+        |  FROM h WHERE len(hs) > 0),
+        |df AS (SELECT f, count(*) AS d FROM fp GROUP BY 1),
+        |kept AS (SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f)
+        |  WHERE df.d BETWEEN 2 AND 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+        .replace("\n", " ")) { (s, dir) =>
+      val fp = materialize(t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Winnow.fingerprints(col("text"), 8, 4))
+            .as("f")))
+      val kept = fp.join(
+        fp.groupBy("f").agg(count(lit(1)).as("d"))
+          .filter(col("d").between(2, 10)),
+        Seq("f"))
+        .select("doc_id", "f")
+      val a = kept.select(col("doc_id").as("doc_a"), col("f"))
+      val b = kept.select(col("doc_id").as("doc_b"), col("f"))
+      a.join(b, Seq("f"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+    },
+
+    /** Per-source dedup audit: for every source, how many documents,
+      * how many sit in at least one near-dup pair, and the duplicate
+      * rate — the observability rollup a corpus operator reads after
+      * every build (dedup reports in the RedPajama/Dolma mold). Another
+      * free reader of the session-scoped shared pair table: the
+      * engine's incremental cost is one pair-endpoint distinct + a
+      * broadcast-sized per-source aggregate; the oracle re-derives the
+      * pair set all-pairs as usual. */
+    QueryDef("q106_dedup_report",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |dup AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+        |  round(count(dup.doc_id) * 1.0 / count(*), 6) AS dup_rate
+        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val pairs = sharedNearDupPairs(s, dir, 0.8, bandRows = 2, nBands = 32)
+      val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn("dup", lit(1L))
+      t(s, dir, "documents").select("doc_id", "source")
+        .join(dupDocs, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("dup")).as("n_dup_docs"),
+          round(count(col("dup")) * 1.0 / count(lit(1)), 6).as("dup_rate"))
     }
   )
 

@@ -16,20 +16,27 @@ class SqlFunctionsSpec extends SparkSuite {
     val viaSql = spark.sql(
       """SELECT rolling_hash(text) AS fp,
         |       word_shingles(text, 2) AS ws,
+        |       word_grams(text, 2) AS wg,
         |       char_grams(text, 3) AS cg,
+        |       winnowed_fingerprints(text, 3, 2) AS wf,
         |       dot_product(v, v) AS dp
         |FROM sqlfn_t""".stripMargin)
-      .as[(Long, Seq[String], Seq[String], Double)].collect().toSet
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[Long], Double)]
+      .collect().toSet
 
     val viaCols = spark.table("sqlfn_t").select(
       RollingHash(col("text")).as("fp"),
       NGrams.wordShingles(col("text"), 2).as("ws"),
+      NGrams.wordGrams(col("text"), 2).as("wg"),
       NGrams.charGrams(col("text"), 3).as("cg"),
+      Winnow.fingerprints(col("text"), 3, 2).as("wf"),
       DotProduct(col("v"), col("v")).as("dp"))
-      .as[(Long, Seq[String], Seq[String], Double)].collect().toSet
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[Long], Double)]
+      .collect().toSet
 
     assert(viaSql == viaCols)
     assert(viaSql.exists(_._2 == Seq("a b", "b c", "c a")))
+    assert(viaSql.exists(_._3 == Seq("a b", "b c", "c a", "a b", "b c")))
   }
 
   test("pii_redact / quality_score resolve in spark.sql and agree " +
