@@ -266,7 +266,9 @@ object Pq {
       val model = fittedModel(s, dir)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
-      val codes = encode(model, e)
+      // encode-once: searches read the 16-byte/vector codes table, they
+      // never re-encode the corpus (the q42/q99 train-once posture)
+      val codes = s.read.parquet(pqCodesPath(s, dir))
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       adcSearchReranked(model, codes, e, probes, topK = 5)
@@ -287,6 +289,23 @@ object Pq {
       ivfPqSearch(s, dir, topK = 5, nprobe = 2, shortlist = 10)
     }
   )
+
+  /** Session-scoped train-once FLAT codes table for q97 — encode once,
+    * search many (the q99 cell layout without the cell partitioning):
+    * every search reads the 16-byte/vector parquet codes instead of
+    * re-encoding the corpus per run. */
+  private val flatCodesPaths =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private[operators] def pqCodesPath(s: SparkSession, dir: String): String =
+    flatCodesPaths.getOrElseUpdate((System.identityHashCode(s), dir),
+        graft.BuildMetrics.timed("pq_codes") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-pq-codes").toString
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      encode(fittedModel(s, dir), e).write.mode("overwrite").parquet(path)
+      path
+    })
 
   /** Session-scoped train-once PQ-codes layout for q99: the corpus
     * encoded to m codes/vector, hive-partitioned by the same cell
