@@ -476,6 +476,40 @@ object Curation {
       dc.join(broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(sum(col("c") * col("lam")).cast("double").as("logw"))
+    },
+
+    /** Per-source document cap — the RefinedWeb/C4-style guard against
+      * one domain flooding the corpus: keep the top 10 documents per
+      * source by quality score (ties → lower doc_id), emitting the kept
+      * rows with their rank. Deliberately NOT a `row_number()` window:
+      * a window partitioned by source sorts each source's ENTIRE doc
+      * set in one task — the hot-domain hazard at 100 TB. The bounded
+      * [[graft.functions.TopKAggregator]] keeps ≤ 10 entries per source
+      * IN THE AGGREGATION BUFFER, so partial aggregation ships 10 rows
+      * per map partition per source and a 10-million-doc domain costs
+      * the same shuffle as a 10-doc one. The oracle states the same
+      * semantics the declarative way (row_number ≤ 10). */
+    QueryDef("q109_domain_cap",
+      s"""WITH q AS (SELECT source, doc_id,
+         |    ${TextAnalysis.qualityScoreSql} AS quality FROM documents),
+         |r AS (SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |SELECT source, doc_id, quality, rk FROM r WHERE rk <= 10"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("doc_id"))
+        .groupBy("source")
+        .agg(topk(col("quality"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          col("col.score").as("quality"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .select("source", "doc_id", "quality", "rk")
     }
   )
 

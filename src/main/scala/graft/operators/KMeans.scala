@@ -340,10 +340,38 @@ object KMeans {
     /** End-to-end trained IVF: fit k=8 centroids, then multi-probe
       * (nprobe=2) top-5 search for the first 5 vectors — the full
       * index-build→route→search loop q42 approximates with the given
-      * `label` column. Approximate by design (recall depends on the
-      * trained cells); exactness of the machinery is pinned by
-      * `KMeansSpec` (nprobe=all == brute force). */
-    QueryDef.noOracle("q44_ivf_trained") { (s, dir) =>
+      * `label` column. The RESULT is approximate (recall depends on the
+      * trained cells), but the COMPUTATION is deterministic — so since
+      * the unrolled-trainer CTEs exist for q43/q101, the whole search is
+      * oracle-able too (no-oracle through r5): route each probe to its
+      * 2 nearest c5 centroids by the training metric (cdist asc, cluster
+      * asc — the engine's exact tie order), score cosine only inside
+      * probed cells via the afin assignment, rank (score desc, id asc)
+      * like q40. Machinery additionally pinned by `KMeansSpec`
+      * (nprobe=all == brute force). */
+    QueryDef("q44_ivf_trained", {
+      def d(a: String, b: String) = dotSql(a, b)
+      s"""WITH $assignCtes,
+         |pr AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |route AS (SELECT query_id, qv, cluster FROM (
+         |  SELECT pr.query_id, pr.qv, c5.cluster,
+         |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+         |      ${d("c5.c", "c5.c")} - 2.0 * ${d("pr.qv", "c5.c")} ASC,
+         |      c5.cluster ASC) AS crank
+         |  FROM pr, c5) WHERE crank <= 2),
+         |sc AS (SELECT r.query_id, e.vec_id AS neighbor_id,
+         |    ROUND(${d("r.qv", "e.v")} /
+         |      (sqrt(${d("r.qv", "r.qv")}) * sqrt(${d("e.v", "e.v")})), 6)
+         |      AS score
+         |  FROM route r JOIN afin a ON a.cluster = r.cluster
+         |  JOIN e ON e.vec_id = a.vec_id
+         |  WHERE e.vec_id <> r.query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= 5""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       val model = fittedModel(s, dir, e)
@@ -352,15 +380,33 @@ object KMeans {
       ivfSearch(model, e, probes, k = 5, nprobe = 2)
     },
 
-    /** Diversity sampling: 3 representatives per trained cluster.
-      * Approximate by design (depends on the trained cells); the
-      * selection rule itself is pinned by `KMeansSpec` (exact closest-
-      * to-centroid per planted cluster). */
-    QueryDef.noOracle("q49_diversity_sample") { (s, dir) =>
+    /** Diversity sampling: 3 representatives per trained cluster. Same
+      * move as q44 (no-oracle through r5): the trained assignment is
+      * already oracle-replicated, so the per-cluster nearest-3 window is
+      * too — ordered by the CLAMPED distance the engine emits
+      * (greatest(d2, 0) — two sub-ulp-negative near-duplicates tie at 0
+      * and fall to the vec_id tiebreak identically in both engines).
+      * dist2 is rounded to 6 in the OUTPUT only; the window compares the
+      * unrounded value (margins separate distinct vectors, and exact
+      * duplicates tie-break on vec_id). Selection rule additionally
+      * pinned by `KMeansSpec` (exact closest-to-centroid per planted
+      * cluster). */
+    QueryDef("q49_diversity_sample",
+      s"""WITH $assignCtes
+         |SELECT vec_id, cluster, round(cd2, 6) AS dist2,
+         |  CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT vec_id, cluster, greatest(d2, 0.0) AS cd2,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY greatest(d2, 0.0) ASC, vec_id ASC) AS rnk
+         |  FROM afin)
+         |WHERE rnk <= 3""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       val model = fittedModel(s, dir, e)
       diversitySample(model, e, perCluster = 3)
+        .select(col("vec_id"), col("cluster"),
+          round(col("dist2"), 6).as("dist2"),
+          col("rnk").cast("long").as("rnk"))
     },
 
     /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

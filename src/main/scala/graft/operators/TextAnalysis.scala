@@ -50,6 +50,65 @@ object TextAnalysis {
     s"ROUND(least(1.0, $nTok / 100.0) * 0.5 + least(1.0, ($stops) * 10.0 / $nTok) * 0.5, 6)"
   }
 
+  /** Held-out bigram-LM per-document scores — q88's model, shared with
+    * the CCNet-style bucketing in q110: train add-one-smoothed ONLY on
+    * the heuristic-high-quality subset (quality ≥ 0.5), then score every
+    * document by mean negative log-likelihood. Returns
+    * (doc_id, n_bigrams, avg_nll); docs with <2 tokens have no bigrams
+    * and are absent by construction. Shape at scale: model counts are
+    * gram-keyed partial aggs (shuffle ∝ distinct grams, not corpus);
+    * the apply pass is two gram-keyed left joins plus a 1-row broadcast
+    * for |V|; each −ln P is rounded to 6 and summed as DECIMAL(18,6) so
+    * the mean is order-independent across engines. */
+  private[operators] def lmDocScores(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      (qualityScore(col("text")) >= 0.5).as("hi"),
+      split(trim(col("text")), "\\s+").as("w"))
+    // bigram (w1, w2) rows: posexplode the first n-1 tokens, fetch the
+    // successor by position — no struct-in-lambda type plumbing
+    val bi = graft.CacheScope.persist(base
+      .select(col("doc_id"), col("hi"), col("w"),
+        posexplode(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
+          .as(Seq("p0", "w1")))
+      .select(col("doc_id"), col("hi"), col("w1"),
+        element_at(col("w"), col("p0") + 2).as("w2")))
+    val c2 = bi.filter(col("hi")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = bi.filter(col("hi"))
+      .select(explode(array(col("w1"), col("w2"))).as("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bi.join(c2, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((coalesce(col("c2"), lit(0L)) + 1.0) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("nll").cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
+
+  /** Oracle-side CTE chain for [[lmDocScores]], ending in
+    * `lm(doc_id, n_bigrams, avg_nll)` — prepend to a final SELECT. */
+  private[operators] def lmScoreCtes: String =
+    s"""WITH d AS (SELECT doc_id, $qualityScoreSql >= 0.5 AS hi,
+       |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |bi AS (SELECT doc_id, hi, w[i] AS w1, w[i+1] AS w2
+       |  FROM d, unnest(range(1, greatest(len(w), 1))) AS u(i)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE hi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM (
+       |  SELECT w1 AS tok FROM bi WHERE hi UNION SELECT w2 FROM bi WHERE hi)),
+       |sc AS (SELECT bi.doc_id,
+       |    CAST(round(-ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + v.v)), 6)
+       |         AS DECIMAL(18,6)) AS nll
+       |  FROM bi LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+       |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+       |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+       |  FROM sc GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
   /** Marker-word score: occurrences of each marker in the space-padded
     * text. Marker sets are tiny embedded language profiles (the n-gram
     * heuristic's degenerate-but-deterministic form). */
@@ -866,50 +925,9 @@ object TextAnalysis {
       * DECIMAL(18,6) — order-independent — then the mean is one double
       * division (the q85 lesson). Docs with fewer than two tokens have
       * no bigrams and are absent from the output by construction. */
-    QueryDef("q88_lm_perplexity", {
-      s"""WITH d AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} >= 0.5 AS hi,
-         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-         |bi AS (SELECT doc_id, hi, w[i] AS w1, w[i+1] AS w2
-         |  FROM d, unnest(range(1, greatest(len(w), 1))) AS u(i)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE hi GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-         |v AS (SELECT count(*) AS v FROM (
-         |  SELECT w1 AS tok FROM bi WHERE hi UNION SELECT w2 FROM bi WHERE hi)),
-         |sc AS (SELECT bi.doc_id,
-         |    CAST(round(-ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + v.v)), 6)
-         |         AS DECIMAL(18,6)) AS nll
-         |  FROM bi LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
-         |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " ")
-    }) { (s, dir) =>
-      val base = t(s, dir, "documents").select(col("doc_id"),
-        (qualityScore(col("text")) >= 0.5).as("hi"),
-        split(trim(col("text")), "\\s+").as("w"))
-      // bigram (w1, w2) rows: posexplode the first n-1 tokens, fetch the
-      // successor by position — no struct-in-lambda type plumbing
-      val bi = graft.CacheScope.persist(base
-        .select(col("doc_id"), col("hi"), col("w"),
-          posexplode(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
-            .as(Seq("p0", "w1")))
-        .select(col("doc_id"), col("hi"), col("w1"),
-          element_at(col("w"), col("p0") + 2).as("w2")))
-      val c2 = bi.filter(col("hi")).groupBy("w1", "w2")
-        .agg(count(lit(1)).as("c2"))
-      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-      val v = bi.filter(col("hi"))
-        .select(explode(array(col("w1"), col("w2"))).as("tok")).distinct()
-        .agg(count(lit(1)).as("v"))
-      bi.join(c2, Seq("w1", "w2"), "left_outer")
-        .join(c1, Seq("w1"), "left_outer")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          round(-log((coalesce(col("c2"), lit(0L)) + 1.0) /
-              (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
-            .cast("decimal(18,6)").as("nll"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum("nll").cast("double") / count(lit(1)), 6).as("avg_nll"))
+    QueryDef("q88_lm_perplexity",
+      s"$lmScoreCtes SELECT doc_id, n_bigrams, avg_nll FROM lm") { (s, dir) =>
+      lmDocScores(s, dir)
     },
 
     /** Gopher-style repetition filters — the published quality rules
@@ -1075,6 +1093,159 @@ object TextAnalysis {
         .select(col("source_a"), col("source_b"), col("n_common"),
           round(col("n_common") * 1.0 /
             (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
+    },
+
+    /** Gopher document-quality rules (Rae et al. 2021 §A1.1) — the
+      * published NON-repetition gates, complementing q89's repetition
+      * family: token-count bounds [50, 100 000], mean word length in
+      * [3, 10], ≥ 80 % of words contain an alphabetic character, symbol
+      * (#/…) -to-word ratio < 0.1, and ≥ 2 stopword hits. Canonical
+      * thresholds kept verbatim; each rule is emitted as its own flag so
+      * the output shows WHICH gate fired, the way a curation dashboard
+      * wants it. Shape at scale: one narrow codegen'd map over the scan —
+      * no shuffle, no UDF; the word-level fractions fold over the split
+      * array with integer HOF arithmetic (exact, engine-identical), and
+      * the only doubles cross engines through round(…, 6). */
+    QueryDef("q107_gopher_rules", {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val pad = "(' ' || text || ' ')"
+      val stops = Seq(" the ", " a ", " of ")
+        .map(w => s"(${occStr(pad, w)})").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, $toks AS w FROM documents),
+         |f AS (SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  round(length(replace(text, ' ', '')) * 1.0 / len(w), 6) AS mean_word_len,
+         |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+         |  CAST(${occStr("text", "#")} + ${occStr("text", "...")} AS BIGINT)
+         |    AS n_symbols,
+         |  CAST($stops AS BIGINT) AS n_stopwords
+         |  FROM d)
+         |SELECT doc_id, n_tokens, mean_word_len, n_alpha_words, n_symbols, n_stopwords,
+         |  n_tokens BETWEEN 50 AND 100000 AS r_len,
+         |  mean_word_len BETWEEN 3 AND 10 AS r_word_len,
+         |  n_alpha_words * 1.0 >= 0.8 * n_tokens AS r_alpha,
+         |  n_symbols * 1.0 < 0.1 * n_tokens AS r_symbol,
+         |  n_stopwords >= 2 AS r_stop,
+         |  (n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+         |    AND n_alpha_words * 1.0 >= 0.8 * n_tokens
+         |    AND n_symbols * 1.0 < 0.1 * n_tokens
+         |    AND n_stopwords >= 2 AS keep
+         |FROM f""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val pad = concat(lit(" "), col("text"), lit(" "))
+      val w = split(trim(col("text")), "\\s+")
+      val f = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        round(length(replace(col("text"), lit(" "), lit(""))) * lit(1.0) /
+          size(w), 6).as("mean_word_len"),
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha_words"),
+        (occurrences(col("text"), "#") + occurrences(col("text"), "..."))
+          .as("n_symbols"),
+        (Seq(" the ", " a ", " of ").map(occurrences(pad, _)).reduce(_ + _))
+          .as("n_stopwords"))
+      val rLen = col("n_tokens").between(50, 100000)
+      val rWl = col("mean_word_len").between(3, 10)
+      val rAlpha = col("n_alpha_words") * 1.0 >= col("n_tokens") * 0.8
+      val rSym = col("n_symbols") * 1.0 < col("n_tokens") * 0.1
+      val rStop = col("n_stopwords") >= 2
+      f.select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("n_alpha_words"), col("n_symbols"), col("n_stopwords"),
+        rLen.as("r_len"), rWl.as("r_word_len"), rAlpha.as("r_alpha"),
+        rSym.as("r_symbol"), rStop.as("r_stop"),
+        (rLen && rWl && rAlpha && rSym && rStop).as("keep"))
+    },
+
+    /** Zipf rank-frequency fit per language — the corpus-health
+      * diagnostic (natural text slopes ≈ −1; synthetic/boilerplate
+      * corpora flatten or steepen it). Per-language token counts, ranks
+      * 1..100 by count DESC (token ASC tie-break — deterministic), then
+      * the least-squares slope of ln(count) on ln(rank) via the
+      * covar_pop/var_pop identity both engines share. Shape at scale:
+      * the count agg is token-keyed and map-side-combined (shuffle ∝
+      * vocabulary, not corpus); the rank window partitions by lang over
+      * the VOCABULARY-sized table — bounded per-lang sort, never a
+      * corpus-sized one — and the regression consumes ≤ 100 rows/lang.
+      * Slope is rounded to 6: the 100-term co-moment merge order can
+      * differ ~1e-15 across engines (the q73 discipline). */
+    QueryDef("q108_zipf_fit",
+      """WITH tok AS (SELECT d.lang, u.t AS tok, count(*) AS c
+        |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents) d, unnest(d.w) AS u(t)
+        |  GROUP BY 1, 2),
+        |nv AS (SELECT lang, count(*) AS n_vocab FROM tok GROUP BY 1),
+        |rk AS (SELECT lang, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+        |  FROM tok),
+        |fit AS (SELECT lang, count(*) AS n_top,
+        |    round(covar_pop(ln(r), ln(c)) / var_pop(ln(r)), 6) AS zipf_slope
+        |  FROM rk WHERE r <= 100 GROUP BY lang)
+        |SELECT fit.lang, nv.n_vocab, fit.n_top, fit.zipf_slope
+        |FROM fit JOIN nv USING (lang)""".stripMargin.replace("\n", " ")) {
+      (s, dir) =>
+      val tok = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c")))
+      val nv = tok.groupBy("lang").agg(count(lit(1)).as("n_vocab"))
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("c").desc, col("tok"))
+      val fit = tok
+        .withColumn("r", row_number().over(byLang))
+        .filter(col("r") <= 100)
+        .select(col("lang"), log(col("r")).as("lr"), log(col("c")).as("lc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_top"),
+          round(covar_pop(col("lr"), col("lc")) / var_pop(col("lr")), 6)
+            .as("zipf_slope"))
+      fit.join(broadcast(nv), "lang")
+        .select("lang", "n_vocab", "n_top", "zipf_slope")
+    },
+
+    /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+      * language's documents into head/middle/tail thirds by the shared
+      * held-out-LM score ([[lmDocScores]], q88's model). Deliberately
+      * NOT `ntile()` over docs: a window partitioned by lang would pull
+      * a language's ENTIRE corpus through one task at 100 TB. Instead
+      * the tercile boundaries are exact VALUE thresholds computed on the
+      * distinct-score table — per-(lang, avg_nll) counts (shuffle ∝
+      * distinct rounded scores, not docs), a cumulative sum over that
+      * bounded table, bucket = position of the value's FIRST doc
+      * ((cum − c) · 3 vs n — exact integer arithmetic, ties share a
+      * bucket as CCNet's value-thresholds do), then a broadcast join
+      * back. Head = lowest avg_nll = closest to the clean subset. */
+    QueryDef("q110_ccnet_buckets",
+      s"""$lmScoreCtes,
+         |j AS (SELECT lm.doc_id, d2.lang, lm.avg_nll
+         |  FROM lm JOIN documents d2 USING (doc_id)),
+         |nl AS (SELECT lang, count(*) AS n FROM j GROUP BY 1),
+         |dist AS (SELECT lang, avg_nll, count(*) AS c FROM j GROUP BY 1, 2),
+         |cum AS (SELECT lang, avg_nll, c,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY avg_nll) AS cum FROM dist),
+         |vb AS (SELECT cum.lang, cum.avg_nll,
+         |    CASE WHEN (cum.cum - cum.c) * 3 < nl.n THEN 'head'
+         |         WHEN (cum.cum - cum.c) * 3 < 2 * nl.n THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM cum JOIN nl USING (lang))
+         |SELECT j.doc_id, j.lang, j.avg_nll, vb.bucket
+         |FROM j JOIN vb ON j.lang = vb.lang AND j.avg_nll = vb.avg_nll"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val j = graft.CacheScope.persist(lmDocScores(s, dir)
+        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "avg_nll"))
+      val nl = j.groupBy("lang").agg(count(lit(1)).as("n"))
+      val dist = j.groupBy("lang", "avg_nll").agg(count(lit(1)).as("c"))
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("avg_nll")
+      val vb = dist.withColumn("cum", sum("c").over(byLang))
+        .join(broadcast(nl), "lang")
+        .select(col("lang"), col("avg_nll"),
+          when((col("cum") - col("c")) * 3 < col("n"), "head")
+            .when((col("cum") - col("c")) * 3 < col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+      j.join(broadcast(vb), Seq("lang", "avg_nll"))
+        .select("doc_id", "lang", "avg_nll", "bucket")
     }
   )
 }

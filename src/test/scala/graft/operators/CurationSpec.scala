@@ -131,4 +131,33 @@ class CurationSpec extends SparkSuite {
     val (t, o) = got.partition(kv => isTarget(kv._1))
     assert(t.values.sum / t.size > o.values.sum / o.size)
   }
+
+  test("q109 domain cap == in-memory reference (top 10 per source by " +
+      "quality, deterministic ties)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def occ(hay: String, needle: String): Long =
+      ((hay.length - hay.replace(needle, "").length) / needle.length).toLong
+    def quality(text: String): Double = {
+      val n = text.trim.split("\\s+").length.toLong
+      val stop = Seq(" the ", " a ", " of ").map(s => occ(s" $text ", s)).sum
+      r6(math.min(1.0, n / 100.0) * 0.5 + math.min(1.0, stop * 10.0 / n) * 0.5)
+    }
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("source", "doc_id", "text").as[(String, Long, String)]
+      .collect()
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (d._2, quality(d._3)))
+        .sortBy { case (id, q) => (-q, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, q), i) => (src, id, q, (i + 1).toLong) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q109_domain_cap")(spark, dir)
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+    // exactly 10 per source on this corpus (every source has ≥ 10 docs)
+    assert(got.groupBy(_._1).values.forall(_.size == 10))
+  }
 }

@@ -231,4 +231,139 @@ class TextAnalysisSpec extends SparkSuite {
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(got == expected)
   }
+
+  test("q107 gopher rules == in-memory reference; each rule fires on a " +
+      "planted violator") {
+    val dir = "/root/testdata/sf0.01"
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def occ(hay: String, needle: String): Long =
+      ((hay.length - hay.replace(needle, "").length) / needle.length).toLong
+    def ref(text: String): (Long, Double, Long, Long, Long, Boolean) = {
+      val w = text.trim.split("\\s+")
+      val n = w.length.toLong
+      val mwl = r6(text.replace(" ", "").length.toDouble / n)
+      val alpha = w.count(_.exists(c =>  // ASCII letters, like the rlike
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val sym = occ(text, "#") + occ(text, "...")
+      val stop = Seq(" the ", " a ", " of ").map(s => occ(s" $text ", s)).sum
+      val keep = (n >= 50 && n <= 100000) && (mwl >= 3 && mwl <= 10) &&
+        alpha * 1.0 >= 0.8 * n && sym * 1.0 < 0.1 * n && stop >= 2
+      (n, mwl, alpha, sym, stop, keep)
+    }
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) => id -> ref(t) }.toMap
+    val got = graft.SparkEntry.queries("q107_gopher_rules")(spark, dir)
+      .select("doc_id", "n_tokens", "mean_word_len", "n_alpha_words",
+        "n_symbols", "n_stopwords", "keep")
+      .as[(Long, Long, Double, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == expected)
+    // mixed outcome on the corpus: the length and stopword gates both split
+    assert(got.values.exists(_._6) && got.values.exists(!_._6))
+
+    // one planted violator per rule (the others hold): short doc; long
+    // nonsense words; digit tokens; symbol spam; no stopwords
+    val base = (0 until 60).map(i => s"the word$i").mkString(" ") // 120 toks
+    val short = "the a of tiny"
+    val longw = (0 until 60).map(_ => "the " +
+      "x" * 25).mkString(" ")                      // mwl = 14 > 10
+    val digits = ((0 until 50).map(_ => "12345") ++
+      (0 until 10).map(i => s"the w$i")).mkString(" ")          // alpha < 0.8
+    val symbols = (0 until 60).map(i => s"the #w$i#").mkString(" ") // sym ≥ 0.1n
+    val nostop = (0 until 60).map(i => s"word$i only$i").mkString(" ")
+    val planted = Seq((1L, base), (2L, short), (3L, longw), (4L, digits),
+      (5L, symbols), (6L, nostop)).toDF("doc_id", "text")
+    val pd = tmpDir("gopher")
+    planted.write.mode("overwrite").parquet(pd + "/documents.parquet")
+    val flags = graft.SparkEntry.queries("q107_gopher_rules")(spark, pd)
+      .select("doc_id", "r_len", "r_word_len", "r_alpha", "r_symbol",
+        "r_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(flags(1L)._7)                      // clean doc keeps
+    assert(!flags(2L)._2 && !flags(2L)._7)    // too short
+    assert(!flags(3L)._3 && !flags(3L)._7)    // mean word length
+    assert(!flags(4L)._4 && !flags(4L)._7)    // alphabetic fraction
+    assert(!flags(5L)._5 && !flags(5L)._7)    // symbol ratio
+    assert(!flags(6L)._6 && !flags(6L)._7)    // stopword floor
+  }
+
+  test("q108 zipf fit == in-memory reference; a power-law corpus " +
+      "recovers its planted exponent") {
+    val dir = "/root/testdata/sf0.01"
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def slopeOf(counts: Seq[Long]): Double = {
+      val pts = counts.sorted(Ordering[Long].reverse) // count desc
+      // tie order within equal counts does not affect ln(c) values, and
+      // rank is positional — the reference sorts (count desc) only
+      val top = pts.take(100).zipWithIndex
+        .map { case (c, i) => (math.log(i + 1.0), math.log(c.toDouble)) }
+      val n = top.size
+      val mx = top.map(_._1).sum / n
+      val my = top.map(_._2).sum / n
+      val cov = top.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+      val vx = top.map { case (x, _) => (x - mx) * (x - mx) }.sum / n
+      r6(cov / vx)
+    }
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("lang", "text").as[(String, String)].collect()
+    val byLang = docs.groupBy(_._1).map { case (l, ds) =>
+      val counts = ds.flatMap(_._2.trim.split("\\s+"))
+        .groupBy(identity).map(_._2.size.toLong).toSeq
+      l -> ((counts.size.toLong, math.min(counts.size, 100).toLong,
+        slopeOf(counts)))
+    }
+    val got = graft.SparkEntry.queries("q108_zipf_fit")(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == byLang)
+
+    // synthetic corpus with freq(token r) = ceil(1000 / r): slope ≈ −1
+    val planted = (1 to 200).flatMap { r =>
+      val c = math.ceil(1000.0 / r).toInt
+      Seq.fill(c)(s"tok$r")
+    }
+    val pd = tmpDir("zipf")
+    Seq((1L, "xx", planted.mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(pd + "/documents.parquet")
+    val s = graft.SparkEntry.queries("q108_zipf_fit")(spark, pd)
+      .filter(col("lang") === "xx").select("zipf_slope")
+      .as[Double].head()
+    assert(s < -0.9 && s > -1.1, s"planted exponent not recovered: $s")
+  }
+
+  test("q110 ccnet buckets apply the value-threshold rule to the " +
+      "gate-verified q88 scores, exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val scores = graft.SparkEntry.queries("q88_lm_perplexity")(spark, dir)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val langs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val byLang = scores.toSeq.groupBy { case (id, _) => langs(id) }
+    val expected = byLang.flatMap { case (lang, ds) =>
+      val n = ds.size.toLong
+      // cumulative count over distinct values ascending; bucket by the
+      // rank of the value's first doc — the view's exact rule
+      val dist = ds.groupBy(_._2).map { case (v, xs) => v -> xs.size.toLong }
+        .toSeq.sortBy(_._1)
+      val cums = dist.scanLeft(0L)(_ + _._2).init
+      val vb = dist.zip(cums).map { case ((v, _), below) =>
+        v -> (if (below * 3 < n) "head"
+              else if (below * 3 < 2 * n) "middle" else "tail")
+      }.toMap
+      ds.map { case (id, v) => id -> ((lang, v, vb(v))) }
+    }
+    val got = graft.SparkEntry.queries("q110_ccnet_buckets")(spark, dir)
+      .as[(Long, String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // every language has all three buckets on this corpus
+    val perLang = got.values.groupBy(_._1)
+      .map { case (l, vs) => l -> vs.map(_._3).toSet }
+    assert(perLang.values.forall(_ == Set("head", "middle", "tail")))
+  }
 }
