@@ -236,8 +236,42 @@ object Similarity {
       * rows per query). Routing arithmetic replicates the codegen'd
       * DotProduct fold (left-to-right double accumulation, floats
       * widened), so routed cells — and therefore results — are identical
-      * to the inline form's. nprobe=1; ties route to the smaller label. */
-    QueryDef.noOracle("q42_ivf_topk") { (s, dir) =>
+      * to the inline form's. nprobe=1; ties route to the smaller label.
+      *
+      * Oracle-checked since r6 (no-oracle through r5): the cells are the
+      * GIVEN label column and the centroids are per-label means, so the
+      * whole search is deterministic — per-label avg centroids, cosine
+      * routing (score DESC, label ASC — the driver fold's strict `>`
+      * keeps the first maximum), in-cell cosine top-k like q40. */
+    QueryDef("q42_ivf_topk", {
+      def d(a: String, b: String): String =
+        s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
+      def cos(a: String, b: String): String =
+        s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, unnest(v) AS val,
+         |  generate_subscripts(v, 1) AS pos FROM e),
+         |cents AS (SELECT label,
+         |    list_transform(range(64), p -> avgs[CAST(p+1 AS INT)]) AS c FROM (
+         |  SELECT label, array_agg(m ORDER BY pos) AS avgs FROM (
+         |    SELECT label, pos, avg(val) AS m FROM ex GROUP BY 1, 2)
+         |  GROUP BY label)),
+         |pr AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQ),
+         |route AS (SELECT query_id, label FROM (
+         |  SELECT pr.query_id, cents.label,
+         |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+         |      ${cos("pr.qv", "cents.c")} DESC, cents.label ASC) AS rk
+         |  FROM pr, cents) WHERE rk = 1),
+         |sc AS (SELECT r.query_id, e.vec_id AS neighbor_id,
+         |    ROUND(${cos("pr.qv", "e.v")}, 6) AS score
+         |  FROM route r JOIN pr ON pr.query_id = r.query_id
+         |  JOIN e ON e.label = r.label AND e.vec_id <> r.query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= $K""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
       val idx = ivfIndexPath(s, dir)
       // centroids sorted by label so ties resolve to the smaller label
       val cents = s.read.parquet(s"$idx/centroids")
