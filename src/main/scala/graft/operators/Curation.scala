@@ -510,6 +510,94 @@ object Curation {
           col("col.score").as("quality"),
           (col("pos") + 1).cast("long").as("rk"))
         .select("source", "doc_id", "quality", "rk")
+    },
+
+    /** DoReMi-style mixture reweighting (Xie et al. 2023,
+      * arXiv:2305.10429 — Group-DRO over domain weights): starting
+      * uniform, run 5 rounds of the multiplicative-weights update
+      * w ← w·exp(η·(L(s) − Σ w·L)) / Z with η = 0.1, where L(s) is the
+      * per-source mean held-out-LM score ([[TextAnalysis.lmDocScores]],
+      * q88's model standing in for the paper's proxy-model loss).
+      * Sources whose text the clean-subset LM finds hard gain weight —
+      * the excess-loss-seeking behavior of the paper — while the
+      * mixture-average anchor keeps the update from collapsing onto the
+      * single worst domain. Output: per-source doc count, loss, and the
+      * round-5 weight.
+      *
+      * Shape at scale: one corpus-wide pass (the LM score) feeding a
+      * SOURCE-keyed aggregate; the 5 rounds then run on the DRIVER over
+      * the collected per-source table — bounded model metadata (DoReMi's
+      * domain set is ~22 groups; the KMeans-centroid/BPE-argmax collect
+      * precedent), NOT corpus data. A first cut iterated as chained
+      * DataFrame rounds instead: each round references its predecessor
+      * twice (mixture average + directly), and even with per-round
+      * persists the growing lineage cost ~55 s/run in plan bookkeeping
+      * for what is 20 rows of arithmetic — the wrong side of the
+      * driver/cluster split. Cross-engine FP: every per-round quantity
+      * is rounded to 6 and carried exactly (BigDecimal here,
+      * DECIMAL(18,6) in the oracle) — per-source loss, the exact Σ w·L
+      * mixture average, the exp term and the renormalized weight — so
+      * both engines iterate on IDENTICAL values and the only
+      * cross-engine ops are double exp/divide on equal inputs. */
+    QueryDef("q111_doremi_weights", {
+      // every CTE is MATERIALIZED: each round references its
+      // predecessor more than once, and inlining would re-evaluate the
+      // whole LM chain exponentially (the Bpe.bpeCtes lesson)
+      val rounds = (1 to 5).map { t =>
+        val p = s"w${t - 1}"
+        s"""a$t AS MATERIALIZED (SELECT CAST(sum(w * loss) AS DOUBLE) AS m FROM $p),
+           |e$t AS MATERIALIZED (SELECT source, n_docs, loss,
+           |    CAST(round(CAST(w AS DOUBLE) *
+           |      exp(0.1 * (CAST(loss AS DOUBLE) - a$t.m)), 6)
+           |      AS DECIMAL(18,6)) AS ew
+           |  FROM $p, a$t),
+           |z$t AS MATERIALIZED (SELECT sum(ew) AS z FROM e$t),
+           |w$t AS MATERIALIZED (SELECT source, n_docs, loss,
+           |    CAST(round(CAST(ew AS DOUBLE) / CAST(z$t.z AS DOUBLE), 6)
+           |      AS DECIMAL(18,6)) AS w
+           |  FROM e$t, z$t)""".stripMargin
+      }.mkString(",\n")
+      s"""${TextAnalysis.lmScoreCtes},
+         |dl AS MATERIALIZED (SELECT d.source, count(*) AS n_docs,
+         |    CAST(round(CAST(sum(CAST(lm.avg_nll AS DECIMAL(18,6)))
+         |      AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS loss
+         |  FROM lm JOIN documents d USING (doc_id) GROUP BY 1),
+         |ns AS MATERIALIZED (SELECT count(*) AS n FROM dl),
+         |w0 AS MATERIALIZED (SELECT source, n_docs, loss,
+         |    CAST(round(1.0 / ns.n, 6) AS DECIMAL(18,6)) AS w
+         |  FROM dl, ns),
+         |$rounds
+         |SELECT source, n_docs, CAST(loss AS DOUBLE) AS loss,
+         |  CAST(w AS DOUBLE) AS weight FROM w5"""
+        .stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def r6(x: Double): JBD =
+        new JBD(x).setScale(6, RoundingMode.HALF_UP)
+      // the only distributed work: corpus-wide LM scores → per-source
+      // (n_docs, loss); one bounded collect (one row per source)
+      val rows = TextAnalysis.lmDocScores(s, dir)
+        .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("avg_nll").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).cast("decimal(18,6)").as("loss"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      val n = rows.length
+      var w: IndexedSeq[JBD] = IndexedSeq.fill(n)(r6(1.0 / n))
+      for (_ <- 1 to 5) {
+        val m = rows.indices.map(i => w(i).multiply(rows(i)._3))
+          .reduce(_.add(_)).doubleValue // exact decimal Σ w·L, one cast
+        val ew = rows.indices.map(i => r6(w(i).doubleValue *
+          math.exp(0.1 * (rows(i)._3.doubleValue - m))))
+        val z = ew.reduce(_.add(_)).doubleValue
+        w = ew.map(e => r6(e.doubleValue / z))
+      }
+      import s.implicits._
+      rows.indices.map(i => (rows(i)._1, rows(i)._2,
+          rows(i)._3.doubleValue, w(i).doubleValue))
+        .toDF("source", "n_docs", "loss", "weight")
     }
   )
 

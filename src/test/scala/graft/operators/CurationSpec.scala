@@ -160,4 +160,34 @@ class CurationSpec extends SparkSuite {
     // exactly 10 per source on this corpus (every source has ≥ 10 docs)
     assert(got.groupBy(_._1).values.forall(_.size == 10))
   }
+
+  test("q111 DoReMi weights == in-memory reference from per-source " +
+      "losses; excess-loss sources gain weight, sum stays 1") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r6(x: Double): JBD = new JBD(x).setScale(6, RoundingMode.HALF_UP)
+    val got = graft.SparkEntry.queries("q111_doremi_weights")(spark, dir)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    // independent replica of the update rule from the REPORTED losses
+    val loss = got.map(r => r._3)
+    val n = got.length
+    var w: IndexedSeq[JBD] = IndexedSeq.fill(n)(r6(1.0 / n))
+    for (_ <- 1 to 5) {
+      val m = got.indices.map(i => w(i).multiply(r6(loss(i))))
+        .reduce(_.add(_)).doubleValue
+      val ew = got.indices.map(i =>
+        r6(w(i).doubleValue * math.exp(0.1 * (loss(i) - m))))
+      val z = ew.reduce(_.add(_)).doubleValue
+      w = ew.map(e => r6(e.doubleValue / z))
+    }
+    assert(got.indices.forall(i => got(i)._4 == w(i).doubleValue))
+    // weights renormalize each round (rounding leaves ≤ n·5e-7 slack)
+    assert(math.abs(got.map(_._4).sum - 1.0) < n * 5e-7)
+    // monotone in loss: the hardest source outweighs the easiest
+    val byLoss = got.sortBy(_._3)
+    assert(byLoss.last._4 > byLoss.head._4)
+    // and weights actually moved off uniform
+    assert(got.exists(r => math.abs(r._4 - 1.0 / n) > 1e-4))
+  }
 }
