@@ -109,6 +109,34 @@ object TextAnalysis {
        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
        |  FROM sc GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  /** q107's Gopher rule columns over a frame with a `text` column —
+    * shared by the batch query and the stateless streaming view. `id`
+    * is the leading identifier column to carry through. */
+  def gopherRules(docs: DataFrame, id: Column): DataFrame = {
+    val pad = concat(lit(" "), col("text"), lit(" "))
+    val w = split(trim(col("text")), "\\s+")
+    val f = docs.select(
+      id,
+      size(w).cast("long").as("n_tokens"),
+      round(length(replace(col("text"), lit(" "), lit(""))) * lit(1.0) /
+        size(w), 6).as("mean_word_len"),
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      (occurrences(col("text"), "#") + occurrences(col("text"), "..."))
+        .as("n_symbols"),
+      (Seq(" the ", " a ", " of ").map(occurrences(pad, _)).reduce(_ + _))
+        .as("n_stopwords"))
+    val rLen = col("n_tokens").between(50, 100000)
+    val rWl = col("mean_word_len").between(3, 10)
+    val rAlpha = col("n_alpha_words") * 1.0 >= col("n_tokens") * 0.8
+    val rSym = col("n_symbols") * 1.0 < col("n_tokens") * 0.1
+    val rStop = col("n_stopwords") >= 2
+    f.select(f.columns.map(col) :+
+      rLen.as("r_len") :+ rWl.as("r_word_len") :+ rAlpha.as("r_alpha") :+
+      rSym.as("r_symbol") :+ rStop.as("r_stop") :+
+      (rLen && rWl && rAlpha && rSym && rStop).as("keep"): _*)
+  }
+
   /** Marker-word score: occurrences of each marker in the space-padded
     * text. Marker sets are tiny embedded language profiles (the n-gram
     * heuristic's degenerate-but-deterministic form). */
@@ -1132,29 +1160,8 @@ object TextAnalysis {
          |    AND n_stopwords >= 2 AS keep
          |FROM f""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
-      val pad = concat(lit(" "), col("text"), lit(" "))
-      val w = split(trim(col("text")), "\\s+")
-      val f = t(s, dir, "documents").select(
-        col("doc_id"),
-        size(w).cast("long").as("n_tokens"),
-        round(length(replace(col("text"), lit(" "), lit(""))) * lit(1.0) /
-          size(w), 6).as("mean_word_len"),
-        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
-          .as("n_alpha_words"),
-        (occurrences(col("text"), "#") + occurrences(col("text"), "..."))
-          .as("n_symbols"),
-        (Seq(" the ", " a ", " of ").map(occurrences(pad, _)).reduce(_ + _))
-          .as("n_stopwords"))
-      val rLen = col("n_tokens").between(50, 100000)
-      val rWl = col("mean_word_len").between(3, 10)
-      val rAlpha = col("n_alpha_words") * 1.0 >= col("n_tokens") * 0.8
-      val rSym = col("n_symbols") * 1.0 < col("n_tokens") * 0.1
-      val rStop = col("n_stopwords") >= 2
-      f.select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
-        col("n_alpha_words"), col("n_symbols"), col("n_stopwords"),
-        rLen.as("r_len"), rWl.as("r_word_len"), rAlpha.as("r_alpha"),
-        rSym.as("r_symbol"), rStop.as("r_stop"),
-        (rLen && rWl && rAlpha && rSym && rStop).as("keep"))
+      gopherRules(t(s, dir, "documents").select(col("doc_id"),
+        col("text")), col("doc_id"))
     },
 
     /** Zipf rank-frequency fit per language — the corpus-health

@@ -371,4 +371,38 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q107: gopher rules are one exchange-free narrow map fused at the scan") {
+    val p = plan("q107_gopher_rules")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q109: per-source cap is a bounded partial aggregation, not a " +
+      "per-domain window sort") {
+    val p = plan("q109_domain_cap")
+    assert(p.contains("TopKAggregator") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window ["), p)
+    // only doc_id/text/source leave the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
+  test("q110: bucket thresholds come from the distinct-score table — the " +
+      "doc-level path has no per-language window") {
+    val p = plan("q110_ccnet_buckets")
+    // exactly one Window (over distinct (lang, avg_nll) rows), and the
+    // value→bucket table broadcasts back onto the doc frame
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q108: rank window runs over the vocabulary aggregate, below a " +
+      "map-side-combined token count") {
+    val p = plan("q108_zipf_fit")
+    assert(p.contains("HashAggregate"), p)
+    // the window input is the (lang, tok, c) aggregate, never raw tokens:
+    // the token explode feeds a partial aggregation first
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
 }
