@@ -137,6 +137,53 @@ object TextAnalysis {
       (rLen && rWl && rAlpha && rSym && rStop).as("keep"): _*)
   }
 
+  /** q85's hashed-feature Naive-Bayes scorer, shared with the q112 AUC
+    * evaluation: label by the heuristic quality gate (≥ 0.5), hash each
+    * doc's distinct word unigrams into 1024 buckets, learn smoothed
+    * log-odds per bucket, score = exact DECIMAL sum of bucket weights
+    * (cast to double once — cross-engine identical). Returns
+    * (doc_id, score, hi). */
+  private[operators] def classifierScores(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lbl = docs.select(col("doc_id"),
+      when(qualityScore(col("text")) >= 0.5, 1).otherwise(0).as("hi"))
+    val db = graft.CacheScope.persist(docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(1024L)).as("b"))
+      .distinct())
+    val wt = db.join(lbl, "doc_id")
+      .groupBy("b")
+      .agg(round(log((sum("hi") + 1.0) /
+          (count(lit(1)) - sum("hi") + 1.0)), 6)
+        .cast("decimal(18,6)").as("w"))
+    db.join(broadcast(wt), "b")
+      .groupBy("doc_id")
+      .agg(sum("w").cast("double").as("score"))
+      .join(lbl, "doc_id")
+  }
+
+  /** Oracle CTE chain for [[classifierScores]], ending in
+    * `scored(doc_id, score)` with `lbl(doc_id, hi)` also in scope. */
+  private[operators] def classifierCtes: String = {
+    val hb = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024"
+    s"""WITH lbl AS (SELECT doc_id,
+       |    CASE WHEN $qualityScoreSql >= 0.5 THEN 1 ELSE 0 END AS hi
+       |  FROM documents),
+       |db AS (SELECT DISTINCT doc_id, $hb AS b
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents)),
+       |wt AS (SELECT b, CAST(round(ln((sum(hi) + 1.0) / (count(*) - sum(hi) + 1.0)), 6)
+       |                     AS DECIMAL(18,6)) AS w
+       |  FROM db JOIN lbl USING (doc_id) GROUP BY b),
+       |scored AS (SELECT db.doc_id, CAST(sum(wt.w) AS DOUBLE) AS score
+       |  FROM db JOIN wt USING (b) GROUP BY db.doc_id)"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Marker-word score: occurrences of each marker in the space-padded
     * text. Marker sets are tiny embedded language profiles (the n-gram
     * heuristic's degenerate-but-deterministic form). */
@@ -864,39 +911,9 @@ object TextAnalysis {
       * 6 and summed as DECIMAL(18,6) — exact, order-independent — so
       * engine summation order can't flip the gate hash (the q08/q84
       * lesson). */
-    QueryDef("q85_quality_classifier", {
-      val hb = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024"
-      s"""WITH lbl AS (SELECT doc_id,
-         |    CASE WHEN ${TextAnalysis.qualityScoreSql} >= 0.5 THEN 1 ELSE 0 END AS hi
-         |  FROM documents),
-         |db AS (SELECT DISTINCT doc_id, $hb AS b
-         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-         |        FROM documents)),
-         |wt AS (SELECT b, CAST(round(ln((sum(hi) + 1.0) / (count(*) - sum(hi) + 1.0)), 6)
-         |                     AS DECIMAL(18,6)) AS w
-         |  FROM db JOIN lbl USING (doc_id) GROUP BY b)
-         |SELECT db.doc_id, CAST(sum(wt.w) AS DOUBLE) AS score
-         |FROM db JOIN wt USING (b) GROUP BY db.doc_id
-         |""".stripMargin.replace("\n", " ")
-    }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val lbl = docs.select(col("doc_id"),
-        when(qualityScore(col("text")) >= 0.5, 1).otherwise(0).as("hi"))
-      val db = graft.CacheScope.persist(docs
-        .select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .select(col("doc_id"),
-          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
-            lit(1024L)).as("b"))
-        .distinct())
-      val wt = db.join(lbl, "doc_id")
-        .groupBy("b")
-        .agg(round(log((sum("hi") + 1.0) /
-            (count(lit(1)) - sum("hi") + 1.0)), 6)
-          .cast("decimal(18,6)").as("w"))
-      db.join(broadcast(wt), "b")
-        .groupBy("doc_id")
-        .agg(sum("w").cast("double").as("score"))
+    QueryDef("q85_quality_classifier",
+      s"$classifierCtes SELECT doc_id, score FROM scored") { (s, dir) =>
+      classifierScores(s, dir).select("doc_id", "score")
     },
 
     /** Weighted sampling WITHOUT replacement, the A-Res reservoir rule
@@ -1253,6 +1270,55 @@ object TextAnalysis {
             .otherwise("tail").as("bucket"))
       j.join(broadcast(vb), Seq("lang", "avg_nll"))
         .select("doc_id", "lang", "avg_nll", "bucket")
+    },
+
+    /** Exact AUC (and Gini) of the q85 hashed-feature classifier against
+      * its quality labels — the model-evaluation rollup a curation
+      * pipeline runs after every (re)train, computed EXACTLY at corpus
+      * scale without a global sort: the Mann-Whitney mid-rank identity
+      * on the DISTINCT-score table (the q110 move applied to ranking).
+      * Per-score (cnt, pos) aggregates shuffle ∝ distinct scores, a
+      * cumulative window runs over that bounded aggregate (never docs),
+      * and Σ_pos midrank stays in integer arithmetic throughout —
+      * 2·midrank = 2·below + cnt + 1 — so the single double division at
+      * the end is the only FP op. Ties (docs sharing a score) get the
+      * mid-rank treatment, the textbook tie-corrected AUC. */
+    QueryDef("q112_classifier_auc",
+      s"""$classifierCtes,
+         |j AS (SELECT s.doc_id, s.score, lbl.hi FROM scored s
+         |  JOIN lbl USING (doc_id)),
+         |dist AS (SELECT score, count(*) AS cnt,
+         |    CAST(sum(hi) AS BIGINT) AS pos FROM j GROUP BY 1),
+         |cum AS (SELECT score, cnt, pos,
+         |    CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS cum FROM dist),
+         |tot AS (SELECT CAST(sum(hi) AS BIGINT) AS p,
+         |    CAST(count(*) - sum(hi) AS BIGINT) AS nn FROM j),
+         |s2 AS (SELECT CAST(sum(pos * (2 * (cum - cnt) + cnt + 1))
+         |    AS BIGINT) AS s2 FROM cum)
+         |SELECT tot.p AS n_pos, tot.nn AS n_neg,
+         |  round((s2.s2 - tot.p * (tot.p + 1)) / (2.0 * tot.p * tot.nn), 6)
+         |    AS auc,
+         |  round((s2.s2 - tot.p * (tot.p + 1)) / (1.0 * tot.p * tot.nn)
+         |    - 1.0, 6) AS gini
+         |FROM tot, s2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val j = graft.CacheScope.persist(
+        classifierScores(s, dir).select("score", "hi"))
+      val dist = j.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum("hi").cast("long").as("pos"))
+      // cumulative over the DISTINCT-score aggregate: a bounded global
+      // window (the q70/q71 day-table class), never a doc-level sort
+      val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      val s2 = dist.withColumn("cum", sum("cnt").over(w))
+        .agg(sum(col("pos") * (lit(2) * (col("cum") - col("cnt")) +
+          col("cnt") + 1)).cast("long").as("s2"))
+      val tot = j.agg(sum("hi").cast("long").as("p"),
+        (count(lit(1)) - sum("hi")).cast("long").as("nn"))
+      tot.crossJoin(broadcast(s2))
+        .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+          round((col("s2") - col("p") * (col("p") + 1)) /
+            (lit(2.0) * col("p") * col("nn")), 6).as("auc"),
+          round((col("s2") - col("p") * (col("p") + 1)) /
+            (lit(1.0) * col("p") * col("nn")) - 1.0, 6).as("gini"))
     }
   )
 }

@@ -366,4 +366,32 @@ class TextAnalysisSpec extends SparkSuite {
       .map { case (l, vs) => l -> vs.map(_._3).toSet }
     assert(perLang.values.forall(_ == Set("head", "middle", "tail")))
   }
+
+  test("q112 AUC == brute-force pair counting over the q85 scores") {
+    val dir = "/root/testdata/sf0.01"
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scores = graft.SparkEntry
+      .queries("q85_quality_classifier")(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    val hi = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("hi"))
+      .as[(Long, Boolean)].collect().toMap
+    val pos = scores.filter { case (id, _) => hi(id) }.values.toSeq
+    val neg = scores.filterNot { case (id, _) => hi(id) }.values.toSeq
+    // AUC = P(pos > neg) + P(pos == neg)/2, counted over ALL pairs —
+    // the definition the mid-rank identity is supposed to equal
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = r6(wins / (pos.size.toDouble * neg.size))
+    val got = graft.SparkEntry.queries("q112_classifier_auc")(spark, dir)
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._1 == pos.size && got._2 == neg.size)
+    assert(got._3 == expected, s"AUC ${got._3} != brute-force $expected")
+    assert(got._4 == r6(2 * got._3 - 1) ||
+      math.abs(got._4 - (2 * got._3 - 1)) < 2e-6) // gini = 2·auc − 1
+    // the classifier actually separates its labels on this corpus
+    assert(got._3 > 0.7)
+  }
 }
