@@ -60,8 +60,13 @@ object TextAnalysis {
     * the apply pass is two gram-keyed left joins plus a 1-row broadcast
     * for |V|; each −ln P is rounded to 6 and summed as DECIMAL(18,6) so
     * the mean is order-independent across engines. */
-  private[operators] def lmDocScores(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").select(col("doc_id"),
+  private[operators] def lmDocScores(s: SparkSession, dir: String): DataFrame =
+    lmScoresOf(t(s, dir, "documents").select("doc_id", "text"))
+
+  /** [[lmDocScores]] over an arbitrary (doc_id, text) frame — shared
+    * with the streaming spec's batch recompute. */
+  def lmScoresOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
       (qualityScore(col("text")) >= 0.5).as("hi"),
       split(trim(col("text")), "\\s+").as("w"))
     // bigram (w1, w2) rows: posexplode the first n-1 tokens, fetch the
