@@ -142,6 +142,26 @@ object TextAnalysis {
       (rLen && rWl && rAlpha && rSym && rStop).as("keep"): _*)
   }
 
+  /** q108's Zipf fit over a (lang, tok, c) vocabulary-count frame —
+    * shared with the streaming form's per-language recompute. Ranks
+    * 1..100 by (c DESC, tok ASC), least-squares slope of ln(c) on
+    * ln(rank) via the covar_pop/var_pop identity, rounded to 6. */
+  def zipfOf(tok: DataFrame): DataFrame = {
+    val nv = tok.groupBy("lang").agg(count(lit(1)).as("n_vocab"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("tok"))
+    val fit = tok
+      .withColumn("r", row_number().over(byLang))
+      .filter(col("r") <= 100)
+      .select(col("lang"), log(col("r")).as("lr"), log(col("c")).as("lc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_top"),
+        round(covar_pop(col("lr"), col("lc")) / var_pop(col("lr")), 6)
+          .as("zipf_slope"))
+    fit.join(broadcast(nv), "lang")
+      .select("lang", "n_vocab", "n_top", "zipf_slope")
+  }
+
   /** q85's hashed-feature Naive-Bayes scorer, shared with the q112 AUC
     * evaluation: label by the heuristic quality gate (≥ 0.5), hash each
     * doc's distinct word unigrams into 1024 buckets, learn smoothed
@@ -1213,23 +1233,10 @@ object TextAnalysis {
         |SELECT fit.lang, nv.n_vocab, fit.n_top, fit.zipf_slope
         |FROM fit JOIN nv USING (lang)""".stripMargin.replace("\n", " ")) {
       (s, dir) =>
-      val tok = graft.CacheScope.persist(t(s, dir, "documents")
+      zipfOf(graft.CacheScope.persist(t(s, dir, "documents")
         .select(col("lang"),
           explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .groupBy("lang", "tok").agg(count(lit(1)).as("c")))
-      val nv = tok.groupBy("lang").agg(count(lit(1)).as("n_vocab"))
-      val byLang = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("c").desc, col("tok"))
-      val fit = tok
-        .withColumn("r", row_number().over(byLang))
-        .filter(col("r") <= 100)
-        .select(col("lang"), log(col("r")).as("lr"), log(col("c")).as("lc"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_top"),
-          round(covar_pop(col("lr"), col("lc")) / var_pop(col("lr")), 6)
-            .as("zipf_slope"))
-      fit.join(broadcast(nv), "lang")
-        .select("lang", "n_vocab", "n_top", "zipf_slope")
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))))
     },
 
     /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
