@@ -275,6 +275,51 @@ object Multimodal {
           col("frame_idx").cast("long").as("frame_idx"),
           col("hexp").substr(col("frame_idx") * 512 + 1, lit(32))
             .as("frame_hex"))
+    },
+
+    /** Media quality gates over the DECODED header metadata — the
+      * image/audio analog of q107's Gopher rules, the LAION/DataComp
+      * filtering recipe: minimum image dimensions (≥ 64 px each side),
+      * bounded aspect ratio (≤ 2.5 — compared by integer
+      * cross-multiplication, 2·max ≤ 5·min, so no FP enters the gate),
+      * minimum audio sample rate (≥ 16 kHz), minimum payload size
+      * (truncation guard). Rules a format doesn't carry pass vacuously,
+      * like q107's symbol rule on clean text. The engine evaluates the
+      * rules on [[decodeHeader]]'s BYTE-parsed fields; the oracle
+      * recomputes the expected metadata from the generator formulas
+      * (the q50 contract — a parse that doesn't invert the bytes fails
+      * here too). One narrow mapPartitions + codegen'd comparisons;
+      * payloads never leave executors. */
+    QueryDef("q113_media_gates",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+        |  (doc_id % 64) * 16 + 16 AS w, (doc_id % 48) * 16 + 16 AS h,
+        |  (doc_id % 8) * 4000 + 8000 AS sr,
+        |  octet_length(text::BLOB) +
+        |    (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 44 END) AS nb
+        |  FROM documents)
+        |SELECT media_id, fmt,
+        |  (fmt = 'wav') OR (w >= 64 AND h >= 64) AS r_min_dim,
+        |  (fmt = 'wav') OR (2 * greatest(w, h) <= 5 * least(w, h)) AS r_aspect,
+        |  (fmt <> 'wav') OR (sr >= 16000) AS r_sample_rate,
+        |  nb >= 256 AS r_min_bytes,
+        |  ((fmt = 'wav') OR (w >= 64 AND h >= 64))
+        |    AND ((fmt = 'wav') OR (2 * greatest(w, h) <= 5 * least(w, h)))
+        |    AND ((fmt <> 'wav') OR (sr >= 16000))
+        |    AND nb >= 256 AS keep
+        |FROM m""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val m = decodeMeta(mediaFrame(s, dir))
+      val img = col("format").isin("png", "jpeg")
+      val rDim = !img || (col("width") >= 64 && col("height") >= 64)
+      val rAspect = !img ||
+        (greatest(col("width"), col("height")) * 2 <=
+          least(col("width"), col("height")) * 5)
+      val rSr = col("format") =!= "wav" || col("sample_rate") >= 16000
+      val rSize = col("n_bytes") >= 256
+      m.select(col("media_id"), col("format").as("fmt"),
+        rDim.as("r_min_dim"), rAspect.as("r_aspect"),
+        rSr.as("r_sample_rate"), rSize.as("r_min_bytes"),
+        (rDim && rAspect && rSr && rSize).as("keep"))
     }
   )
 }
