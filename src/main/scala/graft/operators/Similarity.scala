@@ -308,6 +308,79 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(cosine(col("qv"), col("embedding")), 6).as("score"))
       topkWithin(scored)
+    },
+
+    /** Top principal direction of the embedding corpus by distributed
+      * power iteration (von Mises): v ← normalize(XᵀXv), 5 rounds from
+      * the uniform unit start — the PCA-direction diagnostic an
+      * embedding pipeline reads before whitening or indexing decisions.
+      * Shape at 100 TB: each round is ONE corpus pass — a per-row dot
+      * against the broadcast iterate, then a 64-key partial-aggregated
+      * per-dimension sum — and the iterate itself is 64 doubles of
+      * driver metadata (the Lloyd-loop pattern; no vector ever leaves
+      * the executors, no corpus re-read between dims). Cross-engine FP
+      * discipline (the q111 ledger applied to linear algebra): per-row
+      * contributions round to 12 decimals and sum as DECIMAL(38,12)
+      * (order-independent), per-dim sums re-round to 6, the norm is the
+      * exact decimal Σ of the 6-rounded components' squares, and each
+      * new iterate rounds to 6 — so both engines iterate on IDENTICAL
+      * values and the only shared double ops are sqrt/divide on equal
+      * inputs. Output: (pos, loading, eigenvalue), eigenvalue = ‖u₅‖. */
+    QueryDef("q114_top_component", {
+      def d(a: String, b: String): String =
+        s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
+      val v0 = "list_transform(range(64), i -> 0.125)"
+      val rounds = (1 to 5).map { t =>
+        s"""c$t AS MATERIALIZED (SELECT generate_subscripts(dd.v, 1) AS pos,
+           |    CAST(round(dd.d * unnest(dd.v), 12) AS DECIMAL(38,12)) AS contrib
+           |  FROM (SELECT e.v, ${d("e.v", s"v${t - 1}.vec")} AS d
+           |        FROM e, v${t - 1}) dd),
+           |u$t AS MATERIALIZED (SELECT pos,
+           |    CAST(round(CAST(sum(contrib) AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
+           |  FROM c$t GROUP BY pos),
+           |n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS n
+           |  FROM u$t),
+           |v$t AS MATERIALIZED (SELECT list(round(CAST(u.u AS DOUBLE) / n.n, 6)
+           |    ORDER BY u.pos) AS vec FROM u$t u, n$t n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |v0 AS MATERIALIZED (SELECT $v0 AS vec),
+         |$rounds
+         |SELECT u.pos AS pos, round(CAST(u.u AS DOUBLE) / n.n, 6) AS loading,
+         |  round(n.n, 6) AS eigenvalue
+         |FROM u5 u, n5 n""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def r(x: Double, sc: Int): JBD =
+        new JBD(x).setScale(sc, RoundingMode.HALF_UP)
+      val e = graft.CacheScope.persist(t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")))
+      var vec: IndexedSeq[JBD] = IndexedSeq.fill(64)(r(0.125, 6))
+      var norm = 0.0
+      for (_ <- 1 to 5) {
+        val vLit = typedlit(vec.map(_.doubleValue))
+        val u = e
+          .select(col("v"), dot(col("v"), vLit).as("d"))
+          .select(posexplode(col("v")).as(Seq("pos", "x")), col("d"))
+          .select(col("pos"),
+            round(col("d") * col("x"), 12).cast("decimal(38,12)")
+              .as("contrib"))
+          .groupBy("pos")
+          .agg(round(sum("contrib").cast("double"), 6)
+            .cast("decimal(18,6)").as("u"))
+          .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
+        val ru = (0 until 64).map(p => u.getOrElse(p, JBD.ZERO))
+        val norm2 = ru.map(x => x.multiply(x)).reduce(_.add(_))
+        norm = math.sqrt(norm2.doubleValue)
+        vec = ru.map(x => r(x.doubleValue / norm, 6))
+      }
+      import s.implicits._
+      val ev = r(norm, 6).doubleValue
+      (0 until 64).map(p =>
+          (p + 1, vec(p).doubleValue, ev))
+        .toDF("pos", "loading", "eigenvalue")
     }
   )
 

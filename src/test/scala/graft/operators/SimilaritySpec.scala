@@ -96,4 +96,34 @@ class SimilaritySpec extends SparkSuite {
     }
     assert(ivf.nonEmpty)
   }
+
+  test("q114 power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // planted direction d (unit, first 4 dims) drowns isotropic noise:
+    // x_i = s_i·d·3 + ε, ε small — the top eigenvector must align with d
+    val rnd = new scala.util.Random(11)
+    val dir0 = {
+      val raw = Array(0.6, -0.5, 0.4, 0.48) ++ Array.fill(60)(0.0)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val rows = (0 until 300).map { i =>
+      val s = if (rnd.nextBoolean()) 3.0 else -3.0
+      val v = (0 until 64).map(j =>
+        (s * dir0(j) + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v, 0)
+    }
+    val pd = tmpDir("powiter")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(pd + "/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q114_top_component")(spark, pd)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val loading = out.map(_._2)
+    val cos = loading.zip(dir0).map { case (a, b) => a * b }.sum /
+      math.sqrt(loading.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.99, s"|cos(v, planted)| = ${math.abs(cos)}")
+    // eigenvalue ≈ Σ s² ‖d‖² = 300·9 plus noise energy share
+    val ev = out.head._3
+    assert(ev > 2000 && ev < 3500, s"eigenvalue $ev")
+  }
 }
