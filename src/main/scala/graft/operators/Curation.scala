@@ -598,6 +598,97 @@ object Curation {
       rows.indices.map(i => (rows(i)._1, rows(i)._2,
           rows(i)._3.doubleValue, w(i).doubleValue))
         .toDF("source", "n_docs", "loss", "weight")
+    },
+
+    /** The FULL pretraining-corpus build as ONE composed
+      * materialization — the six-stage pipeline a corpus operator
+      * actually ships, each stage an operator this engine gates
+      * standalone: (1) Gopher gates (q107) decide admission; (2) exact
+      * dedup (q20's rule) and (3) near-dup survivor selection (q36's
+      * shared cluster table) both run over the FULL corpus — dedup must
+      * see gated-out and held-out duplicates, or a cluster could lose
+      * its survivor to a filter and smuggle a duplicate through (the
+      * q39 lesson, applied twice); (4) decontamination drops candidate
+      * train docs sharing any word-5-gram with the held-out content-hash
+      * splits (q26/q34 composed — the GPT-3 recipe against the
+      * pipeline's OWN eval splits); (5) the per-source cap (q109's
+      * bounded TopKAggregator) ranks what remains by quality; (6) the
+      * emitted rows carry the PII-redaction signature (q93) of their
+      * text. Stage shapes are each argued at their standalone operator;
+      * the composition adds one semi/anti join per stage, all keyed by
+      * doc_id, and reuses the session-scoped cluster memo — no stage
+      * rescans another stage's work. */
+    QueryDef("q115_pipeline_corpus", {
+      val splitB = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100"
+      val gram5 = (1 to 5).map(k => s"w.w[i+$k]").mkString("||' '||")
+      s"""WITH RECURSIVE $clusterCtes,
+         |gate AS (${TextAnalysis.gopherGateSql}),
+         |spl AS (SELECT doc_id, $splitB AS b FROM documents),
+         |sig AS (SELECT doc_id, md5(text) AS sig FROM documents),
+         |ek AS (SELECT sig, min(doc_id) AS keep_id FROM sig GROUP BY 1),
+         |exact_losers AS (SELECT s2.doc_id FROM sig s2 JOIN ek USING (sig)
+         |  WHERE s2.doc_id <> ek.keep_id),
+         |near_losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+         |g AS (SELECT w.doc_id, unnest(list_distinct(list_transform(
+         |    range(greatest(len(w.w)-4, 0)), i -> $gram5))) AS g FROM w),
+         |hold AS (SELECT DISTINCT g.g FROM g JOIN spl USING (doc_id)
+         |  WHERE spl.b >= 90),
+         |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN hold USING (g)),
+         |surv AS (SELECT d.doc_id, d.source,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM documents d JOIN gate USING (doc_id) JOIN spl USING (doc_id)
+         |  WHERE gate.keep AND spl.b < 90
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM near_losers)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |r AS (SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id) AS rk
+         |  FROM surv)
+         |SELECT r.source, r.doc_id, r.quality, r.rk,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(d.text,
+         |    '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'),
+         |    '$IpPat', '<IP>', 'g')) AS clean_sig
+         |FROM r JOIN documents d USING (doc_id) WHERE rk <= 10"""
+        .stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val gate = TextAnalysis.gopherRules(
+          docs.select(col("doc_id"), col("text")), col("doc_id"))
+        .filter(col("keep")).select("doc_id")
+      val sigs = docs.select(col("doc_id"), md5(col("text")).as("sig"))
+      val exactLosers = sigs
+        .join(sigs.groupBy("sig").agg(min("doc_id").as("keep_id")), "sig")
+        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+      val nearLosers = Dedup.sharedNearDupClusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val grams = graft.CacheScope.persist(docs
+        .select(col("doc_id"), bucket.as("b"),
+          explode(graft.functions.NGrams.wordShingles(col("text"), 5))
+            .as("g")))
+      val hold = grams.filter(col("b") >= 90).select("g").distinct()
+      val contaminated = grams.join(hold, "g").select("doc_id").distinct()
+      val surv = docs.filter(bucket < 90)
+        .join(gate, Seq("doc_id"), "left_semi")
+        .join(exactLosers, Seq("doc_id"), "left_anti")
+        .join(nearLosers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("doc_id"))
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      surv.groupBy("source")
+        .agg(topk(col("quality"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          col("col.score").as("quality"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .join(docs.select(col("doc_id"),
+          md5(piiRedact(col("text"))).as("clean_sig")), "doc_id")
+        .select("source", "doc_id", "quality", "rk", "clean_sig")
     }
   )
 

@@ -142,6 +142,29 @@ object TextAnalysis {
       (rLen && rWl && rAlpha && rSym && rStop).as("keep"): _*)
   }
 
+  /** Oracle-side q107 gate as one CTE body: `(doc_id, keep)` over
+    * `documents` — shared by the q107 oracle's rule table and the q115
+    * pipeline composition. */
+  private[operators] def gopherGateSql: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val pad = "(' ' || text || ' ')"
+    val stops = Seq(" the ", " a ", " of ")
+      .map(w => s"(${occStr(pad, w)})").mkString(" + ")
+    s"""SELECT doc_id,
+       |  (n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+       |    AND n_alpha_words * 1.0 >= 0.8 * n_tokens
+       |    AND n_symbols * 1.0 < 0.1 * n_tokens
+       |    AND n_stopwords >= 2 AS keep
+       |FROM (SELECT doc_id,
+       |  len(w) AS n_tokens,
+       |  round(length(replace(text, ' ', '')) * 1.0 / len(w), 6) AS mean_word_len,
+       |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+       |  ${occStr("text", "#")} + ${occStr("text", "...")} AS n_symbols,
+       |  $stops AS n_stopwords
+       |  FROM (SELECT doc_id, text, $toks AS w FROM documents))"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** q108's Zipf fit over a (lang, tok, c) vocabulary-count frame —
     * shared with the streaming form's per-language recompute. Ranks
     * 1..100 by (c DESC, tok ASC), least-squares slope of ln(c) on
