@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental exact-duplicate groups — the streaming form of batch q20
+  * (sha256 fingerprint groups with survivor + multiplicity), completing
+  * the dedup family's streaming matrix (near-dup pairs, substring,
+  * containment, winnowing and SemDeDup all have continuous forms; the
+  * cheapest family member deserves one too). The sink holds, at every
+  * instant, one document per LIVE fingerprint group: id = fp,
+  * (fp, keep_id, dup_cnt) with keep_id = the group's minimum member key
+  * — identical to batch q20 over the materialized corpus.
+  *
+  * State: fingerprint → member keys (one posting row per fp). Per batch:
+  * the touched docs' pre/post fingerprints (a pure row function), a
+  * bucket-pruned read of the affected fp rows, membership swap, merge
+  * idempotent-by-batchId, and re-emit of exactly the affected groups —
+  * groups the batch didn't touch cannot change. O(batch) everywhere;
+  * a delete of the current survivor hands keep_id to the next-smallest
+  * member, and an emptied group retracts its sink row. */
+object StreamingExactDedup {
+
+  private def postSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("members", ArrayType(StringType))))
+
+  def exactDedupView(
+      spark: SparkSession, stateDir: String,
+      name: String = "exact_dedup", table: String = "documents",
+      textCol: String = "text", buckets: Int = 32): ViewDef = {
+    val postings =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-post", "key", buckets)
+
+    ViewDef(name, (pre, post, batch, ctx) => {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val preV = ctx.batchId match {
+        case Some(id) => postings.versionBefore(id)
+        case None     => postings.version
+      }
+      val touched = batch(table).select("key").distinct().persist(mem)
+      ctx.defer(touched.unpersist())
+
+      def fps(rows: DataFrame): DataFrame = rows
+        .select(col("key").as("doc_id"),
+          sha2(col(textCol), 256).as("fp"))
+
+      val oldFps = fps(pre.rows(table, touched))
+      val newFps = fps(post.rows(table, touched)).persist(mem)
+      ctx.defer(newFps.unpersist())
+
+      val affected = oldFps.select("fp").union(newFps.select("fp"))
+        .distinct().withColumnRenamed("fp", "key").persist(mem)
+      ctx.defer(affected.unpersist())
+      val preMembers = postings.rowsForKeysAt(preV, postSchema, affected)
+        .select(col("key").as("fp"), explode(col("members")).as("member"))
+      val postMembers = preMembers.join(
+          touched.withColumnRenamed("key", "member"), Seq("member"),
+          "left_anti")
+        .unionByName(newFps.select(col("fp"), col("doc_id").as("member")))
+        .persist(mem)
+      ctx.defer(postMembers.unpersist())
+
+      val rows = postMembers.groupBy("fp")
+        .agg(collect_list("member").as("members"))
+        .select(col("fp").as("key"), col("members"))
+      val emptied = affected.join(rows.select("key"), Seq("key"), "left_anti")
+      postings.merge(rows, emptied, ctx.batchId)
+
+      val upserts = postMembers.groupBy("fp")
+        .agg(min("member").as("keep_id"),
+          count(lit(1)).as("dup_cnt"))
+        .select(col("fp").as("id"), col("fp"), col("keep_id"),
+          col("dup_cnt"))
+      val deletes = emptied.select(col("key").as("id"))
+      (upserts, deletes)
+    })
+  }
+}

@@ -405,4 +405,14 @@ class PlanSpec extends SparkSuite {
     // the token explode feeds a partial aggregation first
     assert(p.contains("partial_count") || p.contains("partial count"), p)
   }
+
+  test("q115: the composed pipeline caps with the bounded aggregator " +
+      "and keeps every stage window-free") {
+    val p = plan("q115_pipeline_corpus")
+    assert(p.contains("TopKAggregator") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window ["), p)
+    // survivor selection is joins, never a cartesian/nested-loop probe
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
