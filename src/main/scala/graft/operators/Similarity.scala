@@ -85,6 +85,61 @@ object Similarity {
         round(col("col.score"), 6).as("score"))
   }
 
+  // ——— power-iteration machinery (q114 top component, q116 deflated
+  // second component) — decimal-ledger FP discipline, see q114's doc ———
+
+  private type JBD = java.math.BigDecimal
+  private def r6d(x: Double): JBD =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+
+  /** One distributed XᵀX·v pass: per-row dot against the broadcast
+    * iterate, per-row contributions rounded to 12 decimals, exact
+    * DECIMAL(38,12) per-dimension sums re-rounded to 6. */
+  private def xtxPass(e: DataFrame, vec: IndexedSeq[JBD]): IndexedSeq[JBD] = {
+    val vLit = typedlit(vec.map(_.doubleValue))
+    val u = e
+      .select(col("v"), dot(col("v"), vLit).as("d"))
+      .select(posexplode(col("v")).as(Seq("pos", "x")), col("d"))
+      .select(col("pos"),
+        round(col("d") * col("x"), 12).cast("decimal(38,12)").as("contrib"))
+      .groupBy("pos")
+      .agg(round(sum("contrib").cast("double"), 6)
+        .cast("decimal(18,6)").as("u"))
+      .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
+    (0 until 64).map(p => u.getOrElse(p, java.math.BigDecimal.ZERO))
+  }
+
+  /** Exact-decimal norm of a 6-rounded component vector → double. */
+  private def normOf(ru: IndexedSeq[JBD]): Double =
+    math.sqrt(ru.map(x => x.multiply(x)).reduce(_.add(_)).doubleValue)
+
+  private def dSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
+
+  /** Oracle CTEs: embeddings as doubles, the uniform start, and power
+    * rounds `lo..hi` named c/u/n/v$t chained from v${lo-1}. */
+  private def powerRoundsSql(lo: Int, hi: Int): String =
+    (lo to hi).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT generate_subscripts(dd.v, 1) AS pos,
+         |    CAST(round(dd.d * unnest(dd.v), 12) AS DECIMAL(38,12)) AS contrib
+         |  FROM (SELECT e.v, ${dSql("e.v", s"v${t - 1}.vec")} AS d
+         |        FROM e, v${t - 1}) dd),
+         |u$t AS MATERIALIZED (SELECT pos,
+         |    CAST(round(CAST(sum(contrib) AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
+         |  FROM c$t GROUP BY pos),
+         |n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS n
+         |  FROM u$t),
+         |v$t AS MATERIALIZED (SELECT list(round(CAST(u.u AS DOUBLE) / n.n, 6)
+         |    ORDER BY u.pos) AS vec FROM u$t u, n$t n)""".stripMargin
+    }.mkString(",\n")
+
+  /** e + v0 + rounds 1..5 — the shared prefix of both oracles. */
+  private def powerCtes5: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |v0 AS MATERIALIZED (SELECT list_transform(range(64), i -> 0.125) AS vec),
+       |${powerRoundsSql(1, 5)}""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     /** Embedding-cluster diagnostics: per-label centroid, then each
@@ -326,60 +381,95 @@ object Similarity {
       * new iterate rounds to 6 — so both engines iterate on IDENTICAL
       * values and the only shared double ops are sqrt/divide on equal
       * inputs. Output: (pos, loading, eigenvalue), eigenvalue = ‖u₅‖. */
-    QueryDef("q114_top_component", {
-      def d(a: String, b: String): String =
-        s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
-      val v0 = "list_transform(range(64), i -> 0.125)"
-      val rounds = (1 to 5).map { t =>
-        s"""c$t AS MATERIALIZED (SELECT generate_subscripts(dd.v, 1) AS pos,
-           |    CAST(round(dd.d * unnest(dd.v), 12) AS DECIMAL(38,12)) AS contrib
-           |  FROM (SELECT e.v, ${d("e.v", s"v${t - 1}.vec")} AS d
-           |        FROM e, v${t - 1}) dd),
-           |u$t AS MATERIALIZED (SELECT pos,
-           |    CAST(round(CAST(sum(contrib) AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
-           |  FROM c$t GROUP BY pos),
-           |n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS n
-           |  FROM u$t),
-           |v$t AS MATERIALIZED (SELECT list(round(CAST(u.u AS DOUBLE) / n.n, 6)
-           |    ORDER BY u.pos) AS vec FROM u$t u, n$t n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |v0 AS MATERIALIZED (SELECT $v0 AS vec),
-         |$rounds
+    QueryDef("q114_top_component",
+      s"""$powerCtes5
          |SELECT u.pos AS pos, round(CAST(u.u AS DOUBLE) / n.n, 6) AS loading,
          |  round(n.n, 6) AS eigenvalue
-         |FROM u5 u, n5 n""".stripMargin.replace("\n", " ")
-    }) { (s, dir) =>
-      import java.math.{BigDecimal => JBD, RoundingMode}
-      def r(x: Double, sc: Int): JBD =
-        new JBD(x).setScale(sc, RoundingMode.HALF_UP)
+         |FROM u5 u, n5 n""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val e = graft.CacheScope.persist(t(s, dir, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v")))
-      var vec: IndexedSeq[JBD] = IndexedSeq.fill(64)(r(0.125, 6))
+      var vec: IndexedSeq[JBD] = IndexedSeq.fill(64)(r6d(0.125))
       var norm = 0.0
       for (_ <- 1 to 5) {
-        val vLit = typedlit(vec.map(_.doubleValue))
-        val u = e
-          .select(col("v"), dot(col("v"), vLit).as("d"))
-          .select(posexplode(col("v")).as(Seq("pos", "x")), col("d"))
-          .select(col("pos"),
-            round(col("d") * col("x"), 12).cast("decimal(38,12)")
-              .as("contrib"))
-          .groupBy("pos")
-          .agg(round(sum("contrib").cast("double"), 6)
-            .cast("decimal(18,6)").as("u"))
-          .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
-        val ru = (0 until 64).map(p => u.getOrElse(p, JBD.ZERO))
-        val norm2 = ru.map(x => x.multiply(x)).reduce(_.add(_))
-        norm = math.sqrt(norm2.doubleValue)
-        vec = ru.map(x => r(x.doubleValue / norm, 6))
+        val ru = xtxPass(e, vec)
+        norm = normOf(ru)
+        vec = ru.map(x => r6d(x.doubleValue / norm))
       }
       import s.implicits._
-      val ev = r(norm, 6).doubleValue
-      (0 until 64).map(p =>
-          (p + 1, vec(p).doubleValue, ev))
+      val ev = r6d(norm).doubleValue
+      (0 until 64).map(p => (p + 1, vec(p).doubleValue, ev))
+        .toDF("pos", "loading", "eigenvalue")
+    },
+
+    /** Second principal direction by DEFLATION: rerun the power
+      * iteration with the rank-one-deflated operator
+      * u = XᵀXw − λ₁·(v₁·w)·v₁, where (v₁, λ₁) are exactly q114's
+      * 6-rounded outputs — the classic Hotelling step, showing the
+      * iteration machinery composes beyond one component. Same
+      * one-pass-per-round corpus shape as q114 (the deflation
+      * correction is pure driver arithmetic on the 64-dim iterate,
+      * never a corpus-side operator); same decimal ledger, with the
+      * correction computed as the FIXED-ORDER double product
+      * (λ₁·dp)·v₁ⱼ subtracted from the 6-rounded pass output and
+      * re-rounded, so both engines see identical iterates. Output:
+      * (pos, loading, eigenvalue), eigenvalue = ‖deflated u₁₀‖ ≈ λ₂. */
+    QueryDef("q116_second_component", {
+      val defl = (6 to 10).map { t =>
+        val prev = if (t == 6) "v0" else s"w${t - 1}"
+        s"""cc$t AS MATERIALIZED (SELECT generate_subscripts(dd.v, 1) AS pos,
+           |    CAST(round(dd.d * unnest(dd.v), 12) AS DECIMAL(38,12)) AS contrib
+           |  FROM (SELECT e.v, ${dSql("e.v", s"$prev.vec")} AS d
+           |        FROM e, $prev) dd),
+           |uu$t AS MATERIALIZED (SELECT pos,
+           |    CAST(round(CAST(sum(contrib) AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
+           |  FROM cc$t GROUP BY pos),
+           |dp$t AS MATERIALIZED (SELECT ${dSql("v5.vec", s"$prev.vec")} AS dp
+           |  FROM v5, $prev),
+           |aj$t AS MATERIALIZED (SELECT u.pos,
+           |    CAST(round(CAST(u.u AS DOUBLE) -
+           |      l1.l * dp$t.dp * v5.vec[u.pos], 6) AS DECIMAL(18,6)) AS u
+           |  FROM uu$t u, l1, dp$t, v5),
+           |nn$t AS MATERIALIZED (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS n
+           |  FROM aj$t),
+           |w$t AS MATERIALIZED (SELECT list(round(CAST(u.u AS DOUBLE) / n.n, 6)
+           |    ORDER BY u.pos) AS vec FROM aj$t u, nn$t n)""".stripMargin
+      }.mkString(",\n")
+      s"""$powerCtes5,
+         |l1 AS MATERIALIZED (SELECT round(n.n, 6) AS l FROM n5 n),
+         |$defl
+         |SELECT u.pos AS pos, round(CAST(u.u AS DOUBLE) / n.n, 6) AS loading,
+         |  round(n.n, 6) AS eigenvalue
+         |FROM aj10 u, nn10 n""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val e = graft.CacheScope.persist(t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")))
+      // first component, exactly as q114 computes it
+      var v1: IndexedSeq[JBD] = IndexedSeq.fill(64)(r6d(0.125))
+      var n1 = 0.0
+      for (_ <- 1 to 5) {
+        val ru = xtxPass(e, v1)
+        n1 = normOf(ru)
+        v1 = ru.map(x => r6d(x.doubleValue / n1))
+      }
+      val l1 = r6d(n1).doubleValue
+      // deflated iteration from the same uniform start
+      var w: IndexedSeq[JBD] = IndexedSeq.fill(64)(r6d(0.125))
+      var n2 = 0.0
+      var adj: IndexedSeq[JBD] = w
+      for (_ <- 1 to 5) {
+        val ru = xtxPass(e, w)
+        val dp = (0 until 64).map(j =>
+          v1(j).doubleValue * w(j).doubleValue).sum
+        adj = (0 until 64).map(j => r6d(
+          ru(j).doubleValue - l1 * dp * v1(j).doubleValue))
+        n2 = normOf(adj)
+        w = adj.map(x => r6d(x.doubleValue / n2))
+      }
+      import s.implicits._
+      val ev = r6d(n2).doubleValue
+      (0 until 64).map(p => (p + 1, w(p).doubleValue, ev))
         .toDF("pos", "loading", "eigenvalue")
     }
   )

@@ -126,4 +126,43 @@ class SimilaritySpec extends SparkSuite {
     val ev = out.head._3
     assert(ev > 2000 && ev < 3500, s"eigenvalue $ev")
   }
+
+  test("q116 deflation recovers the SECOND planted direction, " +
+      "orthogonal to the first") {
+    import spark.implicits._
+    // two orthogonal planted directions with separated energies:
+    // d1 (dims 0-3) at amplitude 3, d2 (dims 8-11) at amplitude 1.5
+    val rnd = new scala.util.Random(13)
+    def unit(raw: Array[Double]) = {
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val d1 = unit(Array(0.6, -0.5, 0.4, 0.48) ++ Array.fill(60)(0.0))
+    val d2 = unit(Array.fill(8)(0.0) ++ Array(0.5, 0.5, -0.5, 0.5) ++
+      Array.fill(52)(0.0))
+    val rows = (0 until 300).map { i =>
+      val s1 = if (rnd.nextBoolean()) 3.0 else -3.0
+      val s2 = if (rnd.nextBoolean()) 1.5 else -1.5
+      val v = (0 until 64).map(j =>
+        (s1 * d1(j) + s2 * d2(j) + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v, 0)
+    }
+    val pd = tmpDir("deflate")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(pd + "/embeddings.parquet")
+    val first = graft.SparkEntry.queries("q114_top_component")(spark, pd)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val second = graft.SparkEntry.queries("q116_second_component")(spark, pd)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val v1 = first.map(_._2)
+    val v2 = second.map(_._2)
+    val cos2 = v2.zip(d2).map { case (a, b) => a * b }.sum /
+      math.sqrt(v2.map(x => x * x).sum)
+    assert(math.abs(cos2) > 0.99, s"|cos(v2, planted d2)| = ${math.abs(cos2)}")
+    val ortho = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(ortho) < 0.02, s"|v1·v2| = ${math.abs(ortho)}")
+    // deflated eigenvalue sits at the second energy scale, below the first
+    assert(second.head._3 < first.head._3 * 0.5)
+    assert(second.head._3 > 300 && second.head._3 < 1200,
+      s"second eigenvalue ${second.head._3}")
+  }
 }
