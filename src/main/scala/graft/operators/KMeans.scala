@@ -74,8 +74,11 @@ object KMeans {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)
 
-  /** argmin-by-distance assignment against literal centroids. */
-  private def assign(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+  /** The argmin fold as COLUMN expressions over a vector column —
+    * (cluster, dist2) against literal centroids. Public so consumers
+    * that need the assignment as a row function (the streaming cluster
+    * monitor's grouping column) can embed it without a join. */
+  def assignExprs(v: Column, centroids: Seq[Seq[Double]]): (Column, Column) = {
     val cCol = typedlit(centroids)
     val cNorm = typedlit(centroids.map(c => c.map(x => x * x).sum))
     val k = centroids.size
@@ -84,13 +87,18 @@ object KMeans {
       (acc, i) => {
         // ‖v‖² is common to all k candidates — dropped from the argmin
         val d = element_at(cNorm, i + 1) -
-          lit(2.0) * dot(col("v"), element_at(cCol, i + 1))
+          lit(2.0) * dot(v, element_at(cCol, i + 1))
         when(d < acc("d"), struct(d.as("d"), i.as("c"))).otherwise(acc)
       })
-    vectors.select(col("vec_id"),
-      best("c").as("cluster"),
+    (best("c"),
       // re-add ‖v‖² so the reported distance is the true squared distance
-      greatest(best("d") + dot(col("v"), col("v")), lit(0.0)).as("dist2"))
+      greatest(best("d") + dot(v, v), lit(0.0)))
+  }
+
+  /** argmin-by-distance assignment against literal centroids. */
+  private def assign(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val (cluster, dist2) = assignExprs(col("v"), centroids)
+    vectors.select(col("vec_id"), cluster.as("cluster"), dist2.as("dist2"))
   }
 
   /** Deterministic farthest-point seeds. `vectors`: (vec_id, v).

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.KMeans
+
+/** Continuous cluster-health monitor — q43's per-cluster report (size +
+  * mean distance-to-centroid) maintained incrementally over a CDC
+  * embeddings source under a FROZEN clustering model: the drift
+  * dashboard a production index watches (a cluster swelling or its mean
+  * distance creeping up says the frozen centroids no longer fit the
+  * data and a re-train job is due).
+  *
+  * Deliberately built ON the generic [[IncrementalAgg]] ± machinery
+  * rather than a bespoke view: the cluster assignment is a pure ROW
+  * function of the embedding (the argmin fold against literal
+  * centroids, [[KMeans.assignExprs]]), so "cluster" is just a derived
+  * grouping column — exactly the contract `GroupSpec` already
+  * abstracts. Per-batch cost is O(batch): touched vectors' pre/post
+  * images contribute ±sqrt(dist2) to their clusters' running
+  * (sum, count), version-pinned and idempotent-by-batchId like every
+  * retractive stats sink; the mean is priced at emit (amt/cnt, rounded
+  * 6). A cluster whose count reaches zero leaves state and sink — the
+  * retraction contract. */
+object StreamingClusterMonitor {
+
+  /** Sink documents: (id = cluster, cluster, n_vecs, mean_dist). */
+  def clusterStatsView(
+      spark: SparkSession, stateDir: String, model: KMeans.Model,
+      name: String = "cluster_stats", table: String = "embeddings",
+      vecCol: String = "embedding"): ViewDef = {
+    val (cluster, dist2) = KMeans.assignExprs(
+      col(vecCol).cast(ArrayType(DoubleType)), model.centroids)
+    IncrementalAgg.view(spark, stateDir, name, table,
+      IncrementalAgg.GroupSpec(
+        Seq("g_cluster" -> cluster.cast("string")),
+        live = lit(true),
+        amount = sqrt(dist2)),
+      toDoc = m => m.select(col("key").as("id"),
+        col("g_cluster").as("cluster"),
+        col("cnt").as("n_vecs"),
+        round(col("amt") / col("cnt"), 6).as("mean_dist")))
+  }
+}
