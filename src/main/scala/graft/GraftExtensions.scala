@@ -106,5 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ColumnBridge.expression(
           graft.operators.TextAnalysis.qualityScore(
             ColumnBridge.column(args.head))) }))
+    ext.injectFunction((
+      new FunctionIdentifier("gopher_keep"),
+      new ExpressionInfo(graft.operators.TextAnalysis.getClass.getName, "gopher_keep"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "gopher_keep")
+        ColumnBridge.expression(
+          graft.operators.TextAnalysis.gopherKeep(
+            ColumnBridge.column(args.head))) }))
   }
 }

@@ -142,6 +142,23 @@ object TextAnalysis {
       (rLen && rWl && rAlpha && rSym && rStop).as("keep"): _*)
   }
 
+  /** q107's composite keep verdict as ONE scalar Column — the SQL
+    * function surface's `gopher_keep(text)` (SqlFunctionsSpec pins it
+    * equal to q107's keep column row for row). */
+  def gopherKeep(text: Column): Column = {
+    val pad = concat(lit(" "), text, lit(" "))
+    val w = split(trim(text), "\\s+")
+    val nTok = size(w).cast("long")
+    val mwl = round(length(replace(text, lit(" "), lit(""))) * lit(1.0) /
+      size(w), 6)
+    val alpha = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val sym = occurrences(text, "#") + occurrences(text, "...")
+    val stop = Seq(" the ", " a ", " of ").map(occurrences(pad, _))
+      .reduce(_ + _)
+    nTok.between(50, 100000) && mwl.between(3, 10) &&
+      alpha * 1.0 >= nTok * 0.8 && sym * 1.0 < nTok * 0.1 && stop >= 2
+  }
+
   /** Oracle-side q107 gate as one CTE body: `(doc_id, keep)` over
     * `documents` — shared by the q107 oracle's rule table and the q115
     * pipeline composition. */

@@ -59,6 +59,20 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(viaSql.exists(_._1 == "mail <EMAIL> or <PHONE> from <IP>"))
   }
 
+  test("gopher_keep resolves in spark.sql and equals q107's keep " +
+      "column row for row") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, gopher_keep(text) AS keep FROM sqlfn_docs")
+      .as[(Long, Boolean)].collect().toMap
+    val viaQuery = graft.SparkEntry.queries("q107_gopher_rules")(spark, dir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(viaSql == viaQuery)
+    assert(viaSql.values.exists(identity) && viaSql.values.exists(!_))
+  }
+
   test("non-literal n is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles(text, length(text)) FROM sqlfn_t")
