@@ -442,6 +442,85 @@ object KMeans {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       semDedup(e, fittedModel(s, dir, e), tau = 0.45)
+    },
+
+    /** Cluster-separation diagnostics — the centroid-distance
+      * simplification of the silhouette score (the O(n²) pairwise
+      * silhouette replaced by distances to the assigned and the
+      * second-nearest CENTROID, the standard at-scale proxy): per
+      * cluster, the mean margin √d₂ₙ𝒹 − √d₁ and the mean normalized
+      * score (margin / larger distance; exact duplicates of a centroid
+      * score 0). Low margins flag clusters the trained partition
+      * separates poorly — the go/no-go read on reusing a clustering for
+      * IVF cells or SemDeDup buckets. Shape at scale: one narrow fold
+      * per vector against the literal centroids tracking (best, second)
+      * in a single pass — no explode, no per-vector window, no shuffle
+      * before the k-row rollup. Per-row scores round to 6 and sum as
+      * DECIMAL(18,6) (the q88 discipline), so cluster means
+      * hash-match. Oracle: the unrolled trainer's ranked assignment at
+      * rk = 1 and rk = 2 — same strict-< tie order as the fold. */
+    QueryDef("q117_cluster_margins", {
+      def d(a: String, b: String) = dotSql(a, b)
+      s"""WITH $assignCtes,
+         |rnk2 AS MATERIALIZED (SELECT vec_id, d2 AS d2b FROM (
+         |  SELECT e.vec_id,
+         |    ${d("c5.c", "c5.c")} - 2.0 * ${d("e.v", "c5.c")} + ${d("e.v", "e.v")} AS d2,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${d("c5.c", "c5.c")} - 2.0 * ${d("e.v", "c5.c")} ASC,
+         |      c5.cluster ASC) AS rk
+         |  FROM e, c5) WHERE rk = 2),
+         |m AS (SELECT a.cluster,
+         |    sqrt(greatest(a.d2, 0.0)) AS s1, sqrt(greatest(r.d2b, 0.0)) AS s2
+         |  FROM afin a JOIN rnk2 r USING (vec_id)),
+         |sc AS (SELECT cluster,
+         |    CAST(round(s2 - s1, 6) AS DECIMAL(18,6)) AS mar,
+         |    CAST(round(CASE WHEN greatest(s1, s2) > 0
+         |      THEN (s2 - s1) / greatest(s1, s2) ELSE 0 END, 6)
+         |      AS DECIMAL(18,6)) AS sil
+         |  FROM m)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(mar) AS DOUBLE) / count(*), 6) AS mean_margin,
+         |  round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_sil
+         |FROM sc GROUP BY cluster ORDER BY cluster"""
+        .stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val model = fittedModel(s, dir, e)
+      val cents = model.centroids
+      val cCol = typedlit(cents)
+      val cNorm = typedlit(cents.map(c => c.map(x => x * x).sum))
+      // one-pass (best, bestCluster, second) fold — strict < keeps the
+      // first argmin, a tied later centroid lands in second (the
+      // row_number (d ASC, cluster ASC) order, exactly)
+      val best = aggregate(sequence(lit(0), lit(cents.size - 1)),
+        struct(lit(Double.MaxValue).as("d1"), lit(-1).as("c1"),
+          lit(Double.MaxValue).as("d2")),
+        (acc, i) => {
+          val dd = element_at(cNorm, i + 1) -
+            lit(2.0) * dot(col("v"), element_at(cCol, i + 1))
+          when(dd < acc("d1"),
+            struct(dd.as("d1"), i.as("c1"), acc("d1").as("d2")))
+            .when(dd < acc("d2"),
+              struct(acc("d1").as("d1"), acc("c1").as("c1"), dd.as("d2")))
+            .otherwise(acc)
+        })
+      val vv = dot(col("v"), col("v"))
+      val scored = e.select(col("v"), best.as("b"))
+        .select(col("b.c1").as("cluster"),
+          sqrt(greatest(col("b.d1") + vv, lit(0.0))).as("s1"),
+          sqrt(greatest(col("b.d2") + vv, lit(0.0))).as("s2"))
+        .select(col("cluster"),
+          round(col("s2") - col("s1"), 6).cast("decimal(18,6)").as("mar"),
+          round(when(greatest(col("s1"), col("s2")) > 0,
+              (col("s2") - col("s1")) / greatest(col("s1"), col("s2")))
+            .otherwise(0.0), 6).cast("decimal(18,6)").as("sil"))
+      scored.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum("mar").cast("double") / count(lit(1)), 6)
+            .as("mean_margin"),
+          round(sum("sil").cast("double") / count(lit(1)), 6)
+            .as("mean_sil"))
     }
   )
 

@@ -169,4 +169,54 @@ class KMeansSpec extends SparkSuite {
     val b = loaded.assign(vecs).as[(Long, Int, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("q117 margins: planted separation scores near 1, an in-memory " +
+      "reference agrees per vector") {
+    val dir = tmpDir("margins")
+    points.map(p => (p._1, p._2.map(_.toFloat), p._3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q117_cluster_margins")(spark, dir)
+      .as[(Int, Long, Double, Double)].collect()
+    // k = 8 over-segments the 3 planted groups: clusters that keep a
+    // WHOLE planted group (30 members) must score near 1 (separation 20
+    // vs radius 0.5), while split fragments legitimately score low —
+    // exactly the go/no-go signal the diagnostic exists to produce
+    val whole = out.filter(_._2 == 30)
+    assert(whole.nonEmpty, out.mkString(", "))
+    assert(whole.forall(_._4 > 0.9), out.mkString(", "))
+    assert(out.exists(r => r._2 > 0 && r._2 < 30 && r._4 < 0.6),
+      out.mkString(", "))
+    // in-memory reference: per-vector best/second distances over the
+    // SAME fitted centroids (deterministic trainer, trained on the same
+    // float-round-tripped values the parquet path feeds the engine)
+    val vecsF = points.map(p => (p._1, p._2.map(_.toFloat.toDouble)))
+      .toDF("vec_id", "v")
+    val model = KMeans.fit(vecsF, k = 8, maxIters = 5)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = points
+      .map { p =>
+        val v = p._2.map(_.toFloat.toDouble) // float round-trip like parquet
+        val ds = model.centroids.map { c =>
+          val cn = c.map(x => x * x).sum
+          val vc = v.zip(c).map { case (a, b) => a * b }.sum
+          cn - 2.0 * vc
+        }
+        val vv = v.map(x => x * x).sum
+        val c1 = ds.indices.minBy(i => (ds(i), i))
+        val d1 = math.sqrt(math.max(ds(c1) + vv, 0.0))
+        val d2 = math.sqrt(math.max(
+          ds.indices.filter(_ != c1).map(ds(_)).min + vv, 0.0))
+        val sil = if (math.max(d1, d2) > 0) (d2 - d1) / math.max(d1, d2)
+          else 0.0
+        (c1, r6(d2 - d1), r6(sil))
+      }
+      .groupBy(_._1)
+      .map { case (c, xs) =>
+        (c, xs.size.toLong,
+          r6(xs.map(_._2).sum / xs.size), r6(xs.map(_._3).sum / xs.size))
+      }.toSet
+    assert(out.toSet == expected)
+  }
 }
