@@ -53,7 +53,13 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // cheapest-first: the driver records only the LAST ~2000 chars of
+    // this line, so ascending order leaves the EXPENSIVE rows in the
+    // surviving tail (r6 VERDICT #2 — 67/117 rows were invisible when
+    // the map printed in registration order); the full record is also
+    // written to BENCH_full.json below
+    val qs = results.sortBy(_._2)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // the 14-query set benched in round 1 — comparable across rounds as
@@ -71,8 +77,18 @@ object Bench {
     val build = BuildMetrics.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"errors":$es,"failed":${errors.size},"r1_subset_total":$r1Total,"n_queries":${results.size},"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"errors":$es,"failed":${errors.size},"r1_subset_total":$r1Total,"n_queries":${results.size},"sf":${jstr(sfDir)}}"""
+    println(line)
+    // durable full per-query record, committed with the repo: the
+    // driver's BENCH_r{N}.json truncates this line, so the complete map
+    // must survive somewhere a reader can diff round-over-round
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_FULL", "BENCH_full.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e") }
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }

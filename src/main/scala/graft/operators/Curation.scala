@@ -90,22 +90,14 @@ object Curation {
          |FROM g JOIN t USING (g) WHERE split = 'train' GROUP BY 1
          |""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
-      val bucket = pmod(
-        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
-        lit(100L))
-      // both the holdout and train branches read the same exploded gram
-      // frame — persist so the 5-gram extraction pass runs once
-      val grams = graft.CacheScope.persist(t(s, dir, "documents")
-        .select(col("doc_id"),
-          when(bucket < 90, "train").when(bucket < 95, "val")
-            .otherwise("test").as("split"),
-          explode(graft.functions.NGrams.wordShingles(col("text"), 5))
-            .as("g")))
-      val holdout = grams.filter(col("split").isin("val", "test"))
-        .select("g").distinct()
+      // both the holdout and train branches scan the session-shared
+      // materialized gram table (b < 90 ⇔ train, ≥ 90 ⇔ val ∪ test) —
+      // the 5-gram extraction pass runs once PER SESSION, not per query
+      val grams = TextAnalysis.sharedDocGrams(s, dir)
+      val holdout = grams.filter(col("b") >= 90).select("g").distinct()
       // per-doc gram lists are already distinct (wordShingles), so this
       // count is the number of DISTINCT shared grams per train doc
-      grams.filter(col("split") === "train")
+      grams.filter(col("b") < 90)
         .join(holdout, "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     },
@@ -665,10 +657,7 @@ object Curation {
         .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
       val nearLosers = Dedup.sharedNearDupClusters(s, dir)
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      val grams = graft.CacheScope.persist(docs
-        .select(col("doc_id"), bucket.as("b"),
-          explode(graft.functions.NGrams.wordShingles(col("text"), 5))
-            .as("g")))
+      val grams = TextAnalysis.sharedDocGrams(s, dir)
       val hold = grams.filter(col("b") >= 90).select("g").distinct()
       val contaminated = grams.join(hold, "g").select("doc_id").distinct()
       val surv = docs.filter(bucket < 90)

@@ -69,7 +69,24 @@ object KMeans {
   private def fittedModel(s: SparkSession, dir: String,
       vectors: DataFrame): Model =
     fitted.getOrElseUpdate((System.identityHashCode(s), dir),
-      graft.BuildMetrics.timed("kmeans_model")(fit(vectors, k = 8, maxIters = 5)))
+      graft.BuildMetrics.timed("kmeans_model") {
+        // k ∝ n (SemDeDup trains k proportional to the corpus), floor 8:
+        // with FIXED k a 100× corpus gives 100× cluster sizes → 10,000×
+        // within-cluster pairs in q101 (r6 VERDICT #3). At the gate
+        // scales (≤ 8·1024 vectors) this resolves to exactly 8, the
+        // regime the unrolled DuckDB trainer oracles replicate; beyond
+        // that the expected cluster size stays ≤ 1024 regardless of n.
+        fit(vectors, k = adaptiveK(vectors.count()), maxIters = 5)
+      })
+
+  /** k for the shared corpus model: ⌈n / targetPerCluster⌉ with a floor
+    * — expected cluster size stays ≤ `targetPerCluster` as the corpus
+    * grows, so per-cluster pair generation (q101) is bounded per cell
+    * and total pair work scales LINEARLY in n instead of quadratically. */
+  private[operators] def adaptiveK(n: Long,
+      targetPerCluster: Long = 1024L, minK: Int = 8): Int =
+    math.max(minK.toLong,
+      (n + targetPerCluster - 1) / targetPerCluster).toInt
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)
@@ -434,10 +451,13 @@ object KMeans {
       * Shape at 100 TB: one assignment pass (narrow map against literal
       * centroids), then a cluster-keyed self-join — pairs are generated
       * per cluster, never across, and norms are computed once per VECTOR
-      * before the join (the q24 lesson). A skewed giant cluster is the
-      * known failure mode; the production guard is capping cluster size
-      * by raising k (the paper trains k ∝ n) or sub-banding oversized
-      * cells, not changing this plan's shape. */
+      * before the join (the q24 lesson). The skewed-giant-cluster
+      * failure mode is guarded TWICE since r7: [[adaptiveK]] grows k
+      * with the corpus (the paper trains k ∝ n, expected cell ≤ 1024),
+      * and [[bandedPairs]] sub-bands any cell that still exceeds 4096
+      * members before the self-join — candidate pairs stay bounded per
+      * cell however the corpus skews (`KMeansSpec` plants a giant
+      * cluster and pins the bound). */
     QueryDef("q101_semdedup", semdedupOracle) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
@@ -528,22 +548,46 @@ object KMeans {
     * removals under `model`'s assignment, keep-lowest-id. `vectors`:
     * (vec_id, v). Returns (vec_id, cluster, n_dups, max_cos) — one row
     * per REMOVED vector. */
-  def semDedup(vectors: DataFrame, model: Model, tau: Double): DataFrame = {
+  def semDedup(vectors: DataFrame, model: Model, tau: Double,
+      maxClusterSize: Int = 4096): DataFrame = {
     val assigned = model.assign(vectors).select("vec_id", "cluster")
     val nv = vectors
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .join(assigned, "vec_id")
-    val a = nv.select(col("vec_id").as("va"), col("v").as("xa"),
-      col("nrm").as("na"), col("cluster"))
-    val b = nv.select(col("vec_id").as("vb"), col("v").as("xb"),
-      col("nrm").as("nb"), col("cluster"))
-    a.join(b, Seq("cluster"))
-      .filter(col("va") < col("vb"))
+    bandedPairs(nv, maxClusterSize)
       .select(col("vb").as("vec_id"), col("cluster"),
         round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
           .as("cs"))
       .filter(col("cs") >= tau)
       .groupBy("vec_id", "cluster")
       .agg(count(lit(1)).as("n_dups"), max("cs").as("max_cos"))
+  }
+
+  /** Within-cluster candidate pairs with the oversized-cell guard
+    * ([[adaptiveK]]'s belt-and-braces partner): a cluster larger than
+    * `maxClusterSize` is sub-partitioned by a deterministic vec_id hash
+    * into ⌈size / maxClusterSize⌉ bands BEFORE the self-join, so one
+    * skewed giant cell (near-duplicate floods cluster together by
+    * construction) can never go quadratic — candidate pairs per
+    * (cluster, band) cell stay O(maxClusterSize²) however the corpus
+    * skews. Clusters at or under the threshold land in ONE band, so the
+    * sub-threshold result is EXACTLY the full within-cluster pair set
+    * (the gate regime — no gate cluster approaches 4096); above it the
+    * cross-band pairs are forgone, the documented SemDeDup trade (the
+    * paper caps cell sizes the same way, via k ∝ n). `nv`: (vec_id, v,
+    * nrm, cluster). Returns (cluster, band, va, xa, na, vb, xb, nb),
+    * va < vb. */
+  private[operators] def bandedPairs(nv: DataFrame,
+      maxClusterSize: Int): DataFrame = {
+    val sizes = nv.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val banded = nv.join(sizes, "cluster")
+      .withColumn("band", pmod(xxhash64(col("vec_id")),
+        ceil(col("csz") / lit(maxClusterSize.toDouble)).cast("long")))
+      .drop("csz")
+    val a = banded.select(col("vec_id").as("va"), col("v").as("xa"),
+      col("nrm").as("na"), col("cluster"), col("band"))
+    val b = banded.select(col("vec_id").as("vb"), col("v").as("xb"),
+      col("nrm").as("nb"), col("cluster"), col("band"))
+    a.join(b, Seq("cluster", "band")).filter(col("va") < col("vb"))
   }
 }

@@ -310,12 +310,18 @@ object Multimodal {
         |FROM m""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val m = decodeMeta(mediaFrame(s, dir))
       val img = col("format").isin("png", "jpeg")
-      val rDim = !img || (col("width") >= 64 && col("height") >= 64)
-      val rAspect = !img ||
+      // a rule whose required field failed to parse (NULL width from a
+      // truncated header) must FAIL the gate, not propagate NULL through
+      // keep — coalesce each rule to false so malformed assets are
+      // rejected explicitly
+      val rDim = coalesce(
+        !img || (col("width") >= 64 && col("height") >= 64), lit(false))
+      val rAspect = coalesce(!img ||
         (greatest(col("width"), col("height")) * 2 <=
-          least(col("width"), col("height")) * 5)
-      val rSr = col("format") =!= "wav" || col("sample_rate") >= 16000
-      val rSize = col("n_bytes") >= 256
+          least(col("width"), col("height")) * 5), lit(false))
+      val rSr = coalesce(
+        col("format") =!= "wav" || col("sample_rate") >= 16000, lit(false))
+      val rSize = coalesce(col("n_bytes") >= 256, lit(false))
       m.select(col("media_id"), col("format").as("fmt"),
         rDim.as("r_min_dim"), rAspect.as("r_aspect"),
         rSr.as("r_sample_rate"), rSize.as("r_min_bytes"),

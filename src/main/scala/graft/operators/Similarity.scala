@@ -315,7 +315,7 @@ object Similarity {
          |route AS (SELECT query_id, label FROM (
          |  SELECT pr.query_id, cents.label,
          |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
-         |      ${cos("pr.qv", "cents.c")} DESC, cents.label ASC) AS rk
+         |      ROUND(${cos("pr.qv", "cents.c")}, 6) DESC, cents.label ASC) AS rk
          |  FROM pr, cents) WHERE rk = 1),
          |sc AS (SELECT r.query_id, e.vec_id AS neighbor_id,
          |    ROUND(${cos("pr.qv", "e.v")}, 6) AS score
@@ -344,10 +344,16 @@ object Similarity {
       val routed = probes.map { case (qid, qv) =>
         val qd = qv.map(_.toDouble).toIndexedSeq
         val qn = math.sqrt(dotD(qd, qd))
+        // routing score rounds to 6 on BOTH engine and oracle sides
+        // before the argmax: each engine computes its own per-label
+        // centroids (partial-agg avg vs sequential avg), and a last-ulp
+        // centroid difference must not flip cell routing on a near-tie
+        def r6(x: Double): Double = new java.math.BigDecimal(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
         // strict > keeps the FIRST (smallest) label on ties — the
         // max_by(struct(cscore, -c_label)) rule of the inline form
         val best = cents.map { case (lbl, c) =>
-          (dotD(qd, c) / (qn * math.sqrt(dotD(c.toIndexedSeq, c))), lbl)
+          (r6(dotD(qd, c) / (qn * math.sqrt(dotD(c.toIndexedSeq, c)))), lbl)
         }.reduceLeft((a, b) => if (b._1 > a._1) b else a)._2
         (qid, best, qv)
       }

@@ -61,7 +61,64 @@ object TextAnalysis {
     * for |V|; each −ln P is rounded to 6 and summed as DECIMAL(18,6) so
     * the mean is order-independent across engines. */
   private[operators] def lmDocScores(s: SparkSession, dir: String): DataFrame =
-    lmScoresOf(t(s, dir, "documents").select("doc_id", "text"))
+    sharedLmScores(s, dir)
+
+  /** Session-scoped SHARED held-out-LM score table — the
+    * [[Dedup.sharedNearDupPairs]] memo pattern applied one level up.
+    * Three consumers read the same (doc_id, n_bigrams, avg_nll) rows
+    * (q88 emits them, q110 buckets on them, q111 aggregates them per
+    * source), and before this memo each re-ran the full train + score
+    * pipeline — the dominant corpus pass multiplied by the consumer
+    * count, ~7 s of duplicated work at sf0.1 and the honest 100×-scale
+    * critique (round-6 VERDICT #1). A production curation run scores
+    * the corpus against the held-out model ONCE and persists the score
+    * table between stages; the parquet form here is exactly that
+    * artifact, billed to the bench `"build"` ledger as `lm_scores`. */
+  /** Session-scoped SHARED distinct word-5-gram frame (doc_id, b, g) —
+    * the per-doc DISTINCT 5-grams plus the md5 split bucket b ∈ [0,100)
+    * (b < 90 ⇔ train, ≥ 90 ⇔ holdout = val ∪ test). Three consumers
+    * explode the same corpus into the same gram set (q26 joins train
+    * grams against holdout grams, q103 computes first-occurrence
+    * novelty, q115's decon stage repeats q26's join inside the composed
+    * build) — one materialized gram table turns three corpus-wide
+    * explode passes into parquet scans, the same artifact-reuse posture
+    * as [[sharedLmScores]]. q87 is NOT a consumer: span removal needs
+    * POSITIONAL grams (start offsets), a different frame. */
+  private val gramTables =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private[operators] def sharedDocGrams(s: SparkSession, dir: String): DataFrame = {
+    val path = gramTables.getOrElseUpdate(
+      (System.identityHashCode(s), dir),
+      graft.BuildMetrics.timed("word5_grams") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-doc-grams").toString
+        val bucket = pmod(
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+          lit(100L))
+        t(s, dir, "documents")
+          .select(col("doc_id"), bucket.as("b"),
+            explode(graft.functions.NGrams.wordShingles(col("text"), 5))
+              .as("g"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
+
+  private val lmTables =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def sharedLmScores(s: SparkSession, dir: String): DataFrame = {
+    val path = lmTables.getOrElseUpdate(
+      (System.identityHashCode(s), dir),
+      graft.BuildMetrics.timed("lm_scores") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-lm-scores").toString
+        lmScoresOf(t(s, dir, "documents").select("doc_id", "text"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
 
   /** [[lmDocScores]] over an arbitrary (doc_id, text) frame — shared
     * with the streaming spec's batch recompute. */
@@ -1141,11 +1198,10 @@ object TextAnalysis {
       // the native WordShingles expression emits per-doc DISTINCT grams,
       // so (doc_id, g) needs no corpus-wide .distinct() — the first cut
       // paid a 2M-row wide-string dedup shuffle plus the interpreted
-      // per-element HOF cost (22s at sf0.1; this shape runs ~3s)
-      val dg = graft.CacheScope.persist(t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.NGrams.wordShingles(col("text"), 5))
-            .as("g")))
+      // per-element HOF cost (22s at sf0.1; this shape runs ~3s).
+      // Since r7 the gram frame itself is the shared session memo —
+      // both branches below scan the materialized parquet
+      val dg = sharedDocGrams(s, dir).select("doc_id", "g")
       val fst = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
       dg.join(fst, "g")
         .groupBy("doc_id")
@@ -1348,10 +1404,12 @@ object TextAnalysis {
          |s2 AS (SELECT CAST(sum(pos * (2 * (cum - cnt) + cnt + 1))
          |    AS BIGINT) AS s2 FROM cum)
          |SELECT tot.p AS n_pos, tot.nn AS n_neg,
-         |  round((s2.s2 - tot.p * (tot.p + 1)) / (2.0 * tot.p * tot.nn), 6)
-         |    AS auc,
-         |  round((s2.s2 - tot.p * (tot.p + 1)) / (1.0 * tot.p * tot.nn)
-         |    - 1.0, 6) AS gini
+         |  CASE WHEN tot.p > 0 AND tot.nn > 0 THEN
+         |    round((s2.s2 - tot.p * (tot.p + 1)) / (2.0 * tot.p * tot.nn), 6)
+         |    END AS auc,
+         |  CASE WHEN tot.p > 0 AND tot.nn > 0 THEN
+         |    round((s2.s2 - tot.p * (tot.p + 1)) / (1.0 * tot.p * tot.nn)
+         |      - 1.0, 6) END AS gini
          |FROM tot, s2""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val j = graft.CacheScope.persist(
         classifierScores(s, dir).select("score", "hi"))
@@ -1365,12 +1423,16 @@ object TextAnalysis {
           col("cnt") + 1)).cast("long").as("s2"))
       val tot = j.agg(sum("hi").cast("long").as("p"),
         (count(lit(1)) - sum("hi")).cast("long").as("nn"))
+      // AUC is undefined when either class is empty: emit NULL on BOTH
+      // engine and oracle sides rather than letting Spark's NULL-on-
+      // zero-divide disagree with DuckDB's inf/NaN double division
+      val defined = col("p") > 0 && col("nn") > 0
       tot.crossJoin(broadcast(s2))
         .select(col("p").as("n_pos"), col("nn").as("n_neg"),
-          round((col("s2") - col("p") * (col("p") + 1)) /
-            (lit(2.0) * col("p") * col("nn")), 6).as("auc"),
-          round((col("s2") - col("p") * (col("p") + 1)) /
-            (lit(1.0) * col("p") * col("nn")) - 1.0, 6).as("gini"))
+          when(defined, round((col("s2") - col("p") * (col("p") + 1)) /
+            (lit(2.0) * col("p") * col("nn")), 6)).as("auc"),
+          when(defined, round((col("s2") - col("p") * (col("p") + 1)) /
+            (lit(1.0) * col("p") * col("nn")) - 1.0, 6)).as("gini"))
     }
   )
 }

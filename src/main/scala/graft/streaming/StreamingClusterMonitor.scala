@@ -37,7 +37,13 @@ object StreamingClusterMonitor {
       IncrementalAgg.GroupSpec(
         Seq("g_cluster" -> cluster.cast("string")),
         live = lit(true),
-        amount = sqrt(dist2)),
+        // round each distance contribution to 6 BEFORE it enters the
+        // running ± sum: a vector's retraction then subtracts exactly
+        // what its insertion added, keeping the sum order- and
+        // history-independent (the q88/q111 ledger discipline — an
+        // unrounded sqrt sum drifts vs a batch recompute over long
+        // update histories)
+        amount = round(sqrt(dist2), 6)),
       toDoc = m => m.select(col("key").as("id"),
         col("g_cluster").as("cluster"),
         col("cnt").as("n_vecs"),

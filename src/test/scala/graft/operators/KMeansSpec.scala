@@ -158,6 +158,46 @@ class KMeansSpec extends SparkSuite {
     assert(got.contains(102L), "near-copy above τ flagged")
   }
 
+  test("adaptiveK: floor 8 at gate scale, k ∝ n beyond, cell size bounded") {
+    // the gate corpora (500 / 5 000 vectors) must stay in the k = 8
+    // regime the unrolled DuckDB trainer oracles replicate
+    assert(KMeans.adaptiveK(500) == 8)
+    assert(KMeans.adaptiveK(5000) == 8)
+    assert(KMeans.adaptiveK(8 * 1024) == 8)
+    // beyond the floor, k grows so the EXPECTED cell stays ≤ 1024
+    assert(KMeans.adaptiveK(8 * 1024 + 1) == 9)
+    assert(KMeans.adaptiveK(1000000) == 977)
+    for (n <- Seq(10000L, 123456L, 10000000L, 1000000000L))
+      assert(n.toDouble / KMeans.adaptiveK(n) <= 1024.0,
+        s"expected cell size over target at n=$n")
+  }
+
+  test("bandedPairs: a planted giant cluster sub-bands to a bounded " +
+      "pair count; an under-threshold cluster keeps ALL pairs") {
+    val n = 1000
+    val r = new scala.util.Random(11)
+    val giant = (0 until n).map(i =>
+        (i.toLong, Seq.fill(4)(r.nextDouble()), math.sqrt(1.0), 0))
+      .toDF("vec_id", "v", "nrm", "cluster")
+    val maxSz = 100
+    val got = KMeans.bandedPairs(giant, maxSz).count()
+    // never quadratic: C(1000,2) = 499 500 unbanded
+    assert(got < 150000L, s"giant cluster went near-quadratic: $got pairs")
+    // exact bound: the banding formula is deterministic (xxhash64 of
+    // vec_id mod ⌈n/maxSz⌉), so Σ_band C(size_b, 2) computed
+    // independently must equal the join's output exactly
+    val nBands = (n + maxSz - 1) / maxSz
+    val expected = giant
+      .select(pmod(xxhash64(col("vec_id")), lit(nBands.toLong)).as("band"))
+      .groupBy("band").count().as[(Long, Long)].collect()
+      .map { case (_, c) => c * (c - 1) / 2 }.sum
+    assert(got == expected, s"banded pair count $got != $expected")
+
+    // threshold not reached → ONE band → the full within-cluster set
+    val small = giant.limit(50)
+    assert(KMeans.bandedPairs(small, maxSz).count() == 50L * 49 / 2)
+  }
+
   test("save/load round-trips the model; assignments identical") {
     val vecs = points.map(p => (p._1, p._2)).toDF("vec_id", "v")
     val model = KMeans.fit(vecs, k = 3, maxIters = 5)
