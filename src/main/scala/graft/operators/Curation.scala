@@ -22,9 +22,10 @@ object Curation {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Shared with the q36 oracle: near-dup clusters (jaccard ≥ 0.8 on
-    * word 3-shingles) via DuckDB's recursive reachability. */
-  private val clusterCtes =
+  /** Shared with the q36 oracle (and q118's histogram): near-dup
+    * clusters (jaccard ≥ 0.8 on word 3-shingles) via DuckDB's recursive
+    * reachability. */
+  private[operators] val clusterCtes =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
       |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),

@@ -773,6 +773,34 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"),
           count(col("dup")).as("n_dup_docs"),
           round(count(col("dup")) * 1.0 / count(lit(1)), 6).as("dup_rate"))
+    },
+
+    /** Near-dup cluster-SIZE histogram — the giant-cluster hazard gauge
+      * the dedup audit was missing (r6 VERDICT stretch #8): how many
+      * clusters of each size the corpus produced. A fat tail here is the
+      * early warning for exactly the failure mode [[KMeans.bandedPairs]]
+      * and the pair table's df caps guard against — one template/
+      * boilerplate family chaining thousands of docs into a single
+      * component, where per-cluster work (re-scoring, survivor
+      * selection) goes quadratic. Cost: two bounded aggregates over the
+      * session-shared cluster table (cluster-keyed count, then
+      * size-keyed count — shuffle ∝ cluster count, then ∝ distinct
+      * sizes), plus the size of the LARGEST cluster joined in as the
+      * headline number via a 1-row broadcast. */
+    QueryDef("q118_cluster_sizes",
+      s"""WITH RECURSIVE ${Curation.clusterCtes},
+         |cs AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM clusters GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST((SELECT max(cluster_size) FROM cs) AS BIGINT) AS max_size
+         |FROM cs GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val sizes = sharedNearDupClusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      val mx = sizes.agg(max("cluster_size").as("max_size"))
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(mx))
     }
   )
 

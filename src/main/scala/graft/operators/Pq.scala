@@ -249,6 +249,155 @@ object Pq {
       fit(e, m = 16, k = 16, maxIters = 5)
     })
 
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
+
+  /** DuckDB replica of the ENTIRE PQ pipeline through the probe
+    * distance tables — the q43/q44 unrolled-trainer recipe applied to
+    * product quantization, turning q97/q99 from no-oracle rows into
+    * hash-compared ones (r6 VERDICT #4). The chain replicates [[fit]]
+    * exactly:
+    *  - farthest-point seeds over FULL vectors (16 seeds, same
+    *    `cn − 2·v·c` comparison key and (nd DESC, vec_id) tie order as
+    *    [[KMeans.farthestPointInit]]), sliced per subspace into cb0;
+    *  - 5 joint Lloyd rounds over the exploded (vec_id, sub, vs) frame:
+    *    assignment by row_number (d ASC, code ASC) — [[argminCode]]'s
+    *    strict-< fold — and exact per-(sub, code, pos) means, empty
+    *    codes keeping their previous centroid (LEFT JOIN + coalesce);
+    *    the engine's `moved < tol` early stop needs no replica because
+    *    extra unrolled rounds past a fixpoint are identity;
+    *  - `enc` = the corpus encoded under cb5 (the engine's memoized
+    *    codes table), `qt` = each probe's m×k asymmetric distance table
+    *    ([[distanceTable]]'s ‖q_s − c‖² entries).
+    * `AS MATERIALIZED` throughout — every CTE is referenced more than
+    * once and DuckDB's inlining would re-run the trainer exponentially
+    * (the Bpe.bpeCtes lesson). Float parity: all dots are the same
+    * left-to-right double folds both engines use everywhere (q42
+    * precedent); the only cross-engine risk is a shortlist-boundary
+    * near-tie in the ADC sums, which the synthetic corpus's margins
+    * keep clear of (verified green at the gate). */
+  private val pqTrainCtes: String = {
+    def d(a: String, b: String) = dotSql(a, b)
+    val head = Seq(
+      "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      "sd1 AS MATERIALIZED (SELECT v AS c FROM e ORDER BY vec_id LIMIT 1)",
+      s"d1 AS MATERIALIZED (SELECT e.vec_id, e.v, ${d("sd1.c", "sd1.c")} - 2.0 * ${d("e.v", "sd1.c")} AS nd FROM e, sd1)")
+    val seeds = (2 to 16).flatMap { k =>
+      val sd = s"sd$k AS MATERIALIZED (SELECT v AS c FROM d${k - 1} ORDER BY nd DESC, vec_id LIMIT 1)"
+      if (k < 16) Seq(sd,
+        s"d$k AS MATERIALIZED (SELECT d.vec_id, d.v, least(d.nd, ${d("s.c", "s.c")} - 2.0 * ${d("d.v", "s.c")}) AS nd FROM d${k - 1} d, sd$k s)")
+      else Seq(sd)
+    }
+    val seed = "seed AS MATERIALIZED (" + (0 until 16)
+      .map(i => s"SELECT $i AS code, c FROM sd${i + 1}")
+      .mkString(" UNION ALL ") + ")"
+    val cb0 = "cb0 AS MATERIALIZED (SELECT CAST(s.sub AS INT) AS sub, seed.code, " +
+      "seed.c[CAST(s.sub*4+1 AS INT):CAST(s.sub*4+4 AS INT)] AS c " +
+      "FROM seed, unnest(range(16)) AS s(sub))"
+    val sv = "sv AS MATERIALIZED (SELECT e.vec_id, CAST(s.sub AS INT) AS sub, " +
+      "e.v[CAST(s.sub*4+1 AS INT):CAST(s.sub*4+4 AS INT)] AS vs " +
+      "FROM e, unnest(range(16)) AS s(sub))"
+    val svx = "svx AS MATERIALIZED (SELECT vec_id, sub, unnest(vs) AS val, " +
+      "generate_subscripts(vs, 1) AS pos FROM sv)"
+    val iters = (1 to 5).flatMap { t =>
+      val prev = s"cb${t - 1}"
+      Seq(
+        s"""pa$t AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+           |  SELECT sv.vec_id, sv.sub, cb.code,
+           |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+           |      ${d("cb.c", "cb.c")} - 2.0 * ${d("sv.vs", "cb.c")} ASC, cb.code ASC) AS rk
+           |  FROM sv JOIN $prev cb ON cb.sub = sv.sub) WHERE rk = 1)""".stripMargin,
+        s"""pm$t AS MATERIALIZED (SELECT sub, code,
+           |    list_transform(range(4), p -> avgs[CAST(p+1 AS INT)]) AS c FROM (
+           |  SELECT sub, code, array_agg(m ORDER BY pos) AS avgs FROM (
+           |    SELECT a.sub, a.code, x.pos, avg(x.val) AS m
+           |    FROM pa$t a JOIN svx x ON a.vec_id = x.vec_id AND a.sub = x.sub
+           |    GROUP BY 1, 2, 3) GROUP BY 1, 2))""".stripMargin,
+        s"""cb$t AS MATERIALIZED (SELECT p.sub, p.code, coalesce(m.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN pm$t m ON p.sub = m.sub AND p.code = m.code)""".stripMargin)
+    }
+    val enc =
+      s"""enc AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+         |  SELECT sv.vec_id, sv.sub, cb.code,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+         |      ${d("cb.c", "cb.c")} - 2.0 * ${d("sv.vs", "cb.c")} ASC, cb.code ASC) AS rk
+         |  FROM sv JOIN cb5 cb ON cb.sub = sv.sub) WHERE rk = 1)""".stripMargin
+    val pr = "pr AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)"
+    val qsub = "qsub AS MATERIALIZED (SELECT query_id, CAST(s.sub AS INT) AS sub, " +
+      "qv[CAST(s.sub*4+1 AS INT):CAST(s.sub*4+4 AS INT)] AS qs " +
+      "FROM pr, unnest(range(16)) AS s(sub))"
+    val qt =
+      s"""qt AS MATERIALIZED (SELECT q.query_id, q.sub, cb.code,
+         |    ${d("q.qs", "q.qs")} - 2.0 * ${d("q.qs", "cb.c")} + ${d("cb.c", "cb.c")} AS dt
+         |  FROM qsub q JOIN cb5 cb ON cb.sub = q.sub)""".stripMargin
+    (head ++ seeds ++ Seq(seed, cb0, sv, svx) ++ iters ++ Seq(enc, pr, qsub, qt))
+      .mkString(",\n")
+  }
+
+  /** q97's oracle: flat ADC shortlist (50 = topK × 10, ties
+    * (d2 ASC, id ASC) — [[graft.functions.TopKAggregator]]'s order)
+    * then exact re-rank of the shortlist, top 5. */
+  private val pqAnnOracle: String = {
+    def d(a: String, b: String) = dotSql(a, b)
+    (s"WITH $pqTrainCtes,\n" +
+      s"""adc AS MATERIALIZED (SELECT t.query_id, c.vec_id, sum(t.dt) AS ad2
+         |  FROM enc c JOIN qt t ON t.sub = c.sub AND t.code = c.code
+         |  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+         |short AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ad2 ASC, vec_id ASC) AS rk FROM adc) WHERE rk <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+         |    ${d("pr.qv", "pr.qv")} - 2.0 * ${d("pr.qv", "e2.v")} + ${d("e2.v", "e2.v")} AS d2
+         |  FROM short s JOIN pr ON pr.query_id = s.query_id
+         |  JOIN e e2 ON e2.vec_id = s.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(greatest(d2, 0.0), 6) AS d2 FROM (
+         |  SELECT query_id, neighbor_id, d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 5""".stripMargin).replace("\n", " ")
+  }
+
+  /** q99's oracle: the same trained codes, routed — per-label mean
+    * centroids (the GIVEN cell layout, q42's oracle), each probe to its
+    * 2 nearest cells by the engine's elementwise Σ(a−b)² euclidean,
+    * ADC shortlist over ONLY the probed cells' members, exact re-rank. */
+  private val ivfPqOracle: String = {
+    def d(a: String, b: String) = dotSql(a, b)
+    (s"WITH $pqTrainCtes,\n" +
+      s"""el AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |lx AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM el),
+         |lc AS MATERIALIZED (SELECT label,
+         |    list_transform(range(64), p -> avgs[CAST(p+1 AS INT)]) AS c FROM (
+         |  SELECT label, array_agg(m ORDER BY pos) AS avgs FROM (
+         |    SELECT label, pos, avg(val) AS m FROM lx GROUP BY 1, 2) GROUP BY 1)),
+         |route AS MATERIALIZED (SELECT query_id, label FROM (
+         |  SELECT pr.query_id, lc.label,
+         |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+         |      list_sum(list_transform(range(64),
+         |        i -> (pr.qv[i+1] - lc.c[i+1]) * (pr.qv[i+1] - lc.c[i+1]))) ASC,
+         |      lc.label ASC) AS rk
+         |  FROM pr, lc) WHERE rk <= 2),
+         |adc AS MATERIALIZED (SELECT r.query_id, el.vec_id, sum(t.dt) AS ad2
+         |  FROM route r JOIN el ON el.label = r.label AND el.vec_id <> r.query_id
+         |  JOIN enc c ON c.vec_id = el.vec_id
+         |  JOIN qt t ON t.query_id = r.query_id AND t.sub = c.sub AND t.code = c.code
+         |  GROUP BY 1, 2),
+         |short AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ad2 ASC, vec_id ASC) AS rk FROM adc) WHERE rk <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+         |    ${d("pr.qv", "pr.qv")} - 2.0 * ${d("pr.qv", "e2.v")} + ${d("e2.v", "e2.v")} AS d2
+         |  FROM short s JOIN pr ON pr.query_id = s.query_id
+         |  JOIN el e2 ON e2.vec_id = s.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(greatest(d2, 0.0), 6) AS d2 FROM (
+         |  SELECT query_id, neighbor_id, d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 5""".stripMargin).replace("\n", " ")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     /** PQ-compressed ANN, full production shape: encode the corpus
@@ -258,11 +407,12 @@ object Pq {
       * of the vector energy as quantization noise (shortlist recall
       * 0.40 at depth 20); m=16×k=16 with a 10× shortlist captures
       * ~0.9 of the exact top-5 before the exact pass fixes the order.
-      * Approximate by design (no SQL oracle); `PqSpec` pins recall
+      * Oracle-checked since r7 ([[pqAnnOracle]] — the deterministic
+      * trainer unrolled as CTEs); `PqSpec` additionally pins recall
       * against exact euclidean brute force, the ADC identity
       * (self-distance == the directly-computed quantization error),
       * the Lloyd centroid-mean invariant, and determinism. */
-    QueryDef.noOracle("q97_pq_ann") { (s, dir) =>
+    QueryDef("q97_pq_ann", pqAnnOracle) { (s, dir) =>
       val model = fittedModel(s, dir)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
@@ -281,11 +431,12 @@ object Pq {
       * partitions (4–16 bytes a vector) for the ADC shortlist, and
       * (c) only the shortlisted raw vectors — again from pruned cell
       * partitions — for the exact re-rank. Nothing corpus-sized is
-      * ever scanned at full precision. `PlanSpec` pins the partition
-      * filters on both reads; `PqSpec` pins the machinery exactly
-      * (full-shortlist search == brute force within the probed
-      * cells). */
-    QueryDef.noOracle("q99_ivfpq_topk") { (s, dir) =>
+      * ever scanned at full precision. Oracle-checked since r7
+      * ([[ivfPqOracle]] — trained codes + routed cells, unrolled);
+      * `PlanSpec` pins the partition filters on both reads; `PqSpec`
+      * pins the machinery exactly (full-shortlist search == brute force
+      * within the probed cells). */
+    QueryDef("q99_ivfpq_topk", ivfPqOracle) { (s, dir) =>
       ivfPqSearch(s, dir, topK = 5, nprobe = 2, shortlist = 10)
     }
   )

@@ -63,17 +63,6 @@ object TextAnalysis {
   private[operators] def lmDocScores(s: SparkSession, dir: String): DataFrame =
     sharedLmScores(s, dir)
 
-  /** Session-scoped SHARED held-out-LM score table — the
-    * [[Dedup.sharedNearDupPairs]] memo pattern applied one level up.
-    * Three consumers read the same (doc_id, n_bigrams, avg_nll) rows
-    * (q88 emits them, q110 buckets on them, q111 aggregates them per
-    * source), and before this memo each re-ran the full train + score
-    * pipeline — the dominant corpus pass multiplied by the consumer
-    * count, ~7 s of duplicated work at sf0.1 and the honest 100×-scale
-    * critique (round-6 VERDICT #1). A production curation run scores
-    * the corpus against the held-out model ONCE and persists the score
-    * table between stages; the parquet form here is exactly that
-    * artifact, billed to the bench `"build"` ledger as `lm_scores`. */
   /** Session-scoped SHARED distinct word-5-gram frame (doc_id, b, g) —
     * the per-doc DISTINCT 5-grams plus the md5 split bucket b ∈ [0,100)
     * (b < 90 ⇔ train, ≥ 90 ⇔ holdout = val ∪ test). Three consumers
@@ -105,6 +94,17 @@ object TextAnalysis {
     s.read.parquet(path)
   }
 
+  /** Session-scoped SHARED held-out-LM score table — the
+    * [[Dedup.sharedNearDupPairs]] memo pattern applied one level up.
+    * Three consumers read the same (doc_id, n_bigrams, avg_nll) rows
+    * (q88 emits them, q110 buckets on them, q111 aggregates them per
+    * source), and before this memo each re-ran the full train + score
+    * pipeline — the dominant corpus pass multiplied by the consumer
+    * count, ~7 s of duplicated work at sf0.1 and the honest 100×-scale
+    * critique (round-6 VERDICT #1). A production curation run scores
+    * the corpus against the held-out model ONCE and persists the score
+    * table between stages; the parquet form here is exactly that
+    * artifact, billed to the bench `"build"` ledger as `lm_scores`. */
   private val lmTables =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
   private def sharedLmScores(s: SparkSession, dir: String): DataFrame = {
