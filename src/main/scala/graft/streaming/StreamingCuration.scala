@@ -49,6 +49,71 @@ object StreamingCuration {
     StructField("key", StringType),
     StructField("cluster_id", StringType)))
 
+  /** Post-batch near-dup cluster assignment plus the docs whose
+    * survivor status may have changed: `newLabels` = (key, cluster_id)
+    * over the post-batch pair graph, `labelDiff` = (key) rows that
+    * appeared, disappeared or moved cluster vs the pre-batch labels.
+    * Factored out of [[curatedView]] so the composed pipeline view
+    * ([[StreamingPipelineCorpus]]) maintains ONE pair/label state with
+    * the same machinery. */
+  private[streaming] final case class ClusterState(
+      newLabels: DataFrame, labelDiff: DataFrame)
+
+  /** Steps 1–2 of [[curatedView]]: pair-state maintenance + star
+    * re-contraction + label diff. All merges carry the batchId
+    * (replay-idempotent); `newLabels` is persisted and deferred. */
+  private[streaming] def maintainClusterState(
+      sigTable: ParquetKeyedTable, bucketTable: ParquetKeyedTable,
+      pairTable: ParquetKeyedTable, labelTable: ParquetKeyedTable,
+      post: StateAccess, batch: Map[String, DataFrame], ctx: BatchCtx,
+      table: String, textCol: String, threshold: Double,
+      bandRows: Int, nBands: Int, shingleN: Int): ClusterState = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // 1. pair maintenance (shared machinery with the near-dup view)
+    val delta = StreamingDedup.maintainPairState(
+      sigTable, bucketTable, post, batch, ctx,
+      table, textCol, threshold, bandRows, nBands, shingleN)
+    val pairUpserts = delta.verified.select(
+      Keys.pair(col("doc_a"), col("doc_b")).as("key"),
+      col("doc_a"), col("doc_b"))
+    val pairDeletes = delta.retractCandidates
+      .select(Keys.pair(col("doc_a"), col("doc_b")).as("key"))
+      .join(pairUpserts.select("key"), Seq("key"), "left_anti")
+    pairTable.merge(pairUpserts, pairDeletes, ctx.batchId)
+
+    // 2. cluster labels over the post-batch pair graph (on replay the
+    // merge above skipped, so `version` is already the post state)
+    val postPairs = pairTable
+      .snapshotAt(pairTable.version, pairSchema)
+      .select(col("doc_a"), col("doc_b"))
+    val newLabels = Dedup.clusterPairsStar(postPairs)
+      .select(col("doc_id").as("key"), col("cluster_id"))
+      .persist(mem)
+    ctx.defer(newLabels.unpersist())
+
+    val preLabelV = ctx.batchId match {
+      case Some(id) => labelTable.versionBefore(id)
+      case None     => labelTable.version
+    }
+    val oldLabels = labelTable.snapshotAt(preLabelV, labelSchema)
+    labelTable.merge(newLabels,
+      oldLabels.select("key").join(newLabels.select("key"),
+        Seq("key"), "left_anti"),
+      ctx.batchId)
+
+    // survivor status can only change where the label row changed
+    // (appeared, disappeared, or moved cluster) — or where the text
+    // itself changed (the batch docs)
+    val labelDiff = oldLabels.withColumnRenamed("cluster_id", "old_cid")
+      .join(newLabels.withColumnRenamed("cluster_id", "new_cid"),
+        Seq("key"), "full_outer")
+      .filter(col("old_cid").isNull || col("new_cid").isNull ||
+        col("old_cid") =!= col("new_cid"))
+      .select("key")
+    ClusterState(newLabels, labelDiff)
+  }
+
   /** Continuous curated-corpus view over a CDC `documents`-shaped source.
     * Sink documents: (id = doc_id, split, quality). Defaults match batch
     * q39: word 3-shingles, 32×2 banding, jaccard ≥ 0.8, quality ≥ 0.5,
@@ -71,49 +136,12 @@ object StreamingCuration {
     ViewDef(name, (pre, post, batch, ctx) => {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-      // 1. pair maintenance (shared machinery with the near-dup view)
-      val delta = StreamingDedup.maintainPairState(
-        sigTable, bucketTable, post, batch, ctx,
-        table, textCol, threshold, bandRows, nBands, shingleN)
-      val pairUpserts = delta.verified.select(
-        Keys.pair(col("doc_a"), col("doc_b")).as("key"),
-        col("doc_a"), col("doc_b"))
-      val pairDeletes = delta.retractCandidates
-        .select(Keys.pair(col("doc_a"), col("doc_b")).as("key"))
-        .join(pairUpserts.select("key"), Seq("key"), "left_anti")
-      pairTable.merge(pairUpserts, pairDeletes, ctx.batchId)
-
-      // 2. cluster labels over the post-batch pair graph (on replay the
-      // merge above skipped, so `version` is already the post state)
-      val postPairs = pairTable
-        .snapshotAt(pairTable.version, pairSchema)
-        .select(col("doc_a"), col("doc_b"))
-      val newLabels = Dedup.clusterPairsStar(postPairs)
-        .select(col("doc_id").as("key"), col("cluster_id"))
-        .persist(mem)
-      ctx.defer(newLabels.unpersist())
-
-      val preLabelV = ctx.batchId match {
-        case Some(id) => labelTable.versionBefore(id)
-        case None     => labelTable.version
-      }
-      val oldLabels = labelTable.snapshotAt(preLabelV, labelSchema)
-      labelTable.merge(newLabels,
-        oldLabels.select("key").join(newLabels.select("key"),
-          Seq("key"), "left_anti"),
-        ctx.batchId)
-
-      // survivor status can only change where the label row changed
-      // (appeared, disappeared, or moved cluster) — or where the text
-      // itself changed (the batch docs)
-      val labelDiff = oldLabels.withColumnRenamed("cluster_id", "old_cid")
-        .join(newLabels.withColumnRenamed("cluster_id", "new_cid"),
-          Seq("key"), "full_outer")
-        .filter(col("old_cid").isNull || col("new_cid").isNull ||
-          col("old_cid") =!= col("new_cid"))
-        .select("key")
+      val cs = maintainClusterState(sigTable, bucketTable, pairTable,
+        labelTable, post, batch, ctx, table, textCol, threshold,
+        bandRows, nBands, shingleN)
+      val newLabels = cs.newLabels
       val affected = batch(table).select("key")
-        .union(labelDiff).distinct().persist(mem)
+        .union(cs.labelDiff).distinct().persist(mem)
       ctx.defer(affected.unpersist())
 
       // 3. re-evaluate ONLY the affected docs: pruned post-state text

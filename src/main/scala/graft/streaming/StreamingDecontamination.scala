@@ -55,37 +55,37 @@ object StreamingDecontamination {
   private def isTrain(text: Column): Column =
     pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"), lit(100L)) < 90
 
-  /** Continuous decontamination view over a CDC `documents`-shaped
-    * source. Sink documents: (id = doc key, n_shared_grams). Defaults
-    * match batch q26 (word 5-grams). */
-  def decontaminationView(
-      spark: SparkSession, stateDir: String,
-      name: String = "decontamination", table: String = "documents",
-      textCol: String = "text", gramN: Int = 5,
-      buckets: Int = 32): ViewDef = {
-    val hTable =
-      new ParquetKeyedTable(spark, s"$stateDir/$name-hgrams", "key", buckets)
-    val tTable =
-      new ParquetKeyedTable(spark, s"$stateDir/$name-tgrams", "key", buckets)
+  /** Gram-state transition for one batch: `transHolders` = (key) the
+    * RESIDENT train docs whose contamination answer may have changed
+    * because a gram entered or left the holdout set, and `sharedCounts`
+    * = post-merge scorer for an arbitrary doc set — (id, n_shared_grams)
+    * for the train docs among them sharing ≥1 holdout gram. Factored
+    * out of [[decontaminationView]] for the composed pipeline view. */
+  private[streaming] final case class GramState(
+      transHolders: DataFrame, sharedCounts: DataFrame => DataFrame)
 
-    ViewDef(name, (pre, post, batch, ctx) => {
-      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      def pin(t: ParquetKeyedTable): Option[Int] = ctx.batchId match {
-        case Some(id) => t.versionBefore(id)
-        case None     => t.version
-      }
-      val preHV = pin(hTable)
-      val preTV = pin(tTable)
+  private[streaming] def maintainGramState(
+      hTable: ParquetKeyedTable, tTable: ParquetKeyedTable,
+      pre: StateAccess, post: StateAccess,
+      batch: Map[String, DataFrame], ctx: BatchCtx,
+      table: String, textCol: String, gramN: Int): GramState = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def pin(t: ParquetKeyedTable): Option[Int] = ctx.batchId match {
+      case Some(id) => t.versionBefore(id)
+      case None     => t.version
+    }
+    val preHV = pin(hTable)
+    val preTV = pin(tTable)
 
-      val touched = batch(table).select("key").distinct().persist(mem)
-      ctx.defer(touched.unpersist())
+    val touched = batch(table).select("key").distinct().persist(mem)
+    ctx.defer(touched.unpersist())
 
-      // per-doc DISTINCT grams (wordShingles dedups) with the split tag
-      def grams(docs: DataFrame): DataFrame = docs
-        .select(col("key").as("doc"), isTrain(col(textCol)).as("train"),
-          explode(graft.functions.NGrams.wordShingles(col(textCol), gramN))
-            .as("gram"))
-        .select(col("doc"), col("train"), md5(col("gram")).as("g"))
+    // per-doc DISTINCT grams (wordShingles dedups) with the split tag
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(col("key").as("doc"), isTrain(col(textCol)).as("train"),
+        explode(graft.functions.NGrams.wordShingles(col(textCol), gramN))
+          .as("gram"))
+      .select(col("doc"), col("train"), md5(col("gram")).as("g"))
 
       val preG = grams(pre.rows(table, touched)).persist(mem)
       ctx.defer(preG.unpersist())
@@ -138,29 +138,53 @@ object StreamingDecontamination {
       val emptiedT = affectedT.join(tRows.select("key"), Seq("key"), "left_anti")
       tTable.merge(tRows, emptiedT, ctx.batchId)
 
-      // 4. re-score: B's docs + every train holder of a transitioned
-      // gram — resident holders from the PRE index (their post rows are
-      // unchanged: they are not in B), batch holders from postG
-      val transHolders = tTable
-        .rowsForKeysAt(preTV, memberSchema, transitions.select(col("g").as("key")))
-        .select(explode(col("members")).as("key"))
-        .union(postG.filter(col("train"))
-          .join(transitions, Seq("g"), "left_semi").select(col("doc").as("key")))
-      val affectedDocs = touched.union(transHolders).distinct().persist(mem)
-      ctx.defer(affectedDocs.unpersist())
+    // the re-score set beyond B itself: every train holder of a
+    // transitioned gram — resident holders from the PRE index (their
+    // post rows are unchanged: they are not in B), batch holders from
+    // postG
+    val transHolders = tTable
+      .rowsForKeysAt(preTV, memberSchema, transitions.select(col("g").as("key")))
+      .select(explode(col("members")).as("key"))
+      .union(postG.filter(col("train"))
+        .join(transitions, Seq("g"), "left_semi").select(col("doc").as("key")))
 
-      val scoreG = grams(post.rows(table, affectedDocs))
+    val sharedCounts = (docs: DataFrame) => {
+      val scoreG = grams(post.rows(table, docs))
         .filter(col("train"))
       // post-merge holdout membership: identical on replay (merge skipped,
       // table already at the post-batch version)
       val hLive = hTable.rowsForKeys(cntSchema,
         scoreG.select(col("g").as("key")).distinct())
         .filter(col("cnt") > 0)
-      val upserts = scoreG
+      scoreG
         .join(hLive.withColumnRenamed("key", "g"), Seq("g"), "left_semi")
         .groupBy("doc").agg(count(lit(1)).as("n_shared_grams"))
         .select(col("doc").as("id"), col("n_shared_grams"))
-        .persist(mem)
+    }
+    GramState(transHolders, sharedCounts)
+  }
+
+  /** Continuous decontamination view over a CDC `documents`-shaped
+    * source. Sink documents: (id = doc key, n_shared_grams). Defaults
+    * match batch q26 (word 5-grams). */
+  def decontaminationView(
+      spark: SparkSession, stateDir: String,
+      name: String = "decontamination", table: String = "documents",
+      textCol: String = "text", gramN: Int = 5,
+      buckets: Int = 32): ViewDef = {
+    val hTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-hgrams", "key", buckets)
+    val tTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-tgrams", "key", buckets)
+
+    ViewDef(name, (pre, post, batch, ctx) => {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val gs = maintainGramState(hTable, tTable, pre, post, batch, ctx,
+        table, textCol, gramN)
+      val affectedDocs = batch(table).select("key")
+        .union(gs.transHolders).distinct().persist(mem)
+      ctx.defer(affectedDocs.unpersist())
+      val upserts = gs.sharedCounts(affectedDocs).persist(mem)
       ctx.defer(upserts.unpersist())
       val deletes = affectedDocs.select(col("key").as("id"))
         .join(upserts.select("id"), Seq("id"), "left_anti")

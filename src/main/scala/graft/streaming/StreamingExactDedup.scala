@@ -27,6 +27,76 @@ object StreamingExactDedup {
     StructField("key", StringType),
     StructField("members", ArrayType(StringType))))
 
+  /** Post-merge fingerprint-group state for one batch: `postMembers` =
+    * (fp, member) of every group the batch touched, `emptied` = (key)
+    * groups that lost their last member, `affectedMembers` = (key) all
+    * pre ∪ post members of touched groups (the docs whose survivor
+    * status may have flipped), and `losersAmong` = pruned post-merge
+    * lookup resolving which of an ARBITRARY doc set are exact losers
+    * (their group's minimum member is someone else). Factored out of
+    * [[exactDedupView]] for the composed pipeline view. */
+  private[streaming] final case class FpState(
+      postMembers: DataFrame, emptied: DataFrame,
+      affectedMembers: DataFrame, losersAmong: DataFrame => DataFrame)
+
+  private[streaming] def maintainFpState(
+      postings: ParquetKeyedTable, pre: StateAccess, post: StateAccess,
+      batch: Map[String, DataFrame], ctx: BatchCtx,
+      table: String, textCol: String): FpState = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val preV = ctx.batchId match {
+      case Some(id) => postings.versionBefore(id)
+      case None     => postings.version
+    }
+    val touched = batch(table).select("key").distinct().persist(mem)
+    ctx.defer(touched.unpersist())
+
+    def fps(rows: DataFrame): DataFrame = rows
+      .select(col("key").as("doc_id"),
+        sha2(col(textCol), 256).as("fp"))
+
+    val oldFps = fps(pre.rows(table, touched)).persist(mem)
+    ctx.defer(oldFps.unpersist())
+    val newFps = fps(post.rows(table, touched)).persist(mem)
+    ctx.defer(newFps.unpersist())
+
+    val affected = oldFps.select("fp").union(newFps.select("fp"))
+      .distinct().withColumnRenamed("fp", "key").persist(mem)
+    ctx.defer(affected.unpersist())
+    val preMembers = postings.rowsForKeysAt(preV, postSchema, affected)
+      .select(col("key").as("fp"), explode(col("members")).as("member"))
+      .persist(mem)
+    ctx.defer(preMembers.unpersist())
+    val postMembers = preMembers.join(
+        touched.withColumnRenamed("key", "member"), Seq("member"),
+        "left_anti")
+      .unionByName(newFps.select(col("fp"), col("doc_id").as("member")))
+      .persist(mem)
+    ctx.defer(postMembers.unpersist())
+
+    val rows = postMembers.groupBy("fp")
+      .agg(collect_list("member").as("members"))
+      .select(col("fp").as("key"), col("members"))
+    val emptied = affected.join(rows.select("key"), Seq("key"), "left_anti")
+    postings.merge(rows, emptied, ctx.batchId)
+
+    val affectedMembers = preMembers.select(col("member").as("key"))
+      .union(postMembers.select(col("member").as("key"))).distinct()
+    val losersAmong = (docs: DataFrame) => {
+      // post-merge postings (on replay the merge skipped, so `version`
+      // is already the post state — the hLive pattern)
+      val docFps = fps(post.rows(table, docs))
+      val members = postings.rowsForKeys(postSchema,
+          docFps.select(col("fp").as("key")).distinct())
+        .select(col("key").as("fp"), explode(col("members")).as("member"))
+      docFps.join(members.groupBy("fp").agg(min("member").as("keep_id")),
+          Seq("fp"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as("key"))
+    }
+    FpState(postMembers, emptied, affectedMembers, losersAmong)
+  }
+
   def exactDedupView(
       spark: SparkSession, stateDir: String,
       name: String = "exact_dedup", table: String = "documents",
@@ -35,46 +105,14 @@ object StreamingExactDedup {
       new ParquetKeyedTable(spark, s"$stateDir/$name-post", "key", buckets)
 
     ViewDef(name, (pre, post, batch, ctx) => {
-      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val preV = ctx.batchId match {
-        case Some(id) => postings.versionBefore(id)
-        case None     => postings.version
-      }
-      val touched = batch(table).select("key").distinct().persist(mem)
-      ctx.defer(touched.unpersist())
-
-      def fps(rows: DataFrame): DataFrame = rows
-        .select(col("key").as("doc_id"),
-          sha2(col(textCol), 256).as("fp"))
-
-      val oldFps = fps(pre.rows(table, touched))
-      val newFps = fps(post.rows(table, touched)).persist(mem)
-      ctx.defer(newFps.unpersist())
-
-      val affected = oldFps.select("fp").union(newFps.select("fp"))
-        .distinct().withColumnRenamed("fp", "key").persist(mem)
-      ctx.defer(affected.unpersist())
-      val preMembers = postings.rowsForKeysAt(preV, postSchema, affected)
-        .select(col("key").as("fp"), explode(col("members")).as("member"))
-      val postMembers = preMembers.join(
-          touched.withColumnRenamed("key", "member"), Seq("member"),
-          "left_anti")
-        .unionByName(newFps.select(col("fp"), col("doc_id").as("member")))
-        .persist(mem)
-      ctx.defer(postMembers.unpersist())
-
-      val rows = postMembers.groupBy("fp")
-        .agg(collect_list("member").as("members"))
-        .select(col("fp").as("key"), col("members"))
-      val emptied = affected.join(rows.select("key"), Seq("key"), "left_anti")
-      postings.merge(rows, emptied, ctx.batchId)
-
-      val upserts = postMembers.groupBy("fp")
+      val st = maintainFpState(postings, pre, post, batch, ctx,
+        table, textCol)
+      val upserts = st.postMembers.groupBy("fp")
         .agg(min("member").as("keep_id"),
           count(lit(1)).as("dup_cnt"))
         .select(col("fp").as("id"), col("fp"), col("keep_id"),
           col("dup_cnt"))
-      val deletes = emptied.select(col("key").as("id"))
+      val deletes = st.emptied.select(col("key").as("id"))
       (upserts, deletes)
     })
   }
