@@ -679,6 +679,88 @@ object Curation {
         .join(docs.select(col("doc_id"),
           md5(piiRedact(col("text"))).as("clean_sig")), "doc_id")
         .select("source", "doc_id", "quality", "rk", "clean_sig")
+    },
+
+    /** The corpus DATASHEET — the one-row summary a dataset release
+      * ships (Gebru et al.'s datasheets; the stats tables of the
+      * RedPajama/Dolma/FineWeb reports): document and token counts,
+      * vocabulary size, exact- and near-duplication rates, mean quality
+      * and the language-distribution entropy. Every number is a rollup
+      * of machinery this engine already prices: counts and vocabulary
+      * are map-side-combined aggregates, the near-dup rate reads the
+      * SESSION-SHARED pair table (no new LSH pass), and the two
+      * FP-bearing numbers follow the decimal-ledger discipline — mean
+      * quality sums 6-rounded scores as DECIMAL(18,6), entropy sums
+      * 9-rounded −p·ln p terms as DECIMAL(18,9) over the bounded
+      * language table — so both engines aggregate identical values in
+      * any order. Shape at 100 TB: three corpus passes (stats+sigs,
+      * vocabulary, the memoized pair ladder) and bounded everything
+      * else. */
+    QueryDef("q120_corpus_datasheet", {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+         |    round(CAST(sum(CAST(${TextAnalysis.qualityScoreSql}
+         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+         |  FROM documents),
+         |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+         |  FROM (SELECT unnest($toks) AS tok FROM documents)),
+         |w AS (SELECT doc_id, $toks AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(greatest(len(w)-2,0)), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))
+         |    AS sh FROM w),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND
+         |    len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_near_docs
+         |  FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)),
+         |lang AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         |ent AS (SELECT round(CAST(sum(CAST(round(
+         |    -(c * 1.0 / base.n_docs) * ln(c * 1.0 / base.n_docs), 9)
+         |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS lang_entropy
+         |  FROM lang, base)
+         |SELECT base.n_docs, base.n_tokens, vocab.n_vocab,
+         |  base.n_distinct_texts,
+         |  round((base.n_docs - base.n_distinct_texts) * 1.0 / base.n_docs, 6)
+         |    AS exact_dup_rate,
+         |  round(nd.n_near_docs * 1.0 / base.n_docs, 6) AS neardup_doc_rate,
+         |  base.mean_quality, ent.lang_entropy
+         |FROM base, vocab, nd, ent""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).cast("long")
+          .as("n_tokens"),
+        round(sum(TextAnalysis.qualityScore(col("text"))
+            .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      val vocab = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .agg(countDistinct("tok").as("n_vocab"))
+      val pairs = Dedup.sharedNearDupPairs(s, dir)
+      val nd = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .agg(countDistinct("doc_id").as("n_near_docs"))
+      val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      val ent = langs.crossJoin(broadcast(base.select("n_docs")))
+        .select(round(-(col("c") * 1.0 / col("n_docs")) *
+            log(col("c") * 1.0 / col("n_docs")), 9)
+          .cast("decimal(18,9)").as("term"))
+        .agg(round(sum("term").cast("double"), 6).as("lang_entropy"))
+      base.crossJoin(broadcast(vocab)).crossJoin(broadcast(nd))
+        .crossJoin(broadcast(ent))
+        .select(col("n_docs"), col("n_tokens"), col("n_vocab"),
+          col("n_distinct_texts"),
+          round((col("n_docs") - col("n_distinct_texts")) * 1.0 /
+            col("n_docs"), 6).as("exact_dup_rate"),
+          round(col("n_near_docs") * 1.0 / col("n_docs"), 6)
+            .as("neardup_doc_rate"),
+          col("mean_quality"), col("lang_entropy"))
     }
   )
 

@@ -267,6 +267,25 @@ object TextAnalysis {
     * (doc_id, score, hi). */
   private[operators] def classifierScores(
       s: SparkSession, dir: String): DataFrame = {
+    val path = clsTables.getOrElseUpdate(
+      (System.identityHashCode(s), dir),
+      graft.BuildMetrics.timed("classifier_scores") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-cls-scores").toString
+        classifierScoresBuild(s, dir).write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
+
+  /** Session memo backing [[classifierScores]] — q85 emits the scores
+    * and q112 evaluates them, and before r7 each re-ran the full
+    * train + score pass (the [[sharedLmScores]] pattern's third
+    * application; 2.4 s duplicated at sf0.1). */
+  private val clsTables =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def classifierScoresBuild(
+      s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val lbl = docs.select(col("doc_id"),
       when(qualityScore(col("text")) >= 0.5, 1).otherwise(0).as("hi"))
@@ -1433,6 +1452,48 @@ object TextAnalysis {
             (lit(2.0) * col("p") * col("nn")), 6)).as("auc"),
           when(defined, round((col("s2") - col("p") * (col("p") + 1)) /
             (lit(1.0) * col("p") * col("nn")) - 1.0, 6)).as("gini"))
+    },
+
+    /** Head-vocabulary coverage: the fraction of each document's token
+      * OCCURRENCES drawn from the corpus's top-20 vocabulary — the
+      * "how templated is this doc" signal dataset reports tabulate
+      * next to lexical diversity (a doc living entirely inside the
+      * head vocabulary carries little novel content; one avoiding it
+      * reads as jargon/noise). Shape at 100 TB: token counts are a
+      * vocabulary-keyed map-side-combined aggregate (shuffle ∝
+      * distinct tokens, not occurrences); the head set is a bounded
+      * rank over that AGGREGATE (the q108 top-100 move — a window over
+      * vocabulary rows, never docs); membership then rides a
+      * broadcast-sized semi-join back onto the occurrence frame.
+      * Coverage is an exact integer ratio rounded once. */
+    QueryDef("q119_vocab_coverage",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |top AS (SELECT tok FROM (
+        |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk
+        |  FROM cnt) WHERE rk <= 20)
+        |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(count(top.tok) AS BIGINT) AS n_head,
+        |  round(count(top.tok) * 1.0 / count(*), 6) AS coverage
+        |FROM tk LEFT JOIN top USING (tok)
+        |GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val tk = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok")))
+      val cnt = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      // global window over the DISTINCT-vocabulary aggregate — bounded
+      // rows (the q112 posture), never a doc-level sort
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok"))
+      val top = cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20).select("tok").withColumn("hit", lit(1L))
+      tk.join(broadcast(top), Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          count(col("hit")).as("n_head"),
+          round(count(col("hit")) * 1.0 / count(lit(1)), 6).as("coverage"))
     }
   )
 }

@@ -190,4 +190,38 @@ class CurationSpec extends SparkSuite {
     // and weights actually moved off uniform
     assert(got.exists(r => math.abs(r._4 - 1.0 / n) > 1e-4))
   }
+
+  test("q120 datasheet: counts from independent driver-side aggregation, " +
+      "rates consistent with the standalone dedup queries") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    val row = graft.SparkEntry.queries("q120_corpus_datasheet")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].head()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts re-derived in plain Scala
+    assert(row._1 == docs.length)
+    assert(row._2 == docs.map(_._2.trim.split("\\s+").length.toLong).sum)
+    assert(row._3 == docs.flatMap(_._2.trim.split("\\s+")).distinct.length)
+    val distinctTexts = docs.map(_._2).distinct.length
+    assert(row._4 == distinctTexts)
+    assert(row._5 == r6((docs.length - distinctTexts).toDouble / docs.length))
+    // near-dup doc rate consistent with q21's verified pair set
+    val pairDocs = graft.SparkEntry.queries("q21_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(row._6 == r6(pairDocs.toDouble / docs.length))
+    // entropy: recompute from the lang histogram with the same ledger
+    val byLang = docs.groupBy(_._3).map { case (_, xs) => xs.length }
+    def r9(x: Double): java.math.BigDecimal = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val ent = byLang.map { c =>
+      val p = c.toDouble / docs.length
+      r9(-p * math.log(p))
+    }.reduce(_.add(_)).doubleValue
+    assert(row._8 == r6(ent))
+    assert(row._8 > 0.0, "multi-language corpus must have positive entropy")
+  }
 }

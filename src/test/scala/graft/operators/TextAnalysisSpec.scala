@@ -394,4 +394,37 @@ class TextAnalysisSpec extends SparkSuite {
     // the classifier actually separates its labels on this corpus
     assert(got._3 > 0.7)
   }
+
+  test("q119 vocab coverage == in-memory reference; head docs score high") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val cnt = toks.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    // rank (count DESC, token ASC), top 20 — the engine's window order
+    val head = cnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(20).map(_._1).toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = toks.map { case (id, ws) =>
+      val nHead = ws.count(head)
+      id -> ((ws.size.toLong, nHead.toLong, r6(nHead.toDouble / ws.size)))
+    }.toMap
+    val got = graft.SparkEntry.queries("q119_vocab_coverage")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // planted: 20 head words repeated across 29 docs, one doc of 25
+    // once-only rare words — the head doc scores 1.0, the rare doc 0.0
+    val headWords = (0 until 20).map(i => s"h$i").mkString(" ")
+    val planted = (Seq((1L, (0 until 25).map(i => s"r$i").mkString(" "))) ++
+      (2L to 30L).map(i => i -> headWords)).toDF("doc_id", "text")
+    val pd = tmpDir("vocabcov")
+    planted.write.mode("overwrite").parquet(pd + "/documents.parquet")
+    val out = graft.SparkEntry.queries("q119_vocab_coverage")(spark, pd)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) == 0.0 && out(2L) == 1.0)
+  }
 }
