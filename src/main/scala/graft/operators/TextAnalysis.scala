@@ -284,7 +284,7 @@ object TextAnalysis {
     * application; 2.4 s duplicated at sf0.1). */
   private val clsTables =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
-  private def classifierScoresBuild(
+  private[graft] def classifierScoresBuild(
       s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val lbl = docs.select(col("doc_id"),

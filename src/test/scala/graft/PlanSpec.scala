@@ -282,20 +282,36 @@ class PlanSpec extends SparkSuite {
     assert(bloomed == plain)
   }
 
-  test("q85: the 1024-bucket model broadcasts; the token frame never re-shuffles for scoring") {
+  test("q85: reads the session score memo; the BUILD's 1024-bucket " +
+      "model broadcasts") {
+    // the query side is a parquet scan of the memoized score table —
+    // the train+score pass must NOT rerun per consumer (r7 memo)
     val p = plan("q85_quality_classifier")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft-cls-scores"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the train-side shape is pinned on the build plan directly
+    val b = graft.operators.TextAnalysis
+      .classifierScoresBuild(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin"), b)
+    assert(!b.contains("CartesianProduct"), b)
   }
 
-  test("q88: model joins are equi-joins (free to broadcast when small), |V| is a 1-row broadcast") {
+  test("q88: reads the session LM memo; the BUILD's model joins are " +
+      "equi-joins with a 1-row |V| broadcast") {
     val p = plan("q88_lm_perplexity")
+    assert(p.contains("graft-lm-scores"), p)
     // the c2/c1 joins are keyed equi-joins: Catalyst broadcasts them at
     // toy scale and shuffles at corpus scale — both fine; what must
     // never appear is an unkeyed product beyond the 1-row |V| broadcast
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("partial_count"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    val docs = sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    val b = graft.operators.TextAnalysis.lmScoresOf(docs)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastNestedLoopJoin"), b)
+    assert(b.contains("partial_count"), b)
+    assert(!b.contains("CartesianProduct"), b)
+    CacheScope.drain() // lmScoresOf persists its bigram frame
   }
 
   test("q89: gram counts combine map-side, keyed by doc⊕gram, no window") {
@@ -414,5 +430,33 @@ class PlanSpec extends SparkSuite {
     // survivor selection is joins, never a cartesian/nested-loop probe
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q118: histogram is two bounded aggregates over the shared " +
+      "cluster table — no explode, no window, no corpus scan") {
+    val p = plan("q118_cluster_sizes")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window ["), p)
+    // reads the memoized parquet cluster table, not documents
+    assert(!p.contains("documents.parquet"), p)
+  }
+
+  test("q119: head membership broadcasts back onto the occurrence " +
+      "frame; the rank window sees only the vocabulary aggregate") {
+    val p = plan("q119_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the window input is the (tok, c) aggregate, never raw occurrences
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
+  test("q120: datasheet joins are 1-row broadcasts; the near-dup rate " +
+      "reads the memoized pair table, never an LSH re-run") {
+    val p = plan("q120_corpus_datasheet")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair ladder's signature aggregation (MinHashAgg) must NOT
+    // appear — the rate comes from the session-shared parquet pairs
+    assert(!p.contains("MinHashAgg"), p)
   }
 }
