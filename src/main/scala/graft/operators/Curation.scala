@@ -746,8 +746,14 @@ object Curation {
       val nd = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id")))
         .agg(countDistinct("doc_id").as("n_near_docs"))
-      val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
-      val ent = langs.crossJoin(broadcast(base.select("n_docs")))
+      // n_docs for the entropy terms comes from the BOUNDED langs
+      // aggregate (Σ c), not from re-evaluating `base` — reusing the
+      // base frame here would re-run the full stats scan (including the
+      // regex-heavy quality sum) just to fetch one count
+      val langs = graft.CacheScope.persist(
+        docs.groupBy("lang").agg(count(lit(1)).as("c")))
+      val ent = langs.crossJoin(
+          broadcast(langs.agg(sum("c").as("n_docs"))))
         .select(round(-(col("c") * 1.0 / col("n_docs")) *
             log(col("c") * 1.0 / col("n_docs")), 9)
           .cast("decimal(18,9)").as("term"))

@@ -76,7 +76,18 @@ object KMeans {
         // scales (≤ 8·1024 vectors) this resolves to exactly 8, the
         // regime the unrolled DuckDB trainer oracles replicate; beyond
         // that the expected cluster size stays ≤ 1024 regardless of n.
-        fit(vectors, k = adaptiveK(vectors.count()), maxIters = 5)
+        val k = adaptiveK(vectors.count())
+        // every consumer of THIS memo is an oracle-gated query whose
+        // unrolled DuckDB trainer hardcodes 8 seeds (assignCtes): on a
+        // corpus big enough that adaptiveK leaves the k=8 regime, fail
+        // LOUDLY here instead of letting every k-means oracle row
+        // silently hash-mismatch. Scale users call [[fit]]/[[semDedup]]
+        // directly with their own k — this guard binds only the
+        // gate-vs-oracle contract, not the operators.
+        require(k == 8,
+          s"adaptiveK chose k=$k: the unrolled k-means oracles replicate " +
+            "k=8 — regenerate them (or query via fit()) for this corpus size")
+        fit(vectors, k = k, maxIters = 5)
       })
 
   /** k for the shared corpus model: ⌈n / targetPerCluster⌉ with a floor

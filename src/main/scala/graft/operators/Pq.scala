@@ -374,8 +374,8 @@ object Pq {
          |route AS MATERIALIZED (SELECT query_id, label FROM (
          |  SELECT pr.query_id, lc.label,
          |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
-         |      list_sum(list_transform(range(64),
-         |        i -> (pr.qv[i+1] - lc.c[i+1]) * (pr.qv[i+1] - lc.c[i+1]))) ASC,
+         |      ROUND(list_sum(list_transform(range(64),
+         |        i -> (pr.qv[i+1] - lc.c[i+1]) * (pr.qv[i+1] - lc.c[i+1]))), 6) ASC,
          |      lc.label ASC) AS rk
          |  FROM pr, lc) WHERE rk <= 2),
          |adc AS MATERIALIZED (SELECT r.query_id, el.vec_id, sum(t.dt) AS ad2
@@ -491,11 +491,18 @@ object Pq {
     val probes = t(s, dir, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // routing distance rounds to 6 on BOTH engine and oracle sides
+    // before the rank: each engine computes its own per-label centroids
+    // (Spark partial-agg avg vs DuckDB sequential avg), and a last-ulp
+    // difference must not flip which cell takes rank nprobe on a
+    // near-tie (the q42 discipline)
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     val routed = probes.flatMap { case (qid, qv) =>
       val qd = qv.map(_.toDouble)
       cents.map { case (lbl, c) =>
         val d2 = qd.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-        (d2, lbl)
+        (r6(d2), lbl)
       }.sortBy { case (d2, lbl) => (d2, lbl) }.take(nprobe)
         .map { case (_, lbl) => (qid, lbl, qv) }
     }

@@ -37,16 +37,20 @@ object StreamingClusterMonitor {
       IncrementalAgg.GroupSpec(
         Seq("g_cluster" -> cluster.cast("string")),
         live = lit(true),
-        // round each distance contribution to 6 BEFORE it enters the
-        // running ± sum: a vector's retraction then subtracts exactly
-        // what its insertion added, keeping the sum order- and
-        // history-independent (the q88/q111 ledger discipline — an
-        // unrounded sqrt sum drifts vs a batch recompute over long
-        // update histories)
-        amount = round(sqrt(dist2), 6)),
+        // each distance contribution enters the running ± sum as an
+        // INTEGER count of 1e-6 units (round(√d·1e6, 0)): integers below
+        // 2^53 are exactly representable in the agg store's double, and
+        // integer-valued double addition is exact, so the running sum is
+        // genuinely order- and history-independent — a retraction
+        // restores the prior sum bit-for-bit, with no drift over long
+        // churn histories (merely 6-rounding the DOUBLE contribution
+        // would not achieve this: (S + a) − a ≠ S in floats; this is the
+        // q88/q111 decimal-ledger discipline expressed in micro-units).
+        // Headroom: 2^53 µunits ≈ 9·10⁹ distance units per cluster.
+        amount = round(sqrt(dist2) * 1e6, 0)),
       toDoc = m => m.select(col("key").as("id"),
         col("g_cluster").as("cluster"),
         col("cnt").as("n_vecs"),
-        round(col("amt") / col("cnt"), 6).as("mean_dist")))
+        round(col("amt") / 1e6 / col("cnt"), 6).as("mean_dist")))
   }
 }

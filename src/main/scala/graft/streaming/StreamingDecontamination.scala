@@ -64,10 +64,12 @@ object StreamingDecontamination {
   private[streaming] final case class GramState(
       transHolders: DataFrame, sharedCounts: DataFrame => DataFrame)
 
+  /** `touched`: the batch's distinct keys, already persisted by the
+    * caller (shared across the composed pipeline's stage helpers). */
   private[streaming] def maintainGramState(
       hTable: ParquetKeyedTable, tTable: ParquetKeyedTable,
       pre: StateAccess, post: StateAccess,
-      batch: Map[String, DataFrame], ctx: BatchCtx,
+      touched: DataFrame, ctx: BatchCtx,
       table: String, textCol: String, gramN: Int): GramState = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def pin(t: ParquetKeyedTable): Option[Int] = ctx.batchId match {
@@ -76,9 +78,6 @@ object StreamingDecontamination {
     }
     val preHV = pin(hTable)
     val preTV = pin(tTable)
-
-    val touched = batch(table).select("key").distinct().persist(mem)
-    ctx.defer(touched.unpersist())
 
     // per-doc DISTINCT grams (wordShingles dedups) with the split tag
     def grams(docs: DataFrame): DataFrame = docs
@@ -179,9 +178,11 @@ object StreamingDecontamination {
 
     ViewDef(name, (pre, post, batch, ctx) => {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val gs = maintainGramState(hTable, tTable, pre, post, batch, ctx,
+      val touched = batch(table).select("key").distinct().persist(mem)
+      ctx.defer(touched.unpersist())
+      val gs = maintainGramState(hTable, tTable, pre, post, touched, ctx,
         table, textCol, gramN)
-      val affectedDocs = batch(table).select("key")
+      val affectedDocs = touched
         .union(gs.transHolders).distinct().persist(mem)
       ctx.defer(affectedDocs.unpersist())
       val upserts = gs.sharedCounts(affectedDocs).persist(mem)

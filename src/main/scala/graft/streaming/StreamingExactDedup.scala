@@ -39,17 +39,19 @@ object StreamingExactDedup {
       postMembers: DataFrame, emptied: DataFrame,
       affectedMembers: DataFrame, losersAmong: DataFrame => DataFrame)
 
+  /** `touched`: the batch's distinct keys, already persisted by the
+    * caller — passed in (rather than recomputed here) so the composed
+    * pipeline view's four stage helpers share ONE distinct + cached
+    * copy per batch instead of four. */
   private[streaming] def maintainFpState(
       postings: ParquetKeyedTable, pre: StateAccess, post: StateAccess,
-      batch: Map[String, DataFrame], ctx: BatchCtx,
+      touched: DataFrame, ctx: BatchCtx,
       table: String, textCol: String): FpState = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val preV = ctx.batchId match {
       case Some(id) => postings.versionBefore(id)
       case None     => postings.version
     }
-    val touched = batch(table).select("key").distinct().persist(mem)
-    ctx.defer(touched.unpersist())
 
     def fps(rows: DataFrame): DataFrame = rows
       .select(col("key").as("doc_id"),
@@ -105,7 +107,10 @@ object StreamingExactDedup {
       new ParquetKeyedTable(spark, s"$stateDir/$name-post", "key", buckets)
 
     ViewDef(name, (pre, post, batch, ctx) => {
-      val st = maintainFpState(postings, pre, post, batch, ctx,
+      val touched = batch(table).select("key").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ctx.defer(touched.unpersist())
+      val st = maintainFpState(postings, pre, post, touched, ctx,
         table, textCol)
       val upserts = st.postMembers.groupBy("fp")
         .agg(min("member").as("keep_id"),

@@ -96,9 +96,9 @@ object StreamingPipelineCorpus {
         sigTable, bucketTable, pairTable, labelTable, post, batch, ctx,
         table, textCol, threshold, bandRows, nBands, shingleN)
       val fs = StreamingExactDedup.maintainFpState(
-        fpTable, pre, post, batch, ctx, table, textCol)
+        fpTable, pre, post, touched, ctx, table, textCol)
       val gs = StreamingDecontamination.maintainGramState(
-        hTable, tTable, pre, post, batch, ctx, table, textCol, gramN)
+        hTable, tTable, pre, post, touched, ctx, table, textCol, gramN)
 
       // every doc whose pipeline verdict can have changed this batch
       val affected = touched

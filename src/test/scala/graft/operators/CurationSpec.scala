@@ -213,6 +213,24 @@ class CurationSpec extends SparkSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
       .flatMap(p => Seq(p._1, p._2)).distinct.length
     assert(row._6 == r6(pairDocs.toDouble / docs.length))
+    // mean quality: re-derive the full scoring formula driver-side and
+    // run it through the same decimal ledger (6-rounded scores summed
+    // exactly, one double division)
+    def qualityOf(text: String): Double = {
+      val pad = " " + text + " "
+      val nTok = text.trim.split("\\s+").length
+      val stopCnt = Seq(" the ", " a ", " of ").map { nd =>
+        (pad.length - pad.replace(nd, "").length) / nd.length
+      }.sum
+      r6(math.min(1.0, nTok / 100.0) * 0.5 +
+        math.min(1.0, stopCnt * 10.0 / nTok) * 0.5)
+    }
+    def d6(x: Double): java.math.BigDecimal = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    val qSum = docs.map(d => d6(qualityOf(d._2))).reduce(_.add(_))
+    assert(row._7 == r6(qSum.doubleValue / docs.length),
+      s"mean_quality ${row._7} != driver-side ledger recompute")
+
     // entropy: recompute from the lang histogram with the same ledger
     val byLang = docs.groupBy(_._3).map { case (_, xs) => xs.length }
     def r9(x: Double): java.math.BigDecimal = new java.math.BigDecimal(x)

@@ -43,8 +43,8 @@ class StreamingClusterMonitorSpec extends SparkSuite {
         col("embedding").cast(ArrayType(DoubleType)).as("v")))
       .groupBy(col("cluster").cast("string").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(round(sqrt(col("dist2")), 6)) / count(lit(1)), 6)
-          .as("mean_dist"))
+        round(sum(round(sqrt(col("dist2")) * 1e6, 0)) / 1e6 /
+          count(lit(1)), 6).as("mean_dist"))
       .as[(String, Long, Double)].collect().toSet
 
   private def sinkRows(sink: InMemoryUpsertSink): Set[(String, Long, Double)] =
