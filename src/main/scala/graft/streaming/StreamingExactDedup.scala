@@ -36,7 +36,7 @@ object StreamingExactDedup {
     * (their group's minimum member is someone else). Factored out of
     * [[exactDedupView]] for the composed pipeline view. */
   private[streaming] final case class FpState(
-      postMembers: DataFrame, emptied: DataFrame,
+      preMembers: DataFrame, postMembers: DataFrame, emptied: DataFrame,
       affectedMembers: DataFrame, losersAmong: DataFrame => DataFrame)
 
   /** `touched`: the batch's distinct keys, already persisted by the
@@ -96,7 +96,7 @@ object StreamingExactDedup {
         .filter(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id").as("key"))
     }
-    FpState(postMembers, emptied, affectedMembers, losersAmong)
+    FpState(preMembers, postMembers, emptied, affectedMembers, losersAmong)
   }
 
   def exactDedupView(

@@ -47,6 +47,37 @@ object StreamingVocabCoverage {
     StructField("key", StringType),
     StructField("toks", ArrayType(StringType))))
 
+  /** ± token occurrence-counter maintenance over (doc, tok) occurrence
+    * frames of the batch's pre/post images. Returns (tok, old_cnt,
+    * new_cnt) for every token whose count moved — zero-crossings in
+    * this frame are the vocabulary-size deltas the streaming datasheet
+    * consumes. Merge carries the batchId (replay-idempotent). */
+  private[streaming] def maintainTokenCounters(
+      cntTable: ParquetKeyedTable, preCV: Option[Int],
+      preT: DataFrame, postT: DataFrame, ctx: BatchCtx): DataFrame = {
+    val deltas = preT.groupBy("tok").agg(count(lit(1)).as("pre_n"))
+      .join(postT.groupBy("tok").agg(count(lit(1)).as("post_n")),
+        Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("post_n"), lit(0L)) - coalesce(col("pre_n"), lit(0L)))
+          .as("delta"))
+      .filter(col("delta") =!= 0)
+    val cOld = cntTable.rowsForKeysAt(preCV, cntSchema,
+      deltas.select(col("tok").as("key")))
+    val cNew = deltas
+      .join(cOld.withColumnRenamed("key", "tok"), Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("cnt"), lit(0L)).as("old_cnt"),
+        (coalesce(col("cnt"), lit(0L)) + col("delta")).as("new_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ctx.defer(cNew.unpersist())
+    cntTable.merge(
+      cNew.filter(col("new_cnt") > 0)
+        .select(col("tok").as("key"), col("new_cnt").as("cnt")),
+      cNew.filter(col("new_cnt") <= 0).select(col("tok").as("key")),
+      ctx.batchId)
+    cNew
+  }
+
   def coverageView(
       spark: SparkSession, stateDir: String,
       name: String = "vocab_coverage", table: String = "documents",
@@ -86,24 +117,7 @@ object StreamingVocabCoverage {
       ctx.defer(postT.unpersist())
 
       // 1. occurrence counters ±
-      val deltas = preT.groupBy("tok").agg(count(lit(1)).as("pre_n"))
-        .join(postT.groupBy("tok").agg(count(lit(1)).as("post_n")),
-          Seq("tok"), "full_outer")
-        .select(col("tok"),
-          (coalesce(col("post_n"), lit(0L)) - coalesce(col("pre_n"), lit(0L)))
-            .as("delta"))
-        .filter(col("delta") =!= 0)
-      val cOld = cntTable.rowsForKeysAt(preCV, cntSchema,
-        deltas.select(col("tok").as("key")))
-      val cNew = deltas
-        .join(cOld.withColumnRenamed("key", "tok"), Seq("tok"), "left")
-        .select(col("tok"),
-          (coalesce(col("cnt"), lit(0L)) + col("delta")).as("new_cnt"))
-      cntTable.merge(
-        cNew.filter(col("new_cnt") > 0)
-          .select(col("tok").as("key"), col("new_cnt").as("cnt")),
-        cNew.filter(col("new_cnt") <= 0).select(col("tok").as("key")),
-        ctx.batchId)
+      maintainTokenCounters(cntTable, preCV, preT, postT, ctx)
 
       // 2. sharded inverted-index maintenance: distinct (tok, doc) of
       // the touched docs move from their old shard rows to the new
