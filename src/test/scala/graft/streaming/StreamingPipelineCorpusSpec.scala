@@ -186,6 +186,55 @@ class StreamingPipelineCorpusSpec extends SparkSuite {
     assert(sinkRows(sink).count(_._1 == "s1") == capN)
   }
 
+  test("property: random changelogs keep the sink == batch q115 at " +
+      "every micro-batch") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // texts long enough to pass the Gopher length gate, drawn from a
+    // small pool so near-dup clusters, split moves, shared 5-grams and
+    // quality shifts all occur by construction
+    val pool = Vector("data", "vector", "window", "alpha", "beta",
+      "gamma", "delta", "epsilon", "filler", "plain", "the", "a", "of")
+    case class Op(op: String, id: String, text: String, src: String)
+    val genOp: Gen[Op] = for {
+      op <- Gen.frequency(5 -> "c", 3 -> "u", 2 -> "d")
+      id <- Gen.oneOf("d1", "d2", "d3", "d4", "d5", "d6")
+      n <- Gen.choose(52, 60)
+      ws <- Gen.listOfN(n, Gen.oneOf(pool))
+      src <- Gen.oneOf("s1", "s2")
+    } yield Op(op, id, ws.mkString(" "), src)
+    def envelope(o: Op, seq: Long): (String, String, Long) = {
+      val i = img(o.id, o.text, o.src)
+      val b = if (o.op == "c") "null" else i
+      val a = if (o.op == "d") "null" else i
+      ("documents",
+        s"""{"before":$b,"after":$a,"op":"${o.op}","ts_ms":$seq}""", seq)
+    }
+
+    var seed = Seed(7L)
+    (1 to 2).foreach { trial =>
+      val ops = Gen.listOfN(12, genOp)
+        .pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val sink = new InMemoryUpsertSink
+      val stateDir = tmpDir(s"spipeline-prop-$trial")
+      val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+        Seq(StreamingPipelineCorpus.pipelineView(spark, stateDir,
+          capN = capN)))
+      val records = ops.zipWithIndex.map { case (o, i) =>
+        envelope(o, i.toLong)
+      }
+      records.grouped(math.max(records.size / 3, 1)).zipWithIndex
+        .foreach { case (b, i) =>
+          pipeline.processBatch(b.toDF("table", "value", "seq"),
+            Some(i.toLong))
+          assert(
+            sinkRows(sink) == batchRecompute(pipeline.state("documents")),
+            s"trial $trial batch $i ops=$ops")
+        }
+    }
+  }
+
   test("replayed batch is idempotent across all eight state tables") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("spipeline-replay")
