@@ -681,6 +681,100 @@ object Curation {
         .select("source", "doc_id", "quality", "rk", "clean_sig")
     },
 
+    /** The pipeline FUNNEL — per-stage survivor counts for the composed
+      * corpus build (q115), the "where did my tokens go" report every
+      * dataset paper publishes (RefinedWeb/FineWeb/Dolma all tabulate
+      * exactly this attrition chain): total → train split → Gopher
+      * admission → exact-dedup survivors → near-dup survivors →
+      * decontaminated → capped output. Every stage count is a semi/anti
+      * join off the SAME stage frames q115 ships (and the same session
+      * memos — cluster table, gram table), so the funnel costs a
+      * count() per stage over already-priced plans; all outputs are
+      * exact integers, no FP discipline needed. */
+    QueryDef("q121_pipeline_funnel", {
+      val splitB = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100"
+      val gram5 = (1 to 5).map(k => s"w.w[i+$k]").mkString("||' '||")
+      s"""WITH RECURSIVE $clusterCtes,
+         |gate AS (${TextAnalysis.gopherGateSql}),
+         |spl AS (SELECT doc_id, $splitB AS b FROM documents),
+         |sig AS (SELECT doc_id, md5(text) AS sig FROM documents),
+         |ek AS (SELECT sig, min(doc_id) AS keep_id FROM sig GROUP BY 1),
+         |exact_losers AS (SELECT s2.doc_id FROM sig s2 JOIN ek USING (sig)
+         |  WHERE s2.doc_id <> ek.keep_id),
+         |near_losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+         |g AS (SELECT w.doc_id, unnest(list_distinct(list_transform(
+         |    range(greatest(len(w.w)-4, 0)), i -> $gram5))) AS g FROM w),
+         |hold AS (SELECT DISTINCT g.g FROM g JOIN spl USING (doc_id)
+         |  WHERE spl.b >= 90),
+         |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN hold USING (g)),
+         |tr AS (SELECT doc_id FROM spl WHERE b < 90),
+         |adm AS (SELECT doc_id FROM tr JOIN gate USING (doc_id) WHERE gate.keep),
+         |s1 AS (SELECT doc_id FROM adm
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)),
+         |sn AS (SELECT doc_id FROM s1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)),
+         |sd AS (SELECT doc_id FROM sn
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |fin AS (SELECT count(*) AS n FROM (
+         |  SELECT row_number() OVER (PARTITION BY d.source
+         |    ORDER BY ${TextAnalysis.qualityScoreSql} DESC, d.doc_id) AS rk
+         |  FROM sd JOIN documents d USING (doc_id)) WHERE rk <= 10)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_admitted,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_after_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sn) AS n_after_near,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sd) AS n_after_decon,
+         |  (SELECT CAST(n AS BIGINT) FROM fin) AS n_final"""
+        .stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val train = graft.CacheScope.persist(
+        docs.filter(bucket < 90).select("doc_id"))
+      val gate = TextAnalysis.gopherRules(
+          docs.select(col("doc_id"), col("text")), col("doc_id"))
+        .filter(col("keep")).select("doc_id")
+      val adm = graft.CacheScope.persist(
+        train.join(gate, Seq("doc_id"), "left_semi"))
+      val sigs = docs.select(col("doc_id"), md5(col("text")).as("sig"))
+      val exactLosers = sigs
+        .join(sigs.groupBy("sig").agg(min("doc_id").as("keep_id")), "sig")
+        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+      val s1 = graft.CacheScope.persist(
+        adm.join(exactLosers, Seq("doc_id"), "left_anti"))
+      val nearLosers = Dedup.sharedNearDupClusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val sn = graft.CacheScope.persist(
+        s1.join(nearLosers, Seq("doc_id"), "left_anti"))
+      val grams = TextAnalysis.sharedDocGrams(s, dir)
+      val hold = grams.filter(col("b") >= 90).select("g").distinct()
+      val contaminated = grams.join(hold, "g").select("doc_id").distinct()
+      val sd = graft.CacheScope.persist(
+        sn.join(contaminated, Seq("doc_id"), "left_anti"))
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      val fin = sd
+        .join(docs.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")), "doc_id")
+        .groupBy("source")
+        .agg(topk(col("quality"), col("doc_id")).as("top"))
+        .select(explode(col("top")).as("t"))
+        .agg(count(lit(1)).as("n_final"))
+      def c1(df: org.apache.spark.sql.DataFrame, n: String) =
+        broadcast(df.agg(count(lit(1)).as(n)))
+      docs.agg(count(lit(1)).as("n_total"))
+        .crossJoin(c1(train, "n_train"))
+        .crossJoin(c1(adm, "n_admitted"))
+        .crossJoin(c1(s1, "n_after_exact"))
+        .crossJoin(c1(sn, "n_after_near"))
+        .crossJoin(c1(sd, "n_after_decon"))
+        .crossJoin(broadcast(fin))
+        .select("n_total", "n_train", "n_admitted", "n_after_exact",
+          "n_after_near", "n_after_decon", "n_final")
+    },
+
     /** The corpus DATASHEET — the one-row summary a dataset release
       * ships (Gebru et al.'s datasheets; the stats tables of the
       * RedPajama/Dolma/FineWeb reports): document and token counts,

@@ -242,4 +242,22 @@ class CurationSpec extends SparkSuite {
     assert(row._8 == r6(ent))
     assert(row._8 > 0.0, "multi-language corpus must have positive entropy")
   }
+
+  test("q121 funnel: monotone attrition, endpoints match the corpus " +
+      "and the composed build's output") {
+    val dir = "/root/testdata/sf0.01"
+    val f = graft.SparkEntry.queries("q121_pipeline_funnel")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val chain = Seq(f._1, f._2, f._3, f._4, f._5, f._6, f._7)
+    assert(chain.zip(chain.tail).forall { case (a, b) => a >= b },
+      s"funnel must be non-increasing: $chain")
+    // endpoints: total == corpus size; final == q115's emitted rows
+    val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(f._1 == nDocs)
+    val q115 = graft.SparkEntry
+      .queries("q115_pipeline_corpus")(spark, dir).count()
+    assert(f._7 == q115, s"funnel tail ${f._7} != q115 output $q115")
+    // every stage actually drops something on this corpus
+    assert(f._2 < f._1 && f._3 < f._2 && f._7 <= f._6)
+  }
 }
