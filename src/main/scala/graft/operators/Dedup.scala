@@ -286,6 +286,39 @@ object Dedup {
     * parquet form is exactly what a production run would persist between
     * pipeline stages — and a later session would [[s.read.parquet]] it
     * the way [[KMeans.loadModel]] reloads a saved model. */
+  /** Session-scoped SHARED exploded feature frame (doc_id, f) over
+    * `documents` — the corpus pass one level BELOW the pair table.
+    * Three batch consumers each re-ran this explode from the raw scan
+    * (the word3 pair-table build, q22's SimHash tally, q83's
+    * containment prefix filter; char5 feeds the q23 ladder), which is
+    * the same N-consumers-one-pass critique the pair/LM/classifier
+    * memos already answer, one level down. Materialized once per
+    * (session, dir, features) and billed as `shingle_frame_*` in the
+    * bench build ledger; consumers read parquet — at 100 TB this IS
+    * the tokenized-features table a production pipeline persists
+    * between stages, and multiple parquet scans of it beat multiple
+    * corpus-wide explodes (and hold no executor cache memory). */
+  private val shingleFrames = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), String]
+
+  private[graft] def sharedShingleFrame(s: SparkSession, dir: String,
+      features: String = "word3"): DataFrame = {
+    val path = shingleFrames.getOrElseUpdate(
+      (System.identityHashCode(s), dir, features),
+      graft.BuildMetrics.timed(s"shingle_frame_$features") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-shingle-frame").toString
+        val feat =
+          if (features == "char5") graft.functions.NGrams.charGrams(col("text"), 5)
+          else shingles(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(feat).as("f"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
+
   private val pairTables = scala.collection.concurrent.TrieMap
     .empty[(Int, String, Double, Int, Int, String), String]
 
@@ -300,19 +333,15 @@ object Dedup {
       graft.BuildMetrics.timed(s"neardup_pair_table_$features") {
         val p = java.nio.file.Files
           .createTempDirectory("graft-neardup-pairs").toString
-        val feat =
-          if (features == "char5") graft.functions.NGrams.charGrams(col("text"), 5)
-          else shingles(col("text"))
-        // plain persist, not CacheScope: the explode feeds the signature
-        // AND the verify join INSIDE this one build, whose action (the
-        // write) completes here — release immediately instead of holding
-        // the blocks until the consuming query's drain
-        val exploded = t(s, dir, "documents")
-          .select(col("doc_id"), explode(feat).as("f"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try nearDupPairs(exploded, threshold, bandRows, nBands)
+        // the exploded frame comes from the session feature-frame memo:
+        // the signature AND verify branches inside this build (and q22/
+        // q83 outside it) all scan the same parquet instead of each
+        // re-running the corpus explode (the r6 persist released the
+        // blocks at build end; the parquet form also survives ACROSS
+        // builds with different band geometry over the same features)
+        nearDupPairs(sharedShingleFrame(s, dir, features),
+          threshold, bandRows, nBands)
           .write.mode("overwrite").parquet(p)
-        finally exploded.unpersist(blocking = false)
         p
       })
     s.read.parquet(path)
@@ -400,8 +429,9 @@ object Dedup {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val words = t(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"))).as("f"))
+      // reads the session feature-frame memo instead of re-exploding
+      // the corpus (shared with q83 and the word3 pair-table build)
+      val words = sharedShingleFrame(s, dir)
         .withColumn("h",
           conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"))
       // per-bit tally: bit k contributes +1 if set else -1
@@ -680,9 +710,9 @@ object Dedup {
         |FROM g a JOIN g b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.gs, b.gs)) * 1.0 / len(a.gs) >= 0.9
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val exploded = materialize(t(s, dir, "documents").select(col("doc_id"),
-        explode(shingles(col("text"))).as("f")))
-      containmentPairs(exploded, 0.9)
+      // the session feature-frame memo replaces the per-run explode;
+      // containmentPairs' several branches scan the same parquet
+      containmentPairs(sharedShingleFrame(s, dir), 0.9)
     },
 
     /** Winnowing fingerprint near-dup pairs (Schleimer et al. SIGMOD
