@@ -113,6 +113,29 @@ case class CharGrams(child: Expression, n: Int) extends NGramExpression {
     copy(child = c)
 }
 
+/** ALL character n-gram windows in ORDER (non-distinct — the positional
+  * sibling of [[CharGrams]], for `posexplode` consumers where the array
+  * index IS the 0-based window start, e.g. exact-substring span removal).
+  * Inputs shorter than n yield an empty array: a text with no full
+  * window contributes no duplication evidence and no removable span —
+  * deliberately NOT [[CharGrams]]'s whole-string edge, which exists for
+  * set-similarity semantics. */
+case class CharWindowGrams(child: Expression, n: Int) extends NGramExpression {
+  override def prettyName: String = "char_window_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < n) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(
+      (0 to s.length - n).iterator
+        .map(i => UTF8String.fromString(s.substring(i, i + n)))
+        .toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharWindowGrams =
+    copy(child = c)
+}
+
 object NGrams {
   def wordShingles(text: Column, n: Int = 3): Column =
     bridge.column(WordShingles(bridge.expression(text), n))
@@ -120,4 +143,6 @@ object NGrams {
     bridge.column(WordGrams(bridge.expression(text), n))
   def charGrams(text: Column, n: Int = 5): Column =
     bridge.column(CharGrams(bridge.expression(text), n))
+  def charWindowGrams(text: Column, n: Int): Column =
+    bridge.column(CharWindowGrams(bridge.expression(text), n))
 }

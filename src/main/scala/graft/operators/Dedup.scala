@@ -831,6 +831,85 @@ object Dedup {
       sizes.groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"))
         .crossJoin(broadcast(mx))
+    },
+
+    /** ExactSubstr span REMOVAL (Lee et al. 2022, arXiv:2107.06499 —
+      * "Deduplicating Training Data Makes Language Models Better"): cut
+      * from every document each character covered by a 50-char window
+      * whose text occurs at ≥ 2 positions corpus-wide, emitting the
+      * cleaned text. This is the surgical sibling of q59: q59 DETECTS
+      * doc pairs sharing verbatim runs, this one EDITS the duplicated
+      * runs out while keeping the unique remainder — the pretraining
+      * recipe (the paper removes the repeated span, not the document).
+      * Lee et al. find spans via a corpus suffix array; the relational
+      * equivalent is the windowed inverted index: a window occurring
+      * twice is exactly a duplicated 50+-char run's witness, and the
+      * union of duplicated windows covers the same characters the
+      * suffix-array method removes for runs ≥ 50.
+      *
+      * Shape at 100 TB: positions explode ∝ corpus chars; duplicated
+      * windows are one count(*)≥2 agg keyed by the window text (the q59
+      * join key discipline — the shuffle ships (window, count) partials,
+      * map-side combined); each doc's removal set comes back as ONE
+      * sorted start array (bounded by doc length), and the cut itself is
+      * a per-row left-to-right interval fold — no second corpus shuffle,
+      * no per-character rows in the engine (the oracle may go per-char;
+      * the engine must not). All outputs are strings/integers — no FP.
+      * Window starts are 0-based ([[graft.functions.CharWindowGrams]]
+      * array index = start); chars covered by start s are s..s+49. */
+    QueryDef("q122_substr_removal",
+      """WITH pos AS (SELECT doc_id, text, CAST(u.i AS INT) AS i
+        |    FROM documents, unnest(range(length(text)-49)) AS u(i)
+        |    WHERE length(text) >= 50),
+        |w AS (SELECT doc_id, i, substr(text, i+1, 50) AS g FROM pos),
+        |dup AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, list_sort(list(i)) AS starts FROM w
+        |    WHERE g IN (SELECT g FROM dup) GROUP BY doc_id),
+        |ch AS (SELECT d.doc_id, CAST(u.p AS INT) AS p,
+        |    substr(d.text, CAST(u.p AS INT), 1) AS c,
+        |    len(list_filter(coalesce(ds.starts, []),
+        |      s -> s+1 <= u.p AND u.p <= s+50)) > 0 AS cov
+        |  FROM documents d LEFT JOIN ds USING (doc_id),
+        |    unnest(range(1, length(d.text)+1)) AS u(p)),
+        |agg AS (SELECT doc_id,
+        |    coalesce(string_agg(c, '' ORDER BY p) FILTER (WHERE NOT cov), '') AS cleaned,
+        |    count(*) FILTER (WHERE cov) AS n_removed
+        |  FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.cleaned, d.text) AS cleaned,
+        |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN agg a USING (doc_id)"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val wins = materialize(docs.filter(length(col("text")) >= 50)
+        .select(col("doc_id"),
+          posexplode(graft.functions.NGrams.charWindowGrams(col("text"), 50))
+            .as(Seq("i", "g"))))
+      val dup = wins.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("g")
+      val starts = wins.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("i"))).as("starts"))
+      val st = coalesce(col("starts"), array().cast("array<int>"))
+      val txtLen = length(col("text"))
+      // left-to-right fold over the sorted duplicated-window starts:
+      // append the gap before each interval, extend the covered end;
+      // per-row work ∝ the doc's duplicated windows, not its length
+      val cleaned = aggregate(
+        st,
+        struct(lit(0).as("end"), lit("").as("out")),
+        (acc, sc) => struct(
+          greatest(acc("end"), sc + 50).as("end"),
+          concat(acc("out"),
+            when(sc > acc("end"),
+              col("text").substr(acc("end") + 1, sc - acc("end")))
+              .otherwise(lit(""))).as("out")),
+        acc => concat(acc("out"),
+          when(txtLen > acc("end"),
+            col("text").substr(acc("end") + 1, txtLen - acc("end")))
+            .otherwise(lit(""))))
+      docs.join(starts, Seq("doc_id"), "left")
+        .select(col("doc_id"), cleaned.as("cleaned"),
+          (txtLen - length(cleaned)).cast("long").as("n_removed"))
     }
   )
 

@@ -181,4 +181,41 @@ class DedupSpec extends SparkSuite {
     assert(!got.contains((1L, 2L)), "containment is asymmetric")
     assert(got.contains((3L, 4L)), "exactly-at-threshold pair must be found")
   }
+
+  test("char_window_grams: positional windows, in order, non-distinct") {
+    val out = Seq("abcdef", "abc", "aaaa").toDF("text")
+      .select(graft.functions.NGrams.charWindowGrams(col("text"), 4).as("w"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("abcd", "bcde", "cdef"))
+    assert(out(1) == Seq.empty, "shorter than n yields NO window (not the " +
+      "CharGrams whole-string edge): no duplication evidence")
+    assert(out(2) == Seq("aaaa"))
+  }
+
+  test("q122: span removal equals a character-level brute force") {
+    // independent reference: count every 50-char window occurrence
+    // corpus-wide in plain Scala, mark covered characters with a boolean
+    // array per doc, slice the kept runs
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val counts = new scala.collection.mutable.HashMap[String, Int]
+    for ((_, t) <- docs; i <- 0 to t.length - 50)
+      counts.update(t.substring(i, i + 50),
+        counts.getOrElse(t.substring(i, i + 50), 0) + 1)
+    val expected = docs.map { case (id, t) =>
+      val cov = new Array[Boolean](t.length)
+      for (i <- 0 to t.length - 50; if counts(t.substring(i, i + 50)) >= 2;
+           p <- i until i + 50) cov(p) = true
+      val cleaned = t.indices.collect { case p if !cov(p) => t(p) }.mkString
+      (id, cleaned, (t.length - cleaned.length).toLong)
+    }.toSet
+
+    val got = queries("q122_substr_removal")(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "the corpus plants verbatim dups — " +
+      "some span must actually be removed")
+    assert(got.exists(r => r._3 > 0 && r._2.nonEmpty),
+      "partial removal must keep the unique remainder")
+  }
 }
