@@ -861,6 +861,93 @@ object Curation {
           round(col("n_near_docs") * 1.0 / col("n_docs"), 6)
             .as("neardup_doc_rate"),
           col("mean_quality"), col("lang_entropy"))
+    },
+
+    /** Sequence PACKING manifest — the pretraining tokenizer's last
+      * batch step: documents are concatenated in doc_id order and the
+      * token stream is cut every 512 tokens into training sequences;
+      * each document reports its global token offset and the first/last
+      * sequence it lands in (a doc crossing a cut boundary spans several
+      * — the standard packed-pretraining layout, where attention masks
+      * or document separators handle the seams). The manifest is what a
+      * sharded tokenizer job needs to write its slice of the packed
+      * corpus independently: byte-exact placement of every doc without
+      * any worker seeing its neighbors.
+      *
+      * The whole operator is one exact prefix sum over the corpus, and
+      * the SHAPE is the point: the declarative form — `sum(n) OVER
+      * (ORDER BY doc_id)`, which the oracle states — plans as a single
+      * unpartitioned window, i.e. the entire corpus sorted through ONE
+      * task (the q109 window lesson at its worst). The engine computes
+      * the same integers with the classic two-sweep scan (Blelloch)
+      * made hierarchical: docs fold into 4096-doc shards, shards into
+      * 4096-shard supershards (≈16.7M docs each); the cumulative offset
+      * is (bounded window over supershard totals) + (window over ≤4096
+      * shard rows per supershard) + (window over ≤4096 doc rows per
+      * shard). Every window partition is bounded by a constant however
+      * large the corpus — at 1e10 docs the widest unpartitioned window
+      * sees 600 supershard rows — and the only corpus-wide exchange is
+      * the one hash shuffle by shard that the per-shard window needs
+      * (the shard-total aggregate rides the same key, map-side
+      * combined). All arithmetic is BIGINT (div, never /) so the gate
+      * hash-matches bit-exactly. */
+    QueryDef("q123_sequence_packing", {
+      val toks = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+      s"""WITH n AS (SELECT doc_id, $toks AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS token_offset FROM n)
+         |SELECT doc_id, n_tokens, token_offset,
+         |  token_offset // 512 AS first_seq,
+         |  CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // 512
+         |       ELSE token_offset // 512 END AS last_seq,
+         |  CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // 512
+         |       ELSE token_offset // 512 END - token_offset // 512 + 1
+         |    AS n_seqs
+         |FROM c""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          expr("doc_id div 4096").as("shard")))
+      val shardTot = graft.CacheScope.persist(
+        docs.groupBy("shard").agg(sum("n_tokens").as("tot"))
+          .withColumn("sshard", expr("shard div 4096")))
+      // level 2: offsets of each supershard — the recursion base, a
+      // bounded single-partition window (corpus_docs / 4096² rows)
+      val w2 = Window.orderBy("sshard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sshardOff = shardTot.groupBy("sshard").agg(sum("tot").as("stot"))
+        .select(col("sshard"),
+          coalesce(sum("stot").over(w2), lit(0L)).as("soff"))
+      // level 1: shard offsets — ≤4096 shard rows per supershard
+      // partition; the supershard offset table is tiny → broadcast
+      val w1 = Window.partitionBy("sshard").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val shardOff = shardTot
+        .withColumn("within", coalesce(sum("tot").over(w1), lit(0L)))
+        .join(broadcast(sshardOff), "sshard")
+        .select(col("shard"), (col("within") + col("soff")).as("shard_off"))
+      // level 0: ≤4096 doc rows per shard partition. The join keys the
+      // same `shard` column the window just hash-partitioned by, and the
+      // offset side is shard-sized — Catalyst/AQE broadcasts it here; at
+      // extreme scale it degrades to a co-partitioned shuffle join, not
+      // a corpus sort
+      val w0 = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val firstSeq = expr("token_offset div 512")
+      val lastSeq = when(col("n_tokens") > 0,
+        expr("(token_offset + n_tokens - 1) div 512")).otherwise(firstSeq)
+      docs
+        .withColumn("within", coalesce(sum("n_tokens").over(w0), lit(0L)))
+        .join(shardOff, "shard")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("within") + col("shard_off")).as("token_offset"))
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+          firstSeq.as("first_seq"), lastSeq.as("last_seq"),
+          (lastSeq - firstSeq + 1).as("n_seqs"))
     }
   )
 

@@ -459,4 +459,19 @@ class PlanSpec extends SparkSuite {
     // appear — the rate comes from the session-shared parquet pairs
     assert(!p.contains("MinHashAgg"), p)
   }
+
+  test("q123: no window sorts the corpus — doc-level windows are " +
+      "shard-partitioned, the only unpartitioned window is the bounded " +
+      "supershard base") {
+    val p = plan("q123_sequence_packing")
+    // an UNPARTITIONED window's spec leads with its sort column: a
+    // global doc-ordered cumsum would print windowspecdefinition(doc_id#…
+    // ASC. The hierarchical plan partitions every doc/shard window (spec
+    // leads with the partition column), so that shape must be absent.
+    assert(!p.contains("windowspecdefinition(doc_id#"), p)
+    assert("windowspecdefinition\\(shard#\\d+L?, doc_id#".r
+      .findFirstIn(p).isDefined, p)
+    // shard totals are map-side combined before the one shard shuffle
+    assert(p.contains("partial_sum"), p)
+  }
 }

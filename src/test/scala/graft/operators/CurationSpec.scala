@@ -260,4 +260,27 @@ class CurationSpec extends SparkSuite {
     // every stage actually drops something on this corpus
     assert(f._2 < f._1 && f._3 < f._2 && f._7 <= f._6)
   }
+
+  test("q123 packing: hierarchical prefix sum equals a single in-memory " +
+      "cumulative sum; boundary-crossing docs span multiple sequences") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(_._1)
+    var off = 0L
+    val expected = docs.map { case (id, text) =>
+      val n = text.trim.split("\\s+").length.toLong
+      val first = off / 512
+      val last = if (n > 0) (off + n - 1) / 512 else first
+      val row = (id, n, off, first, last, last - first + 1)
+      off += n
+      row
+    }.toSet
+    val got = queries("q123_sequence_packing")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.exists(_._6 > 1),
+      "some doc must cross a 512-token cut on this corpus")
+    assert(got.map(_._6).forall(_ >= 1))
+  }
 }
