@@ -889,29 +889,37 @@ object Dedup {
       val starts = wins.join(dup, "g")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("i"))).as("starts"))
-      val st = coalesce(col("starts"), array().cast("array<int>"))
-      val txtLen = length(col("text"))
-      // left-to-right fold over the sorted duplicated-window starts:
-      // append the gap before each interval, extend the covered end;
-      // per-row work ∝ the doc's duplicated windows, not its length
-      val cleaned = aggregate(
-        st,
-        struct(lit(0).as("end"), lit("").as("out")),
-        (acc, sc) => struct(
-          greatest(acc("end"), sc + 50).as("end"),
-          concat(acc("out"),
-            when(sc > acc("end"),
-              col("text").substr(acc("end") + 1, sc - acc("end")))
-              .otherwise(lit(""))).as("out")),
-        acc => concat(acc("out"),
-          when(txtLen > acc("end"),
-            col("text").substr(acc("end") + 1, txtLen - acc("end")))
-            .otherwise(lit(""))))
+      val cleaned = removeCovered(col("text"), col("starts"), 50)
       docs.join(starts, Seq("doc_id"), "left")
         .select(col("doc_id"), cleaned.as("cleaned"),
-          (txtLen - length(cleaned)).cast("long").as("n_removed"))
+          (length(col("text")) - length(cleaned)).cast("long")
+            .as("n_removed"))
     }
   )
+
+  /** Text with every character covered by an n-char window starting at
+    * one of `starts` (sorted ascending, 0-based) removed — the q122 cut,
+    * shared with [[graft.streaming.StreamingSubstrRemoval]]. A
+    * left-to-right fold over the sorted starts: append the gap before
+    * each interval, extend the covered end; per-row work ∝ the doc's
+    * duplicated windows, not its length. NULL/absent starts (no
+    * duplicated window) yield the text unchanged. */
+  private[graft] def removeCovered(text: Column, starts: Column,
+      n: Int): Column = {
+    val st = coalesce(starts, array().cast("array<int>"))
+    aggregate(
+      st,
+      struct(lit(0).as("end"), lit("").as("out")),
+      (acc, sc) => struct(
+        greatest(acc("end"), sc + n).as("end"),
+        concat(acc("out"),
+          when(sc > acc("end"), text.substr(acc("end") + 1, sc - acc("end")))
+            .otherwise(lit(""))).as("out")),
+      acc => concat(acc("out"),
+        when(length(text) > acc("end"),
+          text.substr(acc("end") + 1, length(text) - acc("end")))
+          .otherwise(lit(""))))
+  }
 
   /** Connected components of an undirected pair graph by min-label
     * propagation to a fixpoint: per round, label(u) ← min over neighbors
