@@ -96,3 +96,85 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 }
+
+/** Native codegen'd SQUARED Euclidean distance — [[DotProduct]]'s
+  * sibling for the distance-based selection operators (k-center
+  * coreset). Same rationale and discipline: elements widened to double,
+  * Σ(aᵢ−bᵢ)² accumulated left-to-right — the IDENTICAL fold the oracle's
+  * `list_sum(list_transform(range(n), j -> (a[j+1]-b[j+1])*(a[j+1]-b[j+1])))`
+  * performs, so distances hash-match bit-for-bit (the expanded
+  * ‖a‖²−2⟨a,b⟩+‖b‖² form would round differently in the last ulp).
+  * Mismatched lengths yield NULL, matching the zip_with form. */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_dist requires array<float>/array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_dist"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    while (i < n) {
+      val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
+      val d = x - y
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+         |    $sum += $d * $d;
+         |  }
+         |  ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDist {
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column): Column =
+    bridge.column(SqDist(bridge.expression(a), bridge.expression(b)))
+}

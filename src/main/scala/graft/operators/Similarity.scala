@@ -477,6 +477,72 @@ object Similarity {
       val ev = r6d(n2).doubleValue
       (0 until 64).map(p => (p + 1, w(p).doubleValue, ev))
         .toDF("pos", "loading", "eigenvalue")
+    },
+
+    /** Greedy k-center CORESET selection (Sener & Savarese ICLR 2018 —
+      * the coreset approach to data selection; the classic 2-approximation
+      * of Gonzalez 1985): pick the lowest-id vector, then 7 more rounds of
+      * "the vector farthest from every selected center", emitting the
+      * selection order and each pick's distance-to-selected — the
+      * diverse-subset primitive of data pruning (a budgeted corpus keeps
+      * the coreset; `radius` is the covering-radius certificate that the
+      * DROPPED data sits within √radius of a kept representative).
+      *
+      * Shape at 100 TB: k bounded corpus passes. The selected set is
+      * driver metadata (k × 64 doubles — the power-iteration posture);
+      * each round is one narrow map (min over ≤ k literal centers via the
+      * codegen'd [[graft.functions.SqDist]]) and a top-1 argmax that
+      * plans as TakeOrderedAndProject (per-partition top-1 partials, 32
+      * rows to the driver — never a global sort). FP discipline: the
+      * distance is the element-wise Σ(vᵢ−cᵢ)² fold in the SAME order as
+      * the oracle's list_sum (the expanded ‖v‖²−2⟨v,c⟩+‖c‖² identity
+      * rounds differently in the last ulp), and the min-distance is
+      * rounded to 6 BEFORE the (md DESC, vec_id) rank on both engines —
+      * the q42/q99 argmax discipline, so a last-ulp near-tie cannot flip
+      * the selection. The oracle unrolls all 8 rounds as chained
+      * MATERIALIZED CTEs (the q43/q97 trainer pattern); least() over
+      * per-round rounded distances equals the engine's rounded min
+      * because rounding is monotone. */
+    QueryDef("q124_kcenter_coreset", {
+      def dist(p: String, c: String) =
+        s"round(list_sum(list_transform(range(64), j -> " +
+          s"($p.v[j+1] - $c.v[j+1]) * ($p.v[j+1] - $c.v[j+1]))), 6)"
+      val steps = (2 to 8).map { r =>
+        val prev = s"m${r - 1}"
+        s"""s$r AS MATERIALIZED (SELECT vec_id, v, md FROM $prev
+           |  ORDER BY md DESC, vec_id LIMIT 1),
+           |m$r AS MATERIALIZED (SELECT p.vec_id, p.v,
+           |  least(p.md, ${dist("p", "c")}) AS md FROM $prev p, s$r c)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |m1 AS MATERIALIZED (SELECT p.vec_id, p.v, ${dist("p", "c")} AS md
+         |  FROM e p, s1 c),
+         |$steps
+         |SELECT 1 AS sel_round, vec_id, CAST(0.0 AS DOUBLE) AS radius FROM s1
+         |${(2 to 8).map(r =>
+           s"UNION ALL SELECT $r AS sel_round, vec_id, md AS radius FROM s$r")
+          .mkString(" ")}""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val e = graft.CacheScope.persist(t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")))
+      def d2(c: Seq[Double]): Column =
+        graft.functions.SqDist(col("v"), typedlit(c))
+      val first = e.orderBy("vec_id").select("vec_id", "v").head()
+      val centers = scala.collection.mutable.Buffer((1, first.getLong(0), 0.0))
+      val centerVecs = scala.collection.mutable.Buffer[Seq[Double]](
+        first.getSeq[Double](1).toIndexedSeq)
+      for (r <- 2 to 8) {
+        val md = round(centerVecs.map(d2).reduce(least(_, _)), 6)
+        val far = e.select(col("vec_id"), col("v"), md.as("md"))
+          .orderBy(col("md").desc, col("vec_id")).head()
+        centers += ((r, far.getLong(0), far.getDouble(2)))
+        centerVecs += far.getSeq[Double](1).toIndexedSeq
+      }
+      import s.implicits._
+      centers.toSeq.toDF("sel_round", "vec_id", "radius")
     }
   )
 

@@ -165,4 +165,36 @@ class SimilaritySpec extends SparkSuite {
     assert(second.head._3 > 300 && second.head._3 < 1200,
       s"second eigenvalue ${second.head._3}")
   }
+
+  test("q124 k-center == independent in-memory greedy; covering radius " +
+      "non-increasing; selection is diverse (no duplicate picks)") {
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+      .sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val sel = scala.collection.mutable.Buffer((1, vecs.head._1, 0.0))
+    val cvs = scala.collection.mutable.Buffer(vecs.head._2)
+    for (r <- 2 to 8) {
+      val far = vecs
+        .map { case (id, v) => (id, r6(cvs.map(c => d2(v, c)).min)) }
+        .maxBy { case (id, md) => (md, -id) }
+      sel += ((r, far._1, far._2))
+      cvs += vecs.find(_._1 == far._1).get._2
+    }
+
+    val got = queries("q124_kcenter_coreset")(spark, dir)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == sel.toSeq)
+    // greedy k-center's max-min distance is pointwise non-increasing
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii.toSeq)
+    assert(got.map(_._2).distinct.length == 8, "picks must be distinct")
+  }
 }
