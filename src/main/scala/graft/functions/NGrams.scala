@@ -38,6 +38,30 @@ abstract class NGramExpression extends UnaryExpression with CodegenFallback {
     items.foreach(seen.add)
     new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
   }
+
+  /** UTF-16 offset of each code-point boundary: `offs(i)` = offset where
+    * the i-th code point starts, `offs(last)` = s.length, so the string
+    * has `offs.length - 1` code points and the window of n code points
+    * starting at code point i is `s.substring(offs(i), offs(i + n))`.
+    *
+    * Char windows MUST count code points, not UTF-16 units: consumers
+    * apply the array index via Spark `substr`/`length` (UTF8String —
+    * code points), and the DuckDB oracles do the same, so on text with
+    * supplementary characters (emoji, rare CJK) UTF-16 indexing would
+    * cut the wrong characters. On surrogate-free text (the common case)
+    * this degenerates to identity offsets. */
+  protected def codePointOffsets(s: String): Array[Int] = {
+    val offs = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      offs(k) = i
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    offs(k) = s.length
+    offs
+  }
 }
 
 /** Distinct word n-gram shingles: "a b c d" → ["a b c", "b c d"] (n=3);
@@ -96,17 +120,20 @@ case class WordGrams(child: Expression, n: Int) extends NGramExpression {
     copy(child = c)
 }
 
-/** Distinct character n-grams: sliding window of n chars; inputs shorter
-  * than n yield the whole string (matching the declarative
-  * `sequence(1, greatest(len-n+1, 1))` edge case). */
+/** Distinct character n-grams: sliding window of n code points; inputs
+  * shorter than n yield the whole string (matching the declarative
+  * `sequence(1, greatest(len-n+1, 1))` edge case — Spark `length` and
+  * `substr` both count code points, as does the DuckDB oracle). */
 case class CharGrams(child: Expression, n: Int) extends NGramExpression {
   override def prettyName: String = "char_grams"
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.length <= n) distinctArray(Iterator.single(s))
+    val offs = codePointOffsets(s)
+    val m = offs.length - 1
+    if (m <= n) distinctArray(Iterator.single(s))
     else distinctArray(
-      (0 to s.length - n).iterator.map(i => s.substring(i, i + n)))
+      (0 to m - n).iterator.map(i => s.substring(offs(i), offs(i + n))))
   }
 
   override protected def withNewChildInternal(c: Expression): CharGrams =
@@ -115,20 +142,25 @@ case class CharGrams(child: Expression, n: Int) extends NGramExpression {
 
 /** ALL character n-gram windows in ORDER (non-distinct — the positional
   * sibling of [[CharGrams]], for `posexplode` consumers where the array
-  * index IS the 0-based window start, e.g. exact-substring span removal).
-  * Inputs shorter than n yield an empty array: a text with no full
-  * window contributes no duplication evidence and no removable span —
-  * deliberately NOT [[CharGrams]]'s whole-string edge, which exists for
-  * set-similarity semantics. */
+  * index IS the 0-based CODE-POINT window start, e.g. exact-substring
+  * span removal: the index is applied downstream via Spark
+  * `substr`/`length`, which count code points, so the window here must
+  * too — UTF-16 indexing would misalign removal spans on text with
+  * supplementary characters. Inputs shorter than n code points yield an
+  * empty array: a text with no full window contributes no duplication
+  * evidence and no removable span — deliberately NOT [[CharGrams]]'s
+  * whole-string edge, which exists for set-similarity semantics. */
 case class CharWindowGrams(child: Expression, n: Int) extends NGramExpression {
   override def prettyName: String = "char_window_grams"
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < n) new GenericArrayData(Array.empty[Any])
+    val offs = codePointOffsets(s)
+    val m = offs.length - 1
+    if (m < n) new GenericArrayData(Array.empty[Any])
     else new GenericArrayData(
-      (0 to s.length - n).iterator
-        .map(i => UTF8String.fromString(s.substring(i, i + n)))
+      (0 to m - n).iterator
+        .map(i => UTF8String.fromString(s.substring(offs(i), offs(i + n))))
         .toArray[Any])
   }
 

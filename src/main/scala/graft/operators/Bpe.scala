@@ -118,9 +118,9 @@ object Bpe {
   /** Train-once memo per (session, sf-dir) — q96/q98 share one corpus
     * and therefore one vocabulary (the q43 fittedModel posture). */
   private val trained =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[Merge]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Merge]]
   private[operators] def trainedMerges(s: SparkSession, dir: String): Seq[Merge] =
-    trained.getOrElseUpdate((System.identityHashCode(s), dir),
+    trained.getOrElseUpdate((graft.SessionMemo.key(s), dir),
       graft.BuildMetrics.timed("bpe_merges")(
         train(wordFreqs(t(s, dir, "documents")), nMerges = 10)))
 

@@ -299,15 +299,14 @@ object Dedup {
     * between stages, and multiple parquet scans of it beat multiple
     * corpus-wide explodes (and hold no executor cache memory). */
   private val shingleFrames = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), String]
+    .empty[(String, String, String), String]
 
   private[graft] def sharedShingleFrame(s: SparkSession, dir: String,
       features: String = "word3"): DataFrame = {
     val path = shingleFrames.getOrElseUpdate(
-      (System.identityHashCode(s), dir, features),
+      (graft.SessionMemo.key(s), dir, features),
       graft.BuildMetrics.timed(s"shingle_frame_$features") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-shingle-frame").toString
+        val p = graft.SessionMemo.tempDir("graft-shingle-frame")
         val feat =
           if (features == "char5") graft.functions.NGrams.charGrams(col("text"), 5)
           else shingles(col("text"))
@@ -320,7 +319,7 @@ object Dedup {
   }
 
   private val pairTables = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Double, Int, Int, String), String]
+    .empty[(String, String, Double, Int, Int, String), String]
 
   /** `features`: "word3" (word 3-shingles, the q21 family) or "char5"
     * (character 5-grams, q23) — part of the memo key because the two
@@ -329,10 +328,9 @@ object Dedup {
       threshold: Double = 0.8, bandRows: Int = 2,
       nBands: Int = 32, features: String = "word3"): DataFrame = {
     val path = pairTables.getOrElseUpdate(
-      (System.identityHashCode(s), dir, threshold, bandRows, nBands, features),
+      (graft.SessionMemo.key(s), dir, threshold, bandRows, nBands, features),
       graft.BuildMetrics.timed(s"neardup_pair_table_$features") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-neardup-pairs").toString
+        val p = graft.SessionMemo.tempDir("graft-neardup-pairs")
         // the exploded frame comes from the session feature-frame memo:
         // the signature AND verify branches inside this build (and q22/
         // q83 outside it) all scan the same parquet instead of each
@@ -353,16 +351,15 @@ object Dedup {
     * consumers posture as the pair table (a production dedup pipeline
     * materializes cluster assignments exactly once per corpus build). */
   private val clusterTables = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Double, Int, Int), String]
+    .empty[(String, String, Double, Int, Int), String]
 
   private[graft] def sharedNearDupClusters(s: SparkSession, dir: String,
       threshold: Double = 0.8, bandRows: Int = 2,
       nBands: Int = 32): DataFrame = {
     val path = clusterTables.getOrElseUpdate(
-      (System.identityHashCode(s), dir, threshold, bandRows, nBands),
+      (graft.SessionMemo.key(s), dir, threshold, bandRows, nBands),
       graft.BuildMetrics.timed("neardup_cluster_table") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-neardup-clusters").toString
+        val p = graft.SessionMemo.tempDir("graft-neardup-clusters")
         val pairs = sharedNearDupPairs(s, dir, threshold, bandRows, nBands)
           .select("doc_a", "doc_b")
         clusterPairsStar(pairs).write.mode("overwrite").parquet(p)

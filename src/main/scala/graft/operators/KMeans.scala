@@ -65,10 +65,10 @@ object KMeans {
     * deployment has, with [[Model.save]]/[[loadModel]] as the
     * cross-session form. */
   private val fitted =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Model]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Model]
   private def fittedModel(s: SparkSession, dir: String,
       vectors: DataFrame): Model =
-    fitted.getOrElseUpdate((System.identityHashCode(s), dir),
+    fitted.getOrElseUpdate((graft.SessionMemo.key(s), dir),
       graft.BuildMetrics.timed("kmeans_model") {
         // k ∝ n (SemDeDup trains k proportional to the corpus), floor 8:
         // with FIXED k a 100× corpus gives 100× cluster sizes → 10,000×
@@ -78,15 +78,19 @@ object KMeans {
         // that the expected cluster size stays ≤ 1024 regardless of n.
         val k = adaptiveK(vectors.count())
         // every consumer of THIS memo is an oracle-gated query whose
-        // unrolled DuckDB trainer hardcodes 8 seeds (assignCtes): on a
-        // corpus big enough that adaptiveK leaves the k=8 regime, fail
-        // LOUDLY here instead of letting every k-means oracle row
-        // silently hash-mismatch. Scale users call [[fit]]/[[semDedup]]
-        // directly with their own k — this guard binds only the
-        // gate-vs-oracle contract, not the operators.
-        require(k == 8,
-          s"adaptiveK chose k=$k: the unrolled k-means oracles replicate " +
-            "k=8 — regenerate them (or query via fit()) for this corpus size")
+        // unrolled DuckDB trainer hardcodes 8 seeds (assignCtes): at the
+        // gate scales (≤ 8192 vectors) adaptiveK resolves to exactly 8
+        // and the oracles hold. On a bigger corpus the queries still RUN
+        // — with the adaptive k the pair-bound argument needs — but the
+        // k=8 oracle rows would mismatch, so warn loudly instead of
+        // hard-failing an otherwise-correct query (oracle comparisons
+        // only ever run at the gate scales; scale users get correct
+        // semantics plus a discoverable note to regenerate the trainers).
+        if (k != 8) System.err.println(
+          s"[graft] k-means memo: adaptiveK chose k=$k (corpus beyond the " +
+            "8192-vector k=8 regime); the unrolled DuckDB trainer oracles " +
+            "replicate k=8 and would mismatch at this size — regenerate " +
+            "them if an oracle comparison is intended")
         fit(vectors, k = k, maxIters = 5)
       })
 

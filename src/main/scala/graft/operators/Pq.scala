@@ -240,9 +240,9 @@ object Pq {
   /** Train-once memo per (session, sf-dir) — the fitted-model posture
     * shared with KMeans/Bpe. */
   private val fitted =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Model]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Model]
   private[operators] def fittedModel(s: SparkSession, dir: String): Model =
-    fitted.getOrElseUpdate((System.identityHashCode(s), dir),
+    fitted.getOrElseUpdate((graft.SessionMemo.key(s), dir),
         graft.BuildMetrics.timed("pq_codebooks") {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
@@ -446,12 +446,11 @@ object Pq {
     * every search reads the 16-byte/vector parquet codes instead of
     * re-encoding the corpus per run. */
   private val flatCodesPaths =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[operators] def pqCodesPath(s: SparkSession, dir: String): String =
-    flatCodesPaths.getOrElseUpdate((System.identityHashCode(s), dir),
+    flatCodesPaths.getOrElseUpdate((graft.SessionMemo.key(s), dir),
         graft.BuildMetrics.timed("pq_codes") {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-pq-codes").toString
+      val path = graft.SessionMemo.tempDir("graft-pq-codes")
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       encode(fittedModel(s, dir), e).write.mode("overwrite").parquet(path)
@@ -462,12 +461,11 @@ object Pq {
     * encoded to m codes/vector, hive-partitioned by the same cell
     * assignment as [[Similarity.ivfIndexPath]]'s raw-vector cells. */
   private val codesPaths =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[operators] def ivfPqCodesPath(s: SparkSession, dir: String): String =
-    codesPaths.getOrElseUpdate((System.identityHashCode(s), dir),
+    codesPaths.getOrElseUpdate((graft.SessionMemo.key(s), dir),
         graft.BuildMetrics.timed("ivfpq_codes") {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-codes").toString
+      val path = graft.SessionMemo.tempDir("graft-ivfpq-codes")
       val model = fittedModel(s, dir)
       val e = t(s, dir, "embeddings")
       encode(model, e.select(col("vec_id"), col("embedding").as("v")))

@@ -554,13 +554,12 @@ object Similarity {
     * corpus happens HERE, once, amortized across all searches — exactly
     * like q43's training; searches only read its k×dim output. */
   private val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private[operators] def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexes.getOrElseUpdate((System.identityHashCode(s), dir),
+    ivfIndexes.getOrElseUpdate((graft.SessionMemo.key(s), dir),
         graft.BuildMetrics.timed("ivf_index") {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString
+      val path = graft.SessionMemo.tempDir("graft-ivf-index")
       val e = t(s, dir, "embeddings")
       e.select(col("label"), posexplode(col("embedding")))
         .groupBy("label", "pos").agg(avg("col").as("m"))

@@ -74,13 +74,12 @@ object TextAnalysis {
     * as [[sharedLmScores]]. q87 is NOT a consumer: span removal needs
     * POSITIONAL grams (start offsets), a different frame. */
   private val gramTables =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[operators] def sharedDocGrams(s: SparkSession, dir: String): DataFrame = {
     val path = gramTables.getOrElseUpdate(
-      (System.identityHashCode(s), dir),
+      (graft.SessionMemo.key(s), dir),
       graft.BuildMetrics.timed("word5_grams") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-doc-grams").toString
+        val p = graft.SessionMemo.tempDir("graft-doc-grams")
         val bucket = pmod(
           conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
           lit(100L))
@@ -106,13 +105,12 @@ object TextAnalysis {
     * table between stages; the parquet form here is exactly that
     * artifact, billed to the bench `"build"` ledger as `lm_scores`. */
   private val lmTables =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sharedLmScores(s: SparkSession, dir: String): DataFrame = {
     val path = lmTables.getOrElseUpdate(
-      (System.identityHashCode(s), dir),
+      (graft.SessionMemo.key(s), dir),
       graft.BuildMetrics.timed("lm_scores") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-lm-scores").toString
+        val p = graft.SessionMemo.tempDir("graft-lm-scores")
         lmScoresOf(t(s, dir, "documents").select("doc_id", "text"))
           .write.mode("overwrite").parquet(p)
         p
@@ -268,10 +266,9 @@ object TextAnalysis {
   private[operators] def classifierScores(
       s: SparkSession, dir: String): DataFrame = {
     val path = clsTables.getOrElseUpdate(
-      (System.identityHashCode(s), dir),
+      (graft.SessionMemo.key(s), dir),
       graft.BuildMetrics.timed("classifier_scores") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-cls-scores").toString
+        val p = graft.SessionMemo.tempDir("graft-cls-scores")
         classifierScoresBuild(s, dir).write.mode("overwrite").parquet(p)
         p
       })
@@ -283,7 +280,7 @@ object TextAnalysis {
     * train + score pass (the [[sharedLmScores]] pattern's third
     * application; 2.4 s duplicated at sf0.1). */
   private val clsTables =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[graft] def classifierScoresBuild(
       s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

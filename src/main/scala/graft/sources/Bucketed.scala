@@ -23,20 +23,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
   private val done =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, String, Int), String]
 
   /** The bucketed form of `dir/name`, clustered+sorted on `key` into
     * `numBuckets` buckets (bucket count must match on both sides of a
     * co-located join — keep the default unless all callers change). */
   def table(s: SparkSession, dir: String, name: String, key: String,
       numBuckets: Int = 16): DataFrame = {
-    val sessionKey = (System.identityHashCode(s), dir, name, key, numBuckets)
+    val sessionKey = (graft.SessionMemo.key(s), dir, name, key, numBuckets)
     val tbl = done.getOrElseUpdate(sessionKey, synchronized {
       val safe = s"${key}_$numBuckets${dir}".replaceAll("[^A-Za-z0-9]", "_")
       val t = s"${name}_bucketed_$safe"
       if (!s.catalog.tableExists(t)) {
-        val loc = java.nio.file.Files
-          .createTempDirectory(s"graft-bucketed-$name").toString
+        val loc = graft.SessionMemo.tempDir(s"graft-bucketed-$name")
         Tables.load(s, dir, name).write.mode("overwrite")
           .bucketBy(numBuckets, key).sortBy(key)
           .option("path", s"$loc/$t")

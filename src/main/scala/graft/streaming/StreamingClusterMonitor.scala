@@ -48,6 +48,13 @@ object StreamingClusterMonitor {
         // q88/q111 decimal-ledger discipline expressed in micro-units).
         // Headroom: 2^53 µunits ≈ 9·10⁹ distance units per cluster.
         amount = round(sqrt(dist2) * 1e6, 0)),
+      // mean_dist is the mean of distances QUANTIZED to 1e-6 units (the
+      // ledger above), not of exact doubles: each element can differ
+      // from its true distance by up to 5e-7, so the mean sits within
+      // 5e-7 of the exact-arithmetic mean. That is the deliberate price
+      // of exact retraction — a consumer comparing against an
+      // unquantized batch mean must apply the same 1e-6 rounding (the
+      // spec's batch recompute does).
       toDoc = m => m.select(col("key").as("id"),
         col("g_cluster").as("cluster"),
         col("cnt").as("n_vecs"),

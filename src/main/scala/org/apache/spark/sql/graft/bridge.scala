@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The classic session's stable `sessionUUID` (`private[sql]` in
+    * Spark 4) — never reused across sessions, unlike an identity hash
+    * after GC; keys the session-scoped build memos. None for a
+    * non-classic implementation. */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): Option[String] =
+    s match {
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        Some(c.sessionUUID)
+      case _ => None
+    }
 }

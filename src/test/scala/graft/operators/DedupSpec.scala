@@ -192,6 +192,78 @@ class DedupSpec extends SparkSuite {
     assert(out(2) == Seq("aaaa"))
   }
 
+  test("char_window_grams: windows and starts count CODE POINTS, not " +
+      "UTF-16 units (non-BMP)") {
+    // 😀 is a supplementary char (2 UTF-16 units, 1 code point): windows
+    // of 4 code points, array index = code-point start — matching what
+    // Spark substr/length and the DuckDB oracle count
+    val out = Seq("😀😀abcd").toDF("text")
+      .select(graft.functions.NGrams.charWindowGrams(col("text"), 4).as("w"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("😀😀ab",
+      "😀abc", "abcd"))
+    // CharGrams shares the indexing; its short edge counts code points too
+    val cg = Seq("😀😀😀").toDF("text")
+      .select(graft.functions.NGrams.charGrams(col("text"), 5).as("g"))
+      .as[Seq[String]].collect()
+    assert(cg(0) == Seq("😀😀😀"),
+      "3 code points <= n=5 must yield the whole-string edge even though " +
+        "the UTF-16 length is 6")
+  }
+
+  test("q122 cut: code-point aligned on non-BMP text") {
+    // the duplicated 50-code-point run sits after an emoji prefix, so a
+    // UTF-16-indexed start would shift the cut by one unit per emoji and
+    // slice surrogate pairs; the cut must match a code-point brute force
+    val run = ("🚀" * 10) +
+      "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 50 cps, 60 UTF-16 units
+    // tails start with DIFFERENT chars so no shared window extends past
+    // the run (a common trailing space would be covered too)
+    val d1 = "😀😀p" + run + "Xtail one"
+    val d2 = "qq" + run + "Zother tail"
+    val docsLocal = Seq(1L -> d1, 2L -> d2)
+    val docs = docsLocal.toDF("doc_id", "text")
+
+    // the q122 pipeline shape inline (the query itself reads from dir)
+    val wins = docs.select(col("doc_id"),
+      posexplode(graft.functions.NGrams.charWindowGrams(col("text"), 50))
+        .as(Seq("i", "g")))
+    val dup = wins.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val starts = wins.join(dup, "g").groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    val got = docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Dedup.removeCovered(col("text"), col("starts"), 50).as("cleaned"))
+      .as[(Long, String)].collect().toMap
+
+    // brute force over CODE POINTS
+    def cps(s: String): Array[Int] = {
+      val b = Array.newBuilder[Int]
+      var i = 0
+      while (i < s.length) {
+        val c = s.codePointAt(i); b += c; i += Character.charCount(c)
+      }
+      b.result()
+    }
+    val counts = new scala.collection.mutable.HashMap[String, Int]
+    for ((_, t) <- docsLocal; c = cps(t); i <- 0 to c.length - 50)
+      counts.update(new String(c, i, 50),
+        counts.getOrElse(new String(c, i, 50), 0) + 1)
+    val expected = docsLocal.map { case (id, t) =>
+      val c = cps(t)
+      val cov = new Array[Boolean](c.length)
+      for (i <- 0 to c.length - 50; if counts(new String(c, i, 50)) >= 2;
+           p <- i until i + 50) cov(p) = true
+      val kept = c.indices.filter(p => !cov(p)).map(c).toArray
+      id -> new String(kept, 0, kept.length)
+    }.toMap
+
+    assert(got == expected)
+    assert(got(1L) == "😀😀pXtail one",
+      "exactly the shared 50-cp run must leave; the emoji prefix stays intact")
+  }
+
   test("q122: span removal equals a character-level brute force") {
     // independent reference: count every 50-char window occurrence
     // corpus-wide in plain Scala, mark covered characters with a boolean

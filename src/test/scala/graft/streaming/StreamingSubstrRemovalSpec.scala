@@ -112,6 +112,65 @@ class StreamingSubstrRemovalSpec extends SparkSuite {
     assert(sinkRows(sink).exists(p => p._1 == "s" && p._3 == 0L))
   }
 
+  test("non-BMP text: removal spans are code-point aligned (emoji carrier)") {
+    // the shared 50-code-point run sits after an emoji prefix; window
+    // starts must count code points (Spark substr semantics) or the cut
+    // shifts by one UTF-16 unit per emoji and slices surrogate pairs
+    val run = ("🚀" * 10) +
+      "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 50 cps, 60 UTF-16 units
+    // tails start with DIFFERENT chars so no shared window extends past
+    // the run (a common trailing space would be covered too)
+    val c1 = "😀😀p" + run + "Xtail one"
+    val c2 = "qq" + run + "Zother tail"
+
+    def cps(s: String): Array[Int] = {
+      val b = Array.newBuilder[Int]
+      var i = 0
+      while (i < s.length) {
+        val c = s.codePointAt(i); b += c; i += Character.charCount(c)
+      }
+      b.result()
+    }
+    // code-point-level recompute (batchRecompute above is UTF-16 and only
+    // valid for the ASCII fixtures)
+    def recomputeCp(state: DataFrame): Set[(String, String, Long)] = {
+      val docs = state.select("doc_id", "text").as[(String, String)].collect()
+      val counts = new scala.collection.mutable.HashMap[String, Int]
+      for ((_, t) <- docs; c = cps(t); i <- 0 to c.length - 50)
+        counts.update(new String(c, i, 50),
+          counts.getOrElse(new String(c, i, 50), 0) + 1)
+      docs.map { case (id, t) =>
+        val c = cps(t)
+        val cov = new Array[Boolean](c.length)
+        for (i <- 0 to c.length - 50; if counts(new String(c, i, 50)) >= 2;
+             p <- i until i + 50) cov(p) = true
+        val kept = c.indices.filter(p => !cov(p)).map(c).toArray
+        (id, new String(kept, 0, kept.length), (c.length - kept.length).toLong)
+      }.toSet
+    }
+
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("ssubstr-nonbmp")
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingSubstrRemoval.substrRemovalView(spark, stateDir)))
+
+    pipeline.processBatch(Seq(create("e1", c1)).toDF("table", "value", "seq"),
+      Some(0L))
+    assert(sinkRows(sink).forall(_._3 == 0L))
+
+    pipeline.processBatch(Seq(create("e2", c2)).toDF("table", "value", "seq"),
+      Some(1L))
+    val after = sinkRows(sink)
+    assert(after == recomputeCp(pipeline.state("documents")))
+    assert(after.contains(("e1", "😀😀pXtail one", 50L)),
+      s"exactly the 50-cp run leaves; the emoji prefix stays intact: $after")
+
+    pipeline.processBatch(Seq(delete("e2", c2)).toDF("table", "value", "seq"),
+      Some(2L))
+    assert(sinkRows(sink).contains(("e1", c1, 0L)),
+      "delete restores the resident byte-identically")
+  }
+
   test("replayed batch is idempotent (state merges skip, sink converges)") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("ssubstr-replay")
