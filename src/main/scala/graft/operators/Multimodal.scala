@@ -326,6 +326,113 @@ object Multimodal {
         rDim.as("r_min_dim"), rAspect.as("r_aspect"),
         rSr.as("r_sample_rate"), rSize.as("r_min_bytes"),
         (rDim && rAspect && rSr && rSize).as("keep"))
+    },
+
+    /** Perceptual-hash near-duplicate pairs over the DECODED media
+      * content — the image-dedup recipe (LAION/DataComp run pHash-family
+      * fingerprints over billions of images): a 32-bit block-mean hash
+      * (aHash) per asset, then Hamming-≤3 pairs via a banded bucket
+      * join. The hash is computed from the payload's DATA SECTION after
+      * the REAL container-header parse ([[decodeHeader]] locates
+      * dataOffset) — block k (k=0..31) covers data positions with
+      * ⌊32·p/L⌋ = k, bit k set iff the block's byte mean exceeds the
+      * whole-section mean, compared by integer cross-multiplication
+      * (sum_k·L > total·n_k) so no FP enters the hash. The oracle
+      * recomputes the hash from `text` (the generator's data section IS
+      * the text bytes — the q50 contract again: a decode that doesn't
+      * land dataOffset exactly at the payload produces different hashes
+      * and fails).
+      *
+      * Shape at 100 TB: hashing is one narrow executor-side pass
+      * (payload bytes never move); candidate generation joins on the 4
+      * 8-bit bands — pigeonhole-complete for Hamming ≤ 3 (3 flipped
+      * bits leave ≥1 of 4 bands intact), so the banded join reproduces
+      * the exhaustive all-pairs answer exactly while shipping only
+      * (band, value)-keyed 12-byte rows, never content; the oracle goes
+      * all-pairs. Verify on candidates costs two XOR/POPCNTs. */
+    QueryDef("q125_phash_neardup",
+      """WITH d AS (SELECT doc_id, text, length(text) AS L
+        |    FROM documents WHERE length(text) >= 32),
+        |ch AS (SELECT doc_id, L, CAST(u.p AS INT) AS p,
+        |    unicode(substr(text, CAST(u.p AS INT) + 1, 1)) AS c
+        |  FROM d, unnest(range(L)) AS u(p)),
+        |blk AS (SELECT doc_id, L, (p * 32) // L AS k,
+        |    sum(c) AS s, count(*) AS n FROM ch GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(s) AS st FROM blk GROUP BY 1),
+        |bits AS (SELECT b.doc_id,
+        |    CAST(sum(CASE WHEN b.s * b.L > t.st * b.n
+        |        THEN (CAST(1 AS BIGINT) << CAST(b.k AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS h
+        |  FROM blk b JOIN tot t USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val hashes = graft.CacheScope.persist(
+        perceptualHashes(mediaFrame(s, dir)).filter(col("data_len") >= 32)
+          .select("media_id", "phash"))
+      val banded = hashes.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("shiftright(phash, band * 8) & 255"))
+      val a = banded.select(col("media_id").as("media_a"),
+        col("phash").as("ha"), col("band"), col("bv"))
+      val b = banded.select(col("media_id").as("media_b"),
+        col("phash").as("hb"), col("band"), col("bv"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("media_a") < col("media_b"))
+        .select("media_a", "media_b", "ha", "hb").distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
     }
   )
+
+  /** 32-bit block-mean hash (aHash) per asset over the post-header data
+    * section, via the one real-parse path ([[decodeHeader]]). Exact
+    * integer arithmetic throughout — see q125. data_len < 32 assets
+    * can't fill every block and are left to the caller to filter. */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType),
+      StructField("data_len", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val from = math.max(decodeHeader(bytes).dataOffset, 0)
+        val len = bytes.length - from
+        Row(id, blockMeanHash(bytes, from, len), len)
+      }
+    }(enc)
+  }
+
+  /** bit k (0..31) = [mean of data bytes p with ⌊32·p/L⌋ = k] > [mean of
+    * all L data bytes], decided as sum_k·L > total·n_k in longs. */
+  private[operators] def blockMeanHash(
+      bytes: Array[Byte], from: Int, len: Int): Long = {
+    if (len <= 0) return 0L
+    val sums = new Array[Long](32)
+    val cnts = new Array[Long](32)
+    var total = 0L
+    var p = 0
+    while (p < len) {
+      val v = bytes(from + p) & 0xff
+      val k = (p.toLong * 32 / len).toInt
+      sums(k) += v
+      cnts(k) += 1
+      total += v
+      p += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 32) {
+      if (sums(k) * len > total * cnts(k)) h |= 1L << k
+      k += 1
+    }
+    h
+  }
 }

@@ -543,6 +543,49 @@ object Similarity {
       }
       import s.implicits._
       centers.toSeq.toDF("sel_round", "vec_id", "radius")
+    },
+
+    /** Johnson-Lindenstrauss random projection 64 → 16 dims with a
+      * DETERMINISTIC Rademacher (±1) matrix — the dimensionality-
+      * reduction primitive under every cheap-filter ANN layout (project
+      * once, candidate-filter in 16 dims at 1/4 the bytes and FLOPs,
+      * exact re-rank in 64 — the sign-LSH of q41 is the 1-bit extreme of
+      * the same idea). Sign(i,j) comes from md5("i|j") parity, so the
+      * matrix is plan-time constant, reproducible cross-engine and
+      * cross-run, and never stored: at 100 TB the "model" is 16 strings
+      * of metadata, the projection is one narrow codegen'd map per row
+      * ([[graft.functions.DotProduct]] against 16 literal sign rows —
+      * no shuffle, no state, no UDF), and the output is 4× smaller than
+      * the input, which is the point. The oracle replays the same md5
+      * parity matrix and the same fixed-order double dot (the q114
+      * cross-engine contract: sequential summation on identical inputs),
+      * rounded once to 6. */
+    QueryDef("q127_random_projection",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sg AS (SELECT CAST(u.j AS INT) AS pos, list_transform(range(1, 65),
+        |    i -> CASE WHEN CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
+        |      CAST(u.j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END) AS sgn
+        |  FROM unnest(range(1, 17)) AS u(j))
+        |SELECT e.vec_id, sg.pos,
+        |  round(list_sum(list_transform(range(len(e.v)),
+        |    i -> e.v[i+1] * sg.sgn[i+1])), 6) AS coord
+        |FROM e, sg""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val signs: Seq[Seq[Double]] = (1 to 16).map { j =>
+        (1 to 64).map { i =>
+          val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i|$j")
+          if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0
+          else -1.0
+        }
+      }
+      val sgnLit = typedlit(signs)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          explode(sequence(lit(1), lit(16))).as("pos"))
+        .select(col("vec_id"), col("pos"),
+          round(graft.functions.DotProduct(
+            col("v"), element_at(sgnLit, col("pos"))), 6).as("coord"))
     }
   )
 

@@ -1491,6 +1491,61 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_tok"),
           count(col("hit")).as("n_head"),
           round(count(col("hit")) * 1.0 / count(lit(1)), 6).as("coverage"))
+    },
+
+    /** Count-Min sketched token counts vs exact — the bounded-memory
+      * heavy-hitter path ([[graft.functions.CountMinAgg]]) proven
+      * against ground truth: the top-20 exact tokens (q62's report)
+      * each carry their CMS point estimate from a 4×256 sketch built in
+      * ONE corpus pass. CMS estimates are guaranteed overestimates
+      * (est ≥ cnt, spec-pinned); the estimate is min over 4 rows of the
+      * counter at `md5(token)[8r,8r+8) % 256` — one digest per
+      * occurrence, four hex slices, the exact arithmetic the oracle
+      * unrolls as four bucket-sum CTEs, so even the sketch COUNTERS are
+      * bit-identical cross-engine and the gate hash-matches the
+      * estimates, not just the exact counts.
+      *
+      * Shape at 100 TB: the sketch aggregate ships ONE 8 KiB array per
+      * partition (element-wise-add merge, map-side combined) while the
+      * exact path ships the vocabulary — on a corpus whose vocabulary
+      * doesn't fit a shuffle, the sketch is the only one of the two
+      * that still runs, and this query is the calibration harness that
+      * says how much its answers are off by. */
+    QueryDef("q126_cms_heavy_hitters",
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |tc AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+        |bk AS (SELECT token, cnt,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS b0,
+        |    CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) % 256 AS b1,
+        |    CAST(('0x' || substr(md5(token), 17, 8)) AS BIGINT) % 256 AS b2,
+        |    CAST(('0x' || substr(md5(token), 25, 8)) AS BIGINT) % 256 AS b3
+        |  FROM tc),
+        |cs0 AS (SELECT b0 AS b, CAST(sum(cnt) AS BIGINT) AS s FROM bk GROUP BY 1),
+        |cs1 AS (SELECT b1 AS b, CAST(sum(cnt) AS BIGINT) AS s FROM bk GROUP BY 1),
+        |cs2 AS (SELECT b2 AS b, CAST(sum(cnt) AS BIGINT) AS s FROM bk GROUP BY 1),
+        |cs3 AS (SELECT b3 AS b, CAST(sum(cnt) AS BIGINT) AS s FROM bk GROUP BY 1),
+        |top AS (SELECT token, cnt, b0, b1, b2, b3 FROM bk
+        |  ORDER BY cnt DESC, token LIMIT 20)
+        |SELECT t.token, t.cnt, least(c0.s, c1.s, c2.s, c3.s) AS est
+        |FROM top t JOIN cs0 c0 ON t.b0 = c0.b JOIN cs1 c1 ON t.b1 = c1.b
+        |  JOIN cs2 c2 ON t.b2 = c2.b JOIN cs3 c3 ON t.b3 = c3.b"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val toks = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token")))
+      val sketch = toks.agg(
+        graft.functions.CountMinAgg.sketch(col("token"), 4, 256).as("sk"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+      // estimate = min over the 4 rows of the counter each hex slice
+      // addresses; the sketch is one broadcast row
+      val est = (0 until 4).map { r =>
+        val bucket = pmod(
+          conv(substring(md5(col("token")), 1 + 8 * r, 8), 16, 10)
+            .cast("long"), lit(256L))
+        element_at(col("sk"), (lit(r * 256) + bucket).cast("int") + 1)
+      }.reduce(least(_, _))
+      top.crossJoin(broadcast(sketch))
+        .select(col("token"), col("cnt"), est.as("est"))
     }
   )
 }

@@ -94,4 +94,39 @@ class MultimodalSpec extends SparkSuite {
       assert(r.getAs[Long]("maxf") < frames)
     }
   }
+
+  test("blockMeanHash: exact integer block-mean bits, hand-checked") {
+    // constant bytes: no block's mean strictly exceeds the global mean
+    assert(Multimodal.blockMeanHash(Array.fill[Byte](64)(7), 0, 64) == 0L)
+    // first half 0, second half 100: blocks 16..31 above the mean
+    val half = (Array.fill[Byte](32)(0) ++ Array.fill[Byte](32)(100))
+    assert(Multimodal.blockMeanHash(half, 0, 64) == 0xFFFF0000L)
+    // header offset shifts the window: same data section, same hash
+    val shifted = Array.fill[Byte](10)(55) ++ half
+    assert(Multimodal.blockMeanHash(shifted, 10, 64) == 0xFFFF0000L)
+  }
+
+  test("q125 phash pairs equal an exhaustive hamming join; hashes come " +
+      "from the PARSED data section") {
+    val hashes = Multimodal.perceptualHashes(Multimodal.mediaFrame(spark, dir))
+      .filter(col("data_len") >= 32)
+      .select("media_id", "phash").as[(Long, Long)].collect()
+    // the engine's hash must equal a direct hash of the TEXT bytes —
+    // the data section is the text, so a wrong dataOffset shows up here
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    hashes.foreach { case (id, h) =>
+      val b = texts(id).getBytes("UTF-8")
+      assert(h == Multimodal.blockMeanHash(b, 0, b.length),
+        s"media $id: hash over parsed payload != hash over text bytes")
+    }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes; if a < b
+      d = java.lang.Long.bitCount(ha ^ hb); if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = graft.SparkEntry.queries("q125_phash_neardup")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute,
+      "banded candidates must reproduce the exhaustive hamming-<=3 join")
+  }
 }

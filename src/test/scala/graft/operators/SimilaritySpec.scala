@@ -197,4 +197,39 @@ class SimilaritySpec extends SparkSuite {
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii.toSeq)
     assert(got.map(_._2).distinct.length == 8, "picks must be distinct")
   }
+
+  test("q127 JL projection: matches a plain-Scala replica and roughly " +
+      "preserves norms (E‖Pv‖² = k‖v‖² for Rademacher signs)") {
+    def sign(i: Int, j: Int): Double = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i|$j")
+      if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0
+      else -1.0
+    }
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+
+    val got = queries("q127_random_projection")(spark, dir)
+      .as[(Long, Int, Double)].collect()
+    assert(got.length == vecs.size * 16)
+    got.foreach { case (id, pos, coord) =>
+      val v = vecs(id)
+      val expected = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * sign(i + 1, pos); i += 1 }
+        math.rint(s * 1e6) / 1e6
+      }
+      assert(coord == expected, s"vec $id pos $pos")
+    }
+
+    // JL sanity: per-vector ‖Pv‖²/(16·‖v‖²) concentrates near 1, so the
+    // projected space is usable as a cheap distance filter
+    val ratios = got.groupBy(_._1).map { case (id, rows) =>
+      val p2 = rows.map(r => r._3 * r._3).sum
+      val v2 = vecs(id).map(x => x * x).sum
+      p2 / (16.0 * v2)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+  }
 }

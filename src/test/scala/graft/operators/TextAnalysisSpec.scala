@@ -427,4 +427,57 @@ class TextAnalysisSpec extends SparkSuite {
       .map(r => r._1 -> r._4).toMap
     assert(out(1L) == 0.0 && out(2L) == 1.0)
   }
+
+  test("q126 Count-Min: estimates equal an independent sketch replay, " +
+      "overestimate EVERY token, and detect planted collisions") {
+    import graft.functions.CountMinAgg
+    val dir = "/root/testdata/sf0.01"
+    // independent replica of the sketch arithmetic in plain Scala
+    def buckets(tok: String): Seq[Int] = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        tok.getBytes("UTF-8"))
+      (0 until 4).map(r =>
+        (java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16)
+          % 256).toInt)
+    }
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val toks = docs.select(explode(split(trim(col("text")), "\\s+"))
+      .as("token")).as[String].collect()
+    val counters = Array.fill(4, 256)(0L)
+    toks.foreach { t =>
+      buckets(t).zipWithIndex.foreach { case (b, r) => counters(r)(b) += 1 }
+    }
+    def estOf(t: String): Long =
+      buckets(t).zipWithIndex.map { case (b, r) => counters(r)(b) }.min
+    val exact = toks.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+
+    val got = graft.SparkEntry.queries("q126_cms_heavy_hitters")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 20)
+    got.foreach { case (tok, cnt, est) =>
+      assert(cnt == exact(tok), s"$tok exact count")
+      assert(est == estOf(tok), s"$tok sketch estimate != replica")
+      assert(est >= cnt, s"$tok: CMS must never underestimate")
+    }
+
+    // the engine's sketch COUNTERS equal the replica's (merge across
+    // partitions is element-wise add — any double count or drop shows)
+    val sk = docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .agg(CountMinAgg.sketch(col("token"), 4, 256).as("sk"))
+      .as[Seq[Long]].head()
+    assert(sk == counters.flatten.toSeq)
+
+    // planted adversarial stream: every token forced through one bucket
+    // in row 0 cannot fool the other 3 rows — est stays exact for a
+    // token whose OTHER buckets are collision-free
+    val all = exact.keys.toSeq
+    val sameB0 = all.groupBy(t => buckets(t).head).values.maxBy(_.size)
+    if (sameB0.size >= 2) {
+      val t0 = sameB0.head
+      // row 0's counter overcounts t0, so min over rows must beat it
+      val row0 = counters(0)(buckets(t0).head)
+      assert(row0 >= sameB0.map(exact).sum)
+      assert(estOf(t0) <= row0)
+    }
+  }
 }
