@@ -948,6 +948,68 @@ object Curation {
         .select(col("doc_id"), col("n_tokens"), col("token_offset"),
           firstSeq.as("first_seq"), lastSeq.as("last_seq"),
           (lastSeq - firstSeq + 1).as("n_seqs"))
+    },
+
+    /** C4 heuristic line filters (Raffel et al. 2020, §2.2 — the
+      * cleaning recipe behind C4/T5, reused by Pile-CC/RefinedWeb):
+      * keep only lines that end in terminal punctuation, hold ≥ 5
+      * words, and don't mention javascript; drop whole pages containing
+      * "lorem ipsum" or a curly brace, or retaining < 3 lines. The
+      * corpus is punctuation- and newline-free, so — the q93 PII
+      * posture — the query plants its own deterministic line structure
+      * first: words regroup into 10-word lines, and doc_id arithmetic
+      * plants terminal periods (2 of 3 lines), javascript mentions,
+      * lorem-ipsum markers and braces, so every rule fires both ways on
+      * real text built from corpus content. The RULES then read only
+      * the augmented text, never the plant schedule.
+      *
+      * Shape at 100 TB: pure per-row work — line split, per-line
+      * predicates, filtered rejoin are one narrow codegen'd map with no
+      * shuffle at all (the ideal curation-filter shape: C4 cleaning is
+      * embarrassingly parallel and runs at scan speed). */
+    QueryDef("q128_c4_filters",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |l AS (SELECT doc_id, list_transform(range((len(w)+9)//10), l ->
+        |    array_to_string(w[CAST(l*10+1 AS INT):CAST(l*10+10 AS INT)], ' ')
+        |    || CASE WHEN (doc_id + l) % 11 = 0 THEN ' javascript' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 AND l = 0 THEN ' lorem ipsum' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 AND l = 1 THEN ' {' ELSE '' END
+        |    || CASE WHEN (doc_id + l) % 3 <> 0 THEN '.' ELSE '' END) AS lines
+        |  FROM w),
+        |k AS (SELECT doc_id, lines, list_filter(lines, ln ->
+        |    ends_with(ln, '.') AND len(regexp_split_to_array(ln, '\s+')) >= 5
+        |    AND NOT contains(ln, 'javascript')) AS kept FROM l)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  len(kept) >= 3
+        |    AND len(list_filter(lines, ln -> contains(ln, 'lorem ipsum'))) = 0
+        |    AND len(list_filter(lines, ln -> contains(ln, '{'))) = 0 AS page_keep,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        |FROM k""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val words = split(trim(col("text")), "\\s+")
+      val docId = col("doc_id")
+      val lines = transform(
+        sequence(lit(0), ((size(words) + lit(9)) / lit(10)).cast("int") - 1),
+        l => concat(
+          array_join(slice(words, l * 10 + 1, lit(10)), " "),
+          when((docId + l) % 11 === 0, " javascript").otherwise(""),
+          when(docId % 13 === 0 && l === 0, " lorem ipsum").otherwise(""),
+          when(docId % 17 === 0 && l === 1, " {").otherwise(""),
+          when((docId + l) % 3 =!= 0, ".").otherwise("")))
+      val keptLine = (ln: org.apache.spark.sql.Column) =>
+        ln.endsWith(".") && size(split(ln, "\\s+")) >= 5 &&
+          !ln.contains("javascript")
+      t(s, dir, "documents")
+        .select(docId, lines.as("lines"))
+        .select(docId,
+          size(col("lines")).cast("long").as("n_lines"),
+          filter(col("lines"), keptLine).as("kept"),
+          (!exists(col("lines"), _.contains("lorem ipsum")) &&
+            !exists(col("lines"), _.contains("{"))).as("clean_page"))
+        .select(docId, col("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("kept")) >= 3 && col("clean_page")).as("page_keep"),
+          array_join(col("kept"), "\n").as("cleaned"))
     }
   )
 

@@ -318,6 +318,37 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** Session-scoped SHARED positional n-char window frame (doc_id, i, g)
+    * over documents holding ≥ n code points — the windowed inverted
+    * index both exact-substring consumers scan: q59 detects doc pairs
+    * over its per-doc-distinct windows, q122 cuts the duplicated spans
+    * at its positions. Before this memo each ran the corpus-chars-sized
+    * window explode for itself — the same N-consumers-one-pass critique
+    * the shingle/pair/LM memos answer, applied to the heaviest feature
+    * frame in the repo (one row per corpus CHARACTER, not per word).
+    * Billed as `window_frame_50` in the bench build ledger; at 100 TB
+    * this is the materialized suffix-window index a production
+    * ExactSubstr run persists once and every consumer (detect, cut,
+    * audit) reads. */
+  private val windowFrames = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), String]
+
+  private[graft] def sharedWindowFrame(s: SparkSession, dir: String,
+      n: Int = 50): DataFrame = {
+    val path = windowFrames.getOrElseUpdate(
+      (graft.SessionMemo.key(s), dir, n),
+      graft.BuildMetrics.timed(s"window_frame_$n") {
+        val p = graft.SessionMemo.tempDir("graft-window-frame")
+        t(s, dir, "documents").filter(length(col("text")) >= n)
+          .select(col("doc_id"),
+            posexplode(graft.functions.NGrams.charWindowGrams(col("text"), n))
+              .as(Seq("i", "g")))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
+
   private val pairTables = scala.collection.concurrent.TrieMap
     .empty[(String, String, Double, Int, Int, String), String]
 
@@ -659,12 +690,16 @@ object Dedup {
       // keyed self-join on the window string (the collect-members-and-
       // pair-within-group alternative was measured 2× slower here:
       // collect_list gets no map-side combine, and the join side hashes
-      // fast). Both join sides read the SAME exploded-window frame, so
-      // it is persisted once instead of extracting windows twice
-      // (measured: median 3.4 s → 2.1 s at sf0.1)
-      val grams = materialize(t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.NGrams.charGrams(col("text"), 50)).as("g")))
+      // fast). Windows come from the SESSION window-frame memo shared
+      // with q122 (one corpus explode, two consumers): per-doc distinct
+      // over the positional frame — map-side combinable, and rows of a
+      // doc are colocated in the parquet it reads — plus the oracle's
+      // whole-string edge for docs shorter than one window
+      val wins = sharedWindowFrame(s, dir, 50)
+      val grams = materialize(wins.select("doc_id", "g").distinct()
+        .union(t(s, dir, "documents")
+          .filter(length(col("text")) < 50)
+          .select(col("doc_id"), col("text").as("g"))))
       val a = grams.select(col("doc_id").as("doc_a"), col("g"))
       val b = grams.select(col("doc_id").as("doc_b"), col("g"))
       a.join(b, Seq("g"))
@@ -877,10 +912,10 @@ object Dedup {
         |FROM documents d LEFT JOIN agg a USING (doc_id)"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val wins = materialize(docs.filter(length(col("text")) >= 50)
-        .select(col("doc_id"),
-          posexplode(graft.functions.NGrams.charWindowGrams(col("text"), 50))
-            .as(Seq("i", "g"))))
+      // the positional frame comes from the session window-frame memo
+      // shared with q59 — both exact-substring consumers read ONE
+      // materialized corpus explode
+      val wins = sharedWindowFrame(s, dir, 50)
       val dup = wins.groupBy("g").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2).select("g")
       val starts = wins.join(dup, "g")

@@ -1546,6 +1546,121 @@ object TextAnalysis {
       }.reduce(least(_, _))
       top.crossJoin(broadcast(sketch))
         .select(col("token"), col("cnt"), est.as("est"))
+    },
+
+    /** TRAINED quality/domain classifier by distributed logistic
+      * regression over hashed bag-of-words features — the
+      * fastText-linear-classifier recipe (Joulin 2016) behind the
+      * GPT-3/LLaMA quality filters and CCNet's LM alternative, learned
+      * END-TO-END inside the engine (q85/q112 score with fixed
+      * heuristic weights; this one fits its weights to the corpus).
+      * Features: 64 hashed-unigram frequency buckets + bias, dense
+      * per-doc arrays; label: lang = 'en' (the fastText langid task on
+      * this corpus); training: 3 full-batch gradient-descent rounds,
+      * w ← w − (1/N)·Σ_d (σ̂(w·x_d) − y_d)·x_d. σ̂ is the algebraic
+      * sigmoid 0.5 + z/(2(1+|z|)) — one add/divide/abs, IEEE-exact in
+      * both engines, where exp()'s last-ulp behavior is NOT a
+      * cross-engine contract (the q114 lesson: only share correctly-
+      * rounded double ops on identical inputs).
+      *
+      * Shape at 100 TB: the q114 posture applied to learning — each GD
+      * round is ONE corpus pass (per-doc dot against the 65-double
+      * BROADCAST weight vector, per-bucket gradient partials rounded to
+      * 12 decimals and summed as exact DECIMAL(38,12), map-side
+      * combined into ≤65 rows); the model that crosses the driver is 65
+      * doubles per round, re-rounded to 6 (the decimal ledger keeps
+      * every engine iterating on identical values, so the oracle's
+      * unrolled per-round CTEs hash-match the SCORES, not just the
+      * shape). Scoring is a narrow broadcast map at scan speed. */
+    QueryDef("q129_quality_logreg", {
+      val sig = "0.5 + Z/(2*(1 + abs(Z)))"
+      val rounds = (1 to 6).map { t =>
+        val pw = if (t == 1) "w0" else s"w${t - 1}"
+        s"""p$t AS MATERIALIZED (SELECT f.doc_id, f.y, f.xs,
+           |    ${sig.replace("Z",
+               s"list_sum(list_transform(range(65), i -> f.xs[CAST(i+1 AS INT)] * $pw.w[CAST(i+1 AS INT)]))")} AS p
+           |  FROM f, $pw),
+           |c$t AS MATERIALIZED (SELECT CAST(u.i AS INT) AS i,
+           |    CAST(round((p.p - p.y) * p.xs[CAST(u.i+1 AS INT)], 12) AS DECIMAL(38,12)) AS contrib
+           |  FROM p$t p, unnest(range(65)) AS u(i)),
+           |g$t AS MATERIALIZED (SELECT i, CAST(sum(contrib) AS DOUBLE) AS s
+           |  FROM c$t GROUP BY 1),
+           |w$t AS MATERIALIZED (SELECT list(round($pw.w[g.i+1] - 3.0 * (g.s / nn.n), 6)
+           |    ORDER BY g.i) AS w FROM g$t g, $pw, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+         |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+         |n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |bc AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+         |    count(*) AS c FROM tok GROUP BY 1, 2),
+         |gx AS (SELECT n.doc_id, CAST(u.i AS INT) AS i,
+         |    CAST(coalesce(bc.c, 0) AS DOUBLE) * 16 / n.n AS x
+         |  FROM n CROSS JOIN unnest(range(64)) AS u(i)
+         |  LEFT JOIN bc ON bc.doc_id = n.doc_id AND bc.b = u.i),
+         |f AS MATERIALIZED (SELECT gx.doc_id, lab.y,
+         |    list_append(list(gx.x ORDER BY gx.i), 1.0) AS xs
+         |  FROM gx JOIN lab USING (doc_id) GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM f),
+         |w0 AS (SELECT list_transform(range(65), i -> 0.0) AS w),
+         |$rounds
+         |SELECT f.doc_id, CAST(f.y AS INT) AS label,
+         |  round(${sig.replace("Z",
+             "list_sum(list_transform(range(65), i -> f.xs[CAST(i+1 AS INT)] * w6.w[CAST(i+1 AS INT)]))")}, 6) AS score
+         |FROM f, w6""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val bucket = pmod(
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+        lit(64L)).cast("int")
+      val bc = tok.groupBy(col("doc_id"), col("y"), bucket.as("b"))
+        .agg(count(lit(1)).as("c"))
+      val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // dense 65-wide feature row: fixed bucket order makes every dot
+      // product a left-to-right fold over IDENTICAL operand sequences in
+      // both engines (the cross-engine FP contract)
+      val feat = graft.CacheScope.persist(bc
+        .groupBy("doc_id", "y")
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+          .as("m"))
+        .join(nTok, "doc_id")
+        .select(col("doc_id"), col("y"),
+          array_append(
+            transform(sequence(lit(0), lit(63)),
+              i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")
+                * lit(16) / col("n")),
+            lit(1.0)).as("xs")))
+      val nDocs = feat.count()
+
+      def sigmoid(z: Column): Column =
+        lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      def r6(x: java.math.BigDecimal): java.math.BigDecimal =
+        x.setScale(6, java.math.RoundingMode.HALF_UP)
+
+      var w: IndexedSeq[java.math.BigDecimal] =
+        IndexedSeq.fill(65)(java.math.BigDecimal.ZERO)
+      for (_ <- 1 to 6) {
+        val p = sigmoid(graft.functions.DotProduct(
+          col("xs"), typedlit(w.map(_.doubleValue))))
+        val grads = feat
+          .select(col("y"), posexplode(col("xs")).as(Seq("i", "x")), p.as("p"))
+          .select(col("i"),
+            round((col("p") - col("y")) * col("x"), 12)
+              .cast("decimal(38,12)").as("contrib"))
+          .groupBy("i")
+          .agg((sum("contrib").cast("double") / lit(nDocs.toDouble)).as("s"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = w.indices.map { i =>
+          r6(new java.math.BigDecimal(
+            w(i).doubleValue - 3.0 * grads.getOrElse(i, 0.0)))
+        }
+      }
+      val pF = sigmoid(graft.functions.DotProduct(
+        col("xs"), typedlit(w.map(_.doubleValue))))
+      feat.select(col("doc_id"), col("y").cast("int").as("label"),
+        round(pF, 6).as("score"))
     }
   )
 }

@@ -283,4 +283,47 @@ class CurationSpec extends SparkSuite {
       "some doc must cross a 512-token cut on this corpus")
     assert(got.map(_._6).forall(_ >= 1))
   }
+
+  test("q128 C4 filters: matches an in-memory replica; every rule " +
+      "fires both ways on this corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val words = text.trim.split("\\s+")
+      val nl = (words.length + 9) / 10
+      val lines = (0 until nl).map { l =>
+        val base = words.slice(l * 10, l * 10 + 10).mkString(" ")
+        base +
+          (if ((id + l) % 11 == 0) " javascript" else "") +
+          (if (id % 13 == 0 && l == 0) " lorem ipsum" else "") +
+          (if (id % 17 == 0 && l == 1) " {" else "") +
+          (if ((id + l) % 3 != 0) "." else "")
+      }
+      val kept = lines.filter(ln => ln.endsWith(".") &&
+        ln.split("\\s+").length >= 5 && !ln.contains("javascript"))
+      val pageKeep = kept.length >= 3 &&
+        !lines.exists(_.contains("lorem ipsum")) &&
+        !lines.exists(_.contains("{"))
+      (id, nl.toLong, kept.length.toLong, pageKeep, kept.mkString("\n"))
+    }.toSet
+    val got = queries("q128_c4_filters")(spark, dir)
+      .as[(Long, Long, Long, Boolean, String)].collect().toSet
+    assert(got == expected)
+
+    // every rule must fire at least once AND pass at least once
+    val byId = expected.map(r => r._1 -> r).toMap
+    assert(expected.exists(_._4) && expected.exists(!_._4))
+    val short = docs.filter { case (id, text) =>
+      val nw = text.trim.split("\\s+").length
+      nw % 10 != 0 && nw % 10 < 5 // last line short -> word-count drop
+    }
+    assert(short.nonEmpty, "corpus should exercise the >=5-words rule")
+    assert(expected.exists(r => byId(r._1)._2 - r._3 > 0),
+      "some line must be dropped")
+    assert(expected.exists(r => r._1 % 13 == 0 && !r._4),
+      "lorem-ipsum pages must drop")
+    assert(expected.exists(r => r._1 % 17 == 0 && !r._4),
+      "curly-brace pages must drop")
+  }
 }

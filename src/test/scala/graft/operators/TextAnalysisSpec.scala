@@ -480,4 +480,53 @@ class TextAnalysisSpec extends SparkSuite {
       assert(estOf(t0) <= row0)
     }
   }
+
+  test("q129 logreg: distributed GD matches a plain-Scala replica " +
+      "exactly and learns better than chance") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    def bucket(tok: String): Int =
+      (java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(tok.getBytes("UTF-8")).substring(0, 8), 16) % 64).toInt
+    val feats = docs.map { case (id, lang, text) =>
+      val toks = text.trim.split("\\s+")
+      val xs = new Array[Double](65)
+      toks.foreach(t => xs(bucket(t)) += 1.0)
+      (0 until 64).foreach(i => xs(i) = xs(i) * 16 / toks.length)
+      xs(64) = 1.0
+      (id, if (lang == "en") 1.0 else 0.0, xs)
+    }
+    def sig(z: Double): Double = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def r12(x: Double): java.math.BigDecimal = new java.math.BigDecimal(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    var w = Array.fill(65)(0.0)
+    for (_ <- 1 to 6) {
+      // decimal-ledger gradient: 12-rounded contributions, exact sum
+      val acc = Array.fill(65)(java.math.BigDecimal.ZERO)
+      feats.foreach { case (_, y, xs) =>
+        val p = sig((0 until 65).foldLeft(0.0)((s, i) => s + xs(i) * w(i)))
+        (0 until 65).foreach(i => acc(i) = acc(i).add(r12((p - y) * xs(i))))
+      }
+      w = w.indices.map(i =>
+        r6(w(i) - 3.0 * (acc(i).doubleValue / feats.length))).toArray
+    }
+    val expected = feats.map { case (id, y, xs) =>
+      val p = sig((0 until 65).foldLeft(0.0)((s, i) => s + xs(i) * w(i)))
+      (id, y.toInt, r6(p))
+    }.toSet
+    val got = graft.SparkEntry.queries("q129_quality_logreg")(spark, dir)
+      .as[(Long, Int, Double)].collect()
+    assert(got.toSet == expected,
+      "engine GD must equal the ledgered replica bit-for-bit")
+    // the trained model must rank en above non-en better than chance
+    val pos = got.filter(_._2 == 1).map(_._3)
+    val neg = got.filter(_._2 == 0).map(_._3)
+    val auc = pos.map(a => neg.count(b => a > b).toDouble).sum /
+      (pos.length.toDouble * neg.length)
+    assert(auc > 0.6, s"AUC $auc")
+    assert(got.forall(r => r._3 > 0.0 && r._3 < 1.0))
+  }
 }
