@@ -1010,6 +1010,60 @@ object Curation {
           size(col("kept")).cast("long").as("n_kept"),
           (size(col("kept")) >= 3 && col("clean_page")).as("page_keep"),
           array_join(col("kept"), "\n").as("cleaned"))
+    },
+
+    /** Temperature-scaled source sampling (the mT5/CC-100 α-mixing rule,
+      * Xue 2021 §3.1 / Conneau 2020 §3): sampling weight p_i ∝ n_i^α
+      * with α = 0.5, flattening the natural source distribution so
+      * low-resource sources are up-sampled — the third member of the
+      * mixture family next to DSIR (q102, per-DOC importance) and DoReMi
+      * (q111, LEARNED per-source weights): this one is the closed-form
+      * rule a pipeline applies when no proxy model exists. Emits, per
+      * source, the natural token count, the α-weight, and the implied
+      * epoch multiplier at a 1e9-token budget (epochs > 1 = the source
+      * is repeated, the Muennighoff 2023 repetition regime).
+      *
+      * α = 0.5 deliberately: n^0.5 = sqrt(n), IEEE-754 correctly-rounded
+      * in every engine — whereas pow(x, 0.3) is libm-specific and can
+      * differ in the last ulp (the q114 lesson: only correctly-rounded
+      * ops are cross-engine contracts). The weight denominator is a
+      * LEFT FOLD over the per-source sqrt terms in sorted-source order
+      * (list_reduce / aggregate — both engines fold sequentially over
+      * the same order), so even the double SUM is bit-identical.
+      *
+      * Shape at 100 TB: one map-side-combined corpus aggregate to the
+      * per-source token table (bounded: |sources| rows), then driver-free
+      * closed-form arithmetic on that bounded table — the weight table
+      * broadcasts back to whatever sampler consumes it. */
+    QueryDef("q132_temperature_mix",
+      """WITH tk AS (SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sw FROM tk),
+        |d AS (SELECT list_reduce(list(sw ORDER BY source), (a, b) -> a + b) AS denom FROM w)
+        |SELECT w.source, w.n_tokens,
+        |  round(w.sw / d.denom, 6) AS weight,
+        |  round(1000000000.0 * (w.sw / d.denom) / CAST(w.n_tokens AS DOUBLE), 6) AS epochs
+        |FROM w, d""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val tk = t(s, dir, "documents").groupBy("source")
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("sw", sqrt(col("n_tokens").cast("double")))
+      // denominator: sequential left fold over sorted-source order —
+      // sort_array on (source, sw) structs orders by the unique source,
+      // and aggregate folds left like DuckDB's list_reduce (0.0 + first
+      // term is exact), so the sum is bit-identical cross-engine
+      val denom = tk
+        .agg(aggregate(
+          transform(
+            sort_array(collect_list(struct(col("source"), col("sw")))),
+            _.getField("sw")),
+          lit(0.0d), (acc, x) => acc + x).as("denom"))
+      tk.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_tokens"),
+          round(col("sw") / col("denom"), 6).as("weight"),
+          round(lit(1000000000.0) * (col("sw") / col("denom"))
+            / col("n_tokens").cast("double"), 6).as("epochs"))
     }
   )
 

@@ -926,6 +926,83 @@ object Dedup {
         .select(col("doc_id"), cleaned.as("cleaned"),
           (length(col("text")) - length(cleaned)).cast("long")
             .as("n_removed"))
+    },
+
+    /** MinHash estimator calibration: for every verified near-dup pair
+      * (the q21 answer, read from the session pair table), the EXACT
+      * word-3-shingle Jaccard next to the 64-slot MinHash ESTIMATE
+      * (matching-slot fraction) — the q126/q130 sketch-calibration
+      * posture applied to similarity. The production ladder thresholds
+      * on signatures it persists and ships between systems; this
+      * harness is the report that says how far those signature-space
+      * decisions sit from set-space truth (64 slots → σ ≈
+      * √(j(1−j)/64) ≈ 0.05 at j = 0.8, so banding at 0.8 must
+      * exact-verify — which is precisely what the q21 ladder does, and
+      * why: this query is the evidence for that design).
+      *
+      * Signatures here come from [[graft.functions.Md5MinHashAgg]] — the
+      * digest-derived permutation family (64 = 16 salted md5s × 4 hex
+      * slices, element-wise min, map-side combined) — NOT the xxhash64
+      * [[graft.functions.MinHashAgg]] the ladder itself uses: xxhash64
+      * isn't replayable outside Spark, so ladder signatures are oracled
+      * via the exact pair set only, while THESE signature values are
+      * bit-identical in any md5-capable engine and the oracle
+      * hash-matches the estimates themselves. Min over the feature
+      * MULTISET equals min over the set, so no distinct is needed
+      * beyond the shared frame's.
+      *
+      * Shape at 100 TB: one pass over the shared shingle frame for the
+      * signature aggregate (8 KiB per doc group, map-side combined), a
+      * pair-table-sized join — ∝ duplicates, never n² — and per-pair
+      * slot comparison on 64-long arrays. */
+    QueryDef("q134_minhash_calibration",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+        |f AS (SELECT doc_id, unnest(sh) AS f FROM s),
+        |hm AS (SELECT doc_id, CAST(u.j AS INT) AS j,
+        |    md5(CAST(u.j AS VARCHAR) || '|' || f) AS hx
+        |  FROM f, unnest(range(16)) AS u(j)),
+        |sl AS (SELECT doc_id, j, CAST(r.r AS INT) AS r,
+        |    min(CAST(('0x' || substr(hx, CAST(8*r.r+1 AS INT), 8)) AS BIGINT)) AS mn
+        |  FROM hm, unnest(range(4)) AS r(r) GROUP BY 1, 2, 3),
+        |sig AS (SELECT doc_id, list(mn ORDER BY j, r) AS sig FROM sl GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jx
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT p.doc_a, p.doc_b, round(p.jx, 6) AS jaccard_exact,
+        |    round(len(list_filter(range(64),
+        |      i -> sa.sig[CAST(i+1 AS INT)] = sb.sig[CAST(i+1 AS INT)])) / 64.0, 6)
+        |      AS jaccard_est
+        |  FROM p JOIN sig sa ON p.doc_a = sa.doc_id
+        |    JOIN sig sb ON p.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard_exact, jaccard_est,
+        |  round(abs(jaccard_exact - jaccard_est), 6) AS abs_err
+        |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val sig = sharedShingleFrame(s, dir, "word3")
+        .groupBy("doc_id")
+        .agg(graft.functions.Md5MinHashAgg.signature(col("f"), 16).as("sig"))
+      val pairs = sharedNearDupPairs(s, dir, 0.8)
+      val matches = aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")),
+        lit(0), (acc, m) => acc + m)
+      pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard_exact"),
+          round(matches.cast("double") / 64.0, 6).as("jaccard_est"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard_exact"),
+          col("jaccard_est"),
+          round(abs(col("jaccard_exact") - col("jaccard_est")), 6)
+            .as("abs_err"))
     }
   )
 

@@ -925,6 +925,54 @@ object Relational {
         .agg(count(lit(1)).as("n_active"))
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_active"))
+    },
+
+    /** Z-order (Morton curve) data layout: interleave the bits of two
+      * clustering dimensions into one key, range-bucket the corpus on
+      * it, and report each bucket's bounding box over BOTH dimensions —
+      * the multi-dimensional clustering primitive behind Delta/Iceberg
+      * `OPTIMIZE ZORDER BY` (Morton 1966): sorting on z brings rows
+      * close in EVERY interleaved dimension close on disk, so min/max
+      * row-group stats prune scans filtered on either column (a plain
+      * sort on x gives perfect x-pruning and zero y-pruning; z-order
+      * trades a little of each for useful pruning on both — the bounding
+      * boxes this query emits ARE the pruning index quality report).
+      *
+      * The interleave is a 16-term integer shift/or fold per dimension —
+      * pure codegen'd row-local arithmetic replayed identically by the
+      * oracle. Bucketing here is ntile over the z-total-order (a global
+      * sort at gate scale, exact tie-break on doc_id so both engines
+      * agree); the 100 TB form of the SAME layout is
+      * `repartitionByRange(zkey)` + `sortWithinPartitions` — sampled
+      * boundaries, one range shuffle, no global sort, which the writer
+      * in [[Curation.exportCorpus]] composes with. */
+    QueryDef("q133_zorder_layout",
+      """WITH d AS (SELECT doc_id, least(n_chars, 65535) AS x, doc_id % 65536 AS y FROM documents),
+        |z AS (SELECT doc_id, x, y,
+        |    list_sum(list_transform(range(16), i ->
+        |      (CAST(((x >> CAST(i AS INT)) & 1) AS BIGINT) << CAST(2*i AS INT)) +
+        |      (CAST(((y >> CAST(i AS INT)) & 1) AS BIGINT) << CAST(2*i+1 AS INT)))) AS zkey
+        |  FROM d),
+        |nt AS (SELECT x, y, zkey,
+        |    CAST(ntile(16) OVER (ORDER BY zkey, doc_id) AS INT) AS bucket FROM z)
+        |SELECT bucket, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y, min(zkey) AS z_lo, max(zkey) AS z_hi
+        |FROM nt GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        least(col("n_chars"), lit(65535L)).as("x"),
+        pmod(col("doc_id"), lit(65536L)).as("y"))
+      val zkey = (0 until 16).map { i =>
+        (shiftleft(shiftright(col("x"), i).bitwiseAND(1L), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(1L), 2 * i + 1))
+      }.reduce(_ + _)
+      d.withColumn("zkey", zkey)
+        .withColumn("bucket",
+          ntile(16).over(Window.orderBy(col("zkey"), col("doc_id"))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"),
+          min("zkey").as("z_lo"), max("zkey").as("z_hi"))
     }
   )
 

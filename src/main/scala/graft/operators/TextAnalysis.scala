@@ -1661,6 +1661,156 @@ object TextAnalysis {
         col("xs"), typedlit(w.map(_.doubleValue))))
       feat.select(col("doc_id"), col("y").cast("int").as("label"),
         round(pF, 6).as("score"))
+    },
+
+    /** HyperLogLog distinct-token cardinality per source vs exact — the
+      * bounded-memory COUNT(DISTINCT) path ([[graft.functions.HllAgg]])
+      * proven against ground truth, the q126 calibration posture applied
+      * to cardinality: per source, the exact distinct count (a
+      * vocabulary shuffle) next to the estimate read off 256 one-byte
+      * registers built in ONE corpus pass. Registers are md5-derived
+      * (register = first hex byte, ρ = leading-zero rank of hex slice
+      * [8,16) as 32 bits), so the oracle rebuilds the IDENTICAL register
+      * file and the gate hash-matches the estimate to 4 decimals — every
+      * term 2^-ρ is dyadic with exponent ≥ -33 and the 256-term sum
+      * needs ≤ 42 mantissa bits, so the harmonic sum is EXACT in double
+      * in any order in both engines (no pinned evaluation order needed).
+      *
+      * Shape at 100 TB: exact COUNT(DISTINCT token) per group shuffles
+      * every distinct (source, token) — the vocabulary itself; the HLL
+      * aggregate ships 256 bytes per partition with map-side max-merge
+      * and answers from the merged registers. On a corpus whose
+      * vocabulary doesn't fit a shuffle the sketch is the only shape
+      * that still runs; this harness measures what its answer costs in
+      * accuracy (m=256 → ~6.5% standard error). */
+    QueryDef("q130_hll_distinct",
+      """WITH w AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |d AS (SELECT DISTINCT source, token FROM w),
+        |h AS (SELECT source,
+        |    CAST(('0x' || substr(md5(token), 1, 2)) AS INT) AS reg,
+        |    CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS tail
+        |  FROM d),
+        |r AS (SELECT source, reg,
+        |    max(CASE WHEN tail = 0 THEN 33 ELSE 33 - length(bin(tail)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |s AS (SELECT source,
+        |    CAST(256 - count(*) AS DOUBLE)
+        |      + sum(1.0 / (CAST(1 AS BIGINT) << CAST(rho AS INT))) AS harm,
+        |    CAST(256 - count(*) AS BIGINT) AS n_zero_regs
+        |  FROM r GROUP BY 1),
+        |e AS (SELECT source, harm, n_zero_regs,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / harm AS raw
+        |  FROM s),
+        |x AS (SELECT source, count(DISTINCT token) AS n_exact FROM w GROUP BY 1)
+        |SELECT x.source, x.n_exact,
+        |  CASE WHEN e.raw <= 640.0 AND e.n_zero_regs > 0
+        |    THEN round(256.0 * ln(256.0 / CAST(e.n_zero_regs AS DOUBLE)), 4)
+        |    ELSE round(e.raw, 4) END AS hll_est,
+        |  e.n_zero_regs
+        |FROM x JOIN e ON x.source = e.source"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+      val agg = toks.groupBy("source").agg(
+        countDistinct(col("token")).as("n_exact"),
+        graft.functions.HllAgg.registers(col("token")).as("regs"))
+      // harmonic sum over the registers: empty register → 2^0 = 1;
+      // every term dyadic ≥ 2^-33 → the double sum is exact, any order.
+      // 2^-ρ via a 34-entry exact lookup (shiftleft's bit-count arg is
+      // static in Spark's API; the table IS the same dyadic values)
+      val pow2 = typedlit((0 to 33).map(k => 1.0 / (1L << k).toDouble))
+      val harm = aggregate(col("regs"), lit(0.0d),
+        (acc, r) => acc + element_at(pow2, r + 1))
+      // Flajolet's small-range correction: below 2.5m with empty
+      // registers, linear counting (m·ln(m/V)) replaces the raw
+      // estimator, which is badly biased high there. The branch
+      // condition compares the UNROUNDED raw value — exact cross-engine
+      // (exact harmonic sum), so both engines take the same branch.
+      val nZero = size(filter(col("regs"), _ === 0)).cast("long")
+      val raw = lit(alpha) * 256.0 * 256.0 / harm
+      agg.select(col("source"), col("n_exact"),
+        when(raw <= 640.0 && nZero > 0,
+            round(lit(256.0) * log(lit(256.0) / nZero.cast("double")), 4))
+          .otherwise(round(raw, 4)).as("hll_est"),
+        nZero.as("n_zero_regs"))
+    },
+
+    /** Mergeable-histogram quantiles of document length per source vs
+      * exact — the sketch-calibration family (q126 counts, q130
+      * cardinality) applied to ORDER STATISTICS: p50/p90/p99 of n_chars
+      * per source, estimated from a fixed-width 64-char-bucket histogram
+      * next to the exact answer. The exact p-quantile is defined
+      * order-free as min{v : cdf(v) ≥ ⌈p·n⌉} — a per-value aggregate
+      * plus a cumulative window over DISTINCT values (the q110/q112
+      * at-scale move: the window runs over the bounded value table,
+      * never over docs); the estimate replaces the value table with the
+      * bounded bucket table and answers the bucket's lower bound. All
+      * integer arithmetic end-to-end — nothing to drift cross-engine.
+      *
+      * Shape at 100 TB: the histogram is a map-side-combined groupBy on
+      * (source, bucket) — bounded width regardless of corpus size, and
+      * STREAMING-mergeable (counts add under union/retraction, unlike
+      * the exact path whose distinct-value table grows with the data).
+      * The exact side exists to price the estimate: bucket width 64 →
+      * the estimate is within 64 chars below the true quantile. */
+    QueryDef("q131_hist_quantiles",
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |n AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT source, n, (n*50+99)//100 AS r50, (n*90+99)//100 AS r90,
+        |    (n*99+99)//100 AS r99 FROM n),
+        |v AS (SELECT source, n_chars AS val, count(*) AS c FROM d GROUP BY 1, 2),
+        |cv AS (SELECT source, val,
+        |    sum(c) OVER (PARTITION BY source ORDER BY val) AS cum FROM v),
+        |qx AS (SELECT cv.source,
+        |    min(CASE WHEN cum >= r50 THEN val END) AS p50_exact,
+        |    min(CASE WHEN cum >= r90 THEN val END) AS p90_exact,
+        |    min(CASE WHEN cum >= r99 THEN val END) AS p99_exact
+        |  FROM cv JOIN t ON cv.source = t.source GROUP BY 1),
+        |b AS (SELECT source, n_chars // 64 AS bucket, count(*) AS c FROM d GROUP BY 1, 2),
+        |cb AS (SELECT source, bucket,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bucket) AS cum FROM b),
+        |qe AS (SELECT cb.source,
+        |    min(CASE WHEN cum >= r50 THEN bucket * 64 END) AS p50_est,
+        |    min(CASE WHEN cum >= r90 THEN bucket * 64 END) AS p90_est,
+        |    min(CASE WHEN cum >= r99 THEN bucket * 64 END) AS p99_est
+        |  FROM cb JOIN t ON cb.source = t.source GROUP BY 1)
+        |SELECT t.source, t.n, qx.p50_exact, qe.p50_est, qx.p90_exact,
+        |  qe.p90_est, qx.p99_exact, qe.p99_est
+        |FROM t JOIN qx ON t.source = qx.source JOIN qe ON t.source = qe.source"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val n = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .select(col("source"), col("n"),
+          expr("(n * 50 + 99) div 100").as("r50"),
+          expr("(n * 90 + 99) div 100").as("r90"),
+          expr("(n * 99 + 99) div 100").as("r99"))
+      def ranked(keyed: DataFrame, outVal: Column): DataFrame = {
+        // cumulative counts over the bounded per-source value/bucket
+        // table, then one min-conditional fold per quantile
+        val w = Window.partitionBy("source").orderBy("k")
+        keyed.groupBy("source", "k").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(w))
+          .join(n, "source")
+          .groupBy("source").agg(
+            min(when(col("cum") >= col("r50"), outVal)).as("p50"),
+            min(when(col("cum") >= col("r90"), outVal)).as("p90"),
+            min(when(col("cum") >= col("r99"), outVal)).as("p99"))
+      }
+      val exact = ranked(d.select(col("source"), col("n_chars").as("k")),
+        col("k"))
+      val est = ranked(
+        d.select(col("source"), expr("n_chars div 64").as("k")),
+        col("k") * 64)
+      n.select(col("source"), col("n"))
+        .join(exact.select(col("source"), col("p50").as("p50_exact"),
+          col("p90").as("p90_exact"), col("p99").as("p99_exact")), "source")
+        .join(est.select(col("source"), col("p50").as("p50_est"),
+          col("p90").as("p90_est"), col("p99").as("p99_est")), "source")
+        .select(col("source"), col("n"), col("p50_exact"), col("p50_est"),
+          col("p90_exact"), col("p90_est"), col("p99_exact"), col("p99_est"))
     }
   )
 }
