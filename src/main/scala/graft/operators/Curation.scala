@@ -65,6 +65,42 @@ object Curation {
     regexp_count(text, lit(IpPat)).cast("long").as("n_ips"),
     md5(piiRedact(text)).as("clean_sig"))
 
+  /** The C4 line-filter report shared by batch q128 and the streaming
+    * gate (one code path, the [[TextAnalysis.gopherRules]]/[[piiColumns]]
+    * pin discipline): regroup words into planted 10-word lines (the
+    * corpus is newline-free — `docIdNum` drives the deterministic plant
+    * schedule), apply the Raffel 2020 per-line keeps and page drops, and
+    * emit (id, n_lines, n_kept, page_keep, cleaned). Pure per-row column
+    * arithmetic — no shuffle, stateless in the streaming form. */
+  def c4Report(df: DataFrame, id: org.apache.spark.sql.Column,
+      docIdNum: org.apache.spark.sql.Column): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val lines = transform(
+      sequence(lit(0), ((size(words) + lit(9)) / lit(10)).cast("int") - 1),
+      l => concat(
+        array_join(slice(words, l * 10 + 1, lit(10)), " "),
+        when((docIdNum + l) % 11 === 0, " javascript").otherwise(""),
+        when(docIdNum % 13 === 0 && l === 0, " lorem ipsum").otherwise(""),
+        when(docIdNum % 17 === 0 && l === 1, " {").otherwise(""),
+        when((docIdNum + l) % 3 =!= 0, ".").otherwise("")))
+    val keptLine = (ln: org.apache.spark.sql.Column) =>
+      ln.endsWith(".") && size(split(ln, "\\s+")) >= 5 &&
+        !ln.contains("javascript")
+    df
+      .select(id, lines.as("lines"))
+      .select(col("*"),
+        size(col("lines")).cast("long").as("n_lines"),
+        filter(col("lines"), keptLine).as("kept"),
+        (!exists(col("lines"), _.contains("lorem ipsum")) &&
+          !exists(col("lines"), _.contains("{"))).as("clean_page"))
+      .drop("lines")
+      .select(col("*"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("kept")) >= 3 && col("clean_page")).as("page_keep"),
+        array_join(col("kept"), "\n").as("cleaned"))
+      .drop("kept", "clean_page")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     /** Benchmark decontamination: flag training-split documents sharing
@@ -986,30 +1022,7 @@ object Curation {
         |    AND len(list_filter(lines, ln -> contains(ln, '{'))) = 0 AS page_keep,
         |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
         |FROM k""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val words = split(trim(col("text")), "\\s+")
-      val docId = col("doc_id")
-      val lines = transform(
-        sequence(lit(0), ((size(words) + lit(9)) / lit(10)).cast("int") - 1),
-        l => concat(
-          array_join(slice(words, l * 10 + 1, lit(10)), " "),
-          when((docId + l) % 11 === 0, " javascript").otherwise(""),
-          when(docId % 13 === 0 && l === 0, " lorem ipsum").otherwise(""),
-          when(docId % 17 === 0 && l === 1, " {").otherwise(""),
-          when((docId + l) % 3 =!= 0, ".").otherwise("")))
-      val keptLine = (ln: org.apache.spark.sql.Column) =>
-        ln.endsWith(".") && size(split(ln, "\\s+")) >= 5 &&
-          !ln.contains("javascript")
-      t(s, dir, "documents")
-        .select(docId, lines.as("lines"))
-        .select(docId,
-          size(col("lines")).cast("long").as("n_lines"),
-          filter(col("lines"), keptLine).as("kept"),
-          (!exists(col("lines"), _.contains("lorem ipsum")) &&
-            !exists(col("lines"), _.contains("{"))).as("clean_page"))
-        .select(docId, col("n_lines"),
-          size(col("kept")).cast("long").as("n_kept"),
-          (size(col("kept")) >= 3 && col("clean_page")).as("page_keep"),
-          array_join(col("kept"), "\n").as("cleaned"))
+      c4Report(t(s, dir, "documents"), col("doc_id"), col("doc_id"))
     },
 
     /** Temperature-scaled source sampling (the mT5/CC-100 α-mixing rule,

@@ -571,23 +571,33 @@ object Similarity {
         |  round(list_sum(list_transform(range(len(e.v)),
         |    i -> e.v[i+1] * sg.sgn[i+1])), 6) AS coord
         |FROM e, sg""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val signs: Seq[Seq[Double]] = (1 to 16).map { j =>
-        (1 to 64).map { i =>
-          val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i|$j")
-          if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0
-          else -1.0
-        }
-      }
-      val sgnLit = typedlit(signs)
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"),
           explode(sequence(lit(1), lit(16))).as("pos"))
         .select(col("vec_id"), col("pos"),
-          round(graft.functions.DotProduct(
-            col("v"), element_at(sgnLit, col("pos"))), 6).as("coord"))
+          jlCoord(col("v"), col("pos")).as("coord"))
     }
   )
+
+  /** q127's deterministic Rademacher matrix (md5("i|j") parity), shared
+    * with the streaming projection view — plan-time constant, never
+    * stored. */
+  private[graft] lazy val jlSigns: Seq[Seq[Double]] = (1 to 16).map { j =>
+    (1 to 64).map { i =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i|$j")
+      if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0
+      else -1.0
+    }
+  }
+
+  /** Projected coordinate `pos` (1-based) of double-vector `v` — the
+    * q127 arithmetic (fixed-order dot against the literal sign row,
+    * rounded once to 6) as a reusable column. */
+  private[graft] def jlCoord(v: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(graft.functions.DotProduct(
+      v, element_at(typedlit(jlSigns), pos)), 6)
 
   /** Session-scoped train-once IVF index for q42 (the [[KMeans.Model.save]]
     * posture applied to the label-partitioned corpus): one build pass
