@@ -1058,27 +1058,33 @@ object Curation {
         |  round(w.sw / d.denom, 6) AS weight,
         |  round(1000000000.0 * (w.sw / d.denom) / CAST(w.n_tokens AS DOUBLE), 6) AS epochs
         |FROM w, d""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val tk = t(s, dir, "documents").groupBy("source")
+      alphaMix(t(s, dir, "documents").groupBy("source")
         .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
-          .as("n_tokens"))
-        .withColumn("sw", sqrt(col("n_tokens").cast("double")))
-      // denominator: sequential left fold over sorted-source order —
-      // sort_array on (source, sw) structs orders by the unique source,
-      // and aggregate folds left like DuckDB's list_reduce (0.0 + first
-      // term is exact), so the sum is bit-identical cross-engine
-      val denom = tk
-        .agg(aggregate(
-          transform(
-            sort_array(collect_list(struct(col("source"), col("sw")))),
-            _.getField("sw")),
-          lit(0.0d), (acc, x) => acc + x).as("denom"))
-      tk.crossJoin(broadcast(denom))
-        .select(col("source"), col("n_tokens"),
-          round(col("sw") / col("denom"), 6).as("weight"),
-          round(lit(1000000000.0) * (col("sw") / col("denom"))
-            / col("n_tokens").cast("double"), 6).as("epochs"))
+          .as("n_tokens")))
     }
   )
+
+  /** q132's α=0.5 mixture arithmetic over a per-source token-count
+    * table, shared with the streaming mixture view (one code path):
+    * (source, n_tokens) → (source, n_tokens, weight, epochs). The
+    * denominator is a sequential left fold over sorted-source order —
+    * sort_array on (source, sw) structs orders by the unique source, and
+    * aggregate folds left like DuckDB's list_reduce (0.0 + first term is
+    * exact), so the double sum is bit-identical cross-engine. */
+  private[graft] def alphaMix(tk0: DataFrame): DataFrame = {
+    val tk = tk0.withColumn("sw", sqrt(col("n_tokens").cast("double")))
+    val denom = tk
+      .agg(aggregate(
+        transform(
+          sort_array(collect_list(struct(col("source"), col("sw")))),
+          _.getField("sw")),
+        lit(0.0d), (acc, x) => acc + x).as("denom"))
+    tk.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_tokens"),
+        round(col("sw") / col("denom"), 6).as("weight"),
+        round(lit(1000000000.0) * (col("sw") / col("denom"))
+          / col("n_tokens").cast("double"), 6).as("epochs"))
+  }
 
   /** The write side of the pipeline: materialize the curated corpus as
     * a hive-partitioned parquet layout `split=…/lang=…/` — the output

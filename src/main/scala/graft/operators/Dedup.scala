@@ -333,16 +333,31 @@ object Dedup {
   private val windowFrames = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), String]
 
+  /** The frame is DF-PRUNED before it is written: only rows whose
+    * window text occurs ≥ 2 times corpus-wide (over all positions)
+    * survive. Both consumers are invariant to dropping singletons —
+    * q122's covered-position set comes from exactly the ≥2-occurrence
+    * windows, and a df-1 window can never produce a q59 pair — while
+    * the materialized artifact shrinks from one row per corpus
+    * CHARACTER (50× text inflation: the round-7 full frame cost q59
+    * MORE than its inline explode had) to one row per duplicated
+    * position. The full explode and its one corpus-wide count shuffle
+    * happen HERE, once, billed to the build ledger; consumers read a
+    * duplicates-sized parquet. */
   private[graft] def sharedWindowFrame(s: SparkSession, dir: String,
       n: Int = 50): DataFrame = {
     val path = windowFrames.getOrElseUpdate(
       (graft.SessionMemo.key(s), dir, n),
       graft.BuildMetrics.timed(s"window_frame_$n") {
         val p = graft.SessionMemo.tempDir("graft-window-frame")
-        t(s, dir, "documents").filter(length(col("text")) >= n)
-          .select(col("doc_id"),
-            posexplode(graft.functions.NGrams.charWindowGrams(col("text"), n))
-              .as(Seq("i", "g")))
+        val full = graft.CacheScope.persist(
+          t(s, dir, "documents").filter(length(col("text")) >= n)
+            .select(col("doc_id"),
+              posexplode(graft.functions.NGrams.charWindowGrams(col("text"), n))
+                .as(Seq("i", "g"))))
+        val dup = full.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select("g")
+        full.join(dup, "g").select("doc_id", "i", "g")
           .write.mode("overwrite").parquet(p)
         p
       })
@@ -915,10 +930,11 @@ object Dedup {
       // the positional frame comes from the session window-frame memo
       // shared with q59 — both exact-substring consumers read ONE
       // materialized corpus explode
+      // the memo's contract: every surviving row's window occurs ≥ 2
+      // times corpus-wide, so the covered positions are simply ALL of
+      // the frame's positions — no dup re-count needed
       val wins = sharedWindowFrame(s, dir, 50)
-      val dup = wins.groupBy("g").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select("g")
-      val starts = wins.join(dup, "g")
+      val starts = wins
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("i"))).as("starts"))
       val cleaned = removeCovered(col("text"), col("starts"), 50)

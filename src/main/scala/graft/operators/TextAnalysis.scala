@@ -1780,37 +1780,44 @@ object TextAnalysis {
         |  qe.p90_est, qx.p99_exact, qe.p99_est
         |FROM t JOIN qx ON t.source = qx.source JOIN qe ON t.source = qe.source"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
-      val n = d.groupBy("source").agg(count(lit(1)).as("n"))
-        .select(col("source"), col("n"),
-          expr("(n * 50 + 99) div 100").as("r50"),
-          expr("(n * 90 + 99) div 100").as("r90"),
-          expr("(n * 99 + 99) div 100").as("r99"))
-      def ranked(keyed: DataFrame, outVal: Column): DataFrame = {
-        // cumulative counts over the bounded per-source value/bucket
-        // table, then one min-conditional fold per quantile
-        val w = Window.partitionBy("source").orderBy("k")
-        keyed.groupBy("source", "k").agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum("c").over(w))
-          .join(n, "source")
-          .groupBy("source").agg(
-            min(when(col("cum") >= col("r50"), outVal)).as("p50"),
-            min(when(col("cum") >= col("r90"), outVal)).as("p90"),
-            min(when(col("cum") >= col("r99"), outVal)).as("p99"))
-      }
-      val exact = ranked(d.select(col("source"), col("n_chars").as("k")),
-        col("k"))
-      val est = ranked(
-        d.select(col("source"), expr("n_chars div 64").as("k")),
-        col("k") * 64)
-      n.select(col("source"), col("n"))
-        .join(exact.select(col("source"), col("p50").as("p50_exact"),
-          col("p90").as("p90_exact"), col("p99").as("p99_exact")), "source")
+      val exact = quantilesFromCounts(
+        d.groupBy(col("source"), col("n_chars").as("k"))
+          .agg(count(lit(1)).as("c")), col("k"))
+      val est = quantilesFromCounts(
+        d.groupBy(col("source"), expr("n_chars div 64").as("k"))
+          .agg(count(lit(1)).as("c")), col("k") * 64)
+      exact.select(col("source"), col("n"), col("p50").as("p50_exact"),
+          col("p90").as("p90_exact"), col("p99").as("p99_exact"))
         .join(est.select(col("source"), col("p50").as("p50_est"),
           col("p90").as("p90_est"), col("p99").as("p99_est")), "source")
         .select(col("source"), col("n"), col("p50_exact"), col("p50_est"),
           col("p90_exact"), col("p90_est"), col("p99_exact"), col("p99_est"))
     }
   )
+
+  /** q131's order-free quantile fold over a weighted value table, shared
+    * with the streaming histogram view (one code path): `counts` holds
+    * (source, k, c) — per-source counts keyed by value or bucket — and
+    * the result is (source, n, p50, p90, p99) where each p is `outVal`
+    * of the first k whose cumulative count crosses ⌈p·n⌉. The window
+    * runs over the bounded per-source key table (the q110/q112 move),
+    * never over documents. */
+  private[graft] def quantilesFromCounts(counts: DataFrame,
+      outVal: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = counts.groupBy("source").agg(sum("c").as("n"))
+      .select(col("source"), col("n"),
+        expr("(n * 50 + 99) div 100").as("r50"),
+        expr("(n * 90 + 99) div 100").as("r90"),
+        expr("(n * 99 + 99) div 100").as("r99"))
+    val w = Window.partitionBy("source").orderBy("k")
+    counts.withColumn("cum", sum("c").over(w))
+      .join(n, "source")
+      .groupBy("source").agg(
+        min("n").as("n"),
+        min(when(col("cum") >= col("r50"), outVal)).as("p50"),
+        min(when(col("cum") >= col("r90"), outVal)).as("p90"),
+        min(when(col("cum") >= col("r99"), outVal)).as("p99"))
+  }
 }
