@@ -350,14 +350,21 @@ object Dedup {
       (graft.SessionMemo.key(s), dir, n),
       graft.BuildMetrics.timed(s"window_frame_$n") {
         val p = graft.SessionMemo.tempDir("graft-window-frame")
-        val full = graft.CacheScope.persist(
+        // the frame explodes to one row per corpus CHARACTER, so it is
+        // exploded TWICE from the (small, persisted) document set rather
+        // than persisted itself — re-running the native CharWindowGrams
+        // loop is far cheaper than caching ~50× the corpus text
+        // (measured: persisting the full positional frame made this
+        // build 9.4s at sf0.1; two explodes off cached docs avoid it)
+        val docs = graft.CacheScope.persist(
           t(s, dir, "documents").filter(length(col("text")) >= n)
-            .select(col("doc_id"),
-              posexplode(graft.functions.NGrams.charWindowGrams(col("text"), n))
-                .as(Seq("i", "g"))))
-        val dup = full.groupBy("g").agg(count(lit(1)).as("cnt"))
+            .select(col("doc_id"), col("text")))
+        def explode0 = docs.select(col("doc_id"),
+          posexplode(graft.functions.NGrams.charWindowGrams(col("text"), n))
+            .as(Seq("i", "g")))
+        val dup = explode0.groupBy("g").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2).select("g")
-        full.join(dup, "g").select("doc_id", "i", "g")
+        explode0.join(dup, "g").select("doc_id", "i", "g")
           .write.mode("overwrite").parquet(p)
         p
       })
@@ -1019,6 +1026,140 @@ object Dedup {
           col("jaccard_est"),
           round(abs(col("jaccard_exact") - col("jaccard_est")), 6)
             .as("abs_err"))
+    },
+
+    /** Corpus-wide keep-first LINE dedup — the RefinedWeb/CCNet line-
+      * granularity pass (Penedo 2023 §4.2; Wenzek 2020 hash-dedupes
+      * paragraphs across shards keeping first occurrence): every
+      * repeated line survives only at its globally-first position (min
+      * (doc_id, line_idx)); later occurrences are cut from their
+      * documents. This removes boilerplate (nav bars, cookie banners,
+      * license headers) that whole-document dedup (q20) and span
+      * removal (q122) both miss: the line repeats across THOUSANDS of
+      * otherwise-distinct documents, each of which survives document
+      * dedup, and may be shorter than q122's 50-char window. "Lines"
+      * here are fixed 10-word chunks — this corpus's text carries no
+      * newlines (TESTDATA.md), so the chunking stands in for the
+      * newline split exactly like q128's synthetic line derivation; the
+      * operator is split-function-agnostic.
+      *
+      * Shape at 100 TB: one explode ∝ corpus tokens/10, one count-like
+      * agg keyed by line text (map-side combinable min over the
+      * composite (doc, idx) key), one line-keyed join back, one per-doc
+      * reassembly agg bounded by doc length. The first-occurrence rule
+      * is a pure min — no window over the corpus, no global sort; ties
+      * impossible (the composite key is unique). A hot line (millions
+      * of occurrences) is just a heavy reduce key — AQE skew handling
+      * applies, and the join back ships one 8-byte keep_key per
+      * distinct line, not the occurrence list. */
+    QueryDef("q135_line_dedup",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |l AS (SELECT doc_id, CAST(u.i AS INT) AS li,
+        |    array_to_string(ws[CAST(u.i*10+1 AS INT) : CAST(u.i*10+10 AS INT)], ' ') AS line
+        |  FROM w, unnest(range((len(ws)+9)//10)) AS u(i)),
+        |k AS (SELECT line, min(doc_id*1000000 + li) AS keep_key FROM l GROUP BY 1)
+        |SELECT l.doc_id,
+        |  coalesce(string_agg(line, ' ' ORDER BY li) FILTER (WHERE doc_id*1000000+li = k.keep_key), '') AS cleaned,
+        |  count(*) FILTER (WHERE doc_id*1000000+li <> k.keep_key) AS n_removed
+        |FROM l JOIN k USING (line) GROUP BY 1"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val ws = split(trim(col("text")), "\\s+")
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ((size(ws) + 9) / 10).cast("int") - 1),
+            i => array_join(slice(ws, i * 10 + 1, lit(10)), " ")))
+            .as(Seq("li", "line")))
+      val key = col("doc_id") * 1000000L + col("li")
+      val first = lines.groupBy("line").agg(min(key).as("keep_key"))
+      lines.join(first, "line")
+        .groupBy("doc_id")
+        .agg(
+          coalesce(array_join(transform(
+            sort_array(collect_list(
+              when(key === col("keep_key"),
+                struct(col("li"), col("line"))))),
+            _.getField("line")), " "), lit("")).as("cleaned"),
+          count(when(key =!= col("keep_key"), lit(1))).as("n_removed"))
+    },
+
+    /** Cross-source shingle-set Jaccard by KMV (k-minimum-values)
+      * sketch, calibrated against the exact overlap — the
+      * sketch-vs-truth report of q134/q126/q130 applied to SET
+      * similarity between whole sources (Beyer SIGMOD'07): each
+      * source's distinct word-3-shingle set is summarized as its 64
+      * smallest md5-derived hash values ([[graft.functions.BottomKAgg]]
+      * — bounded buffer, min-k over the raw multiset, no per-group
+      * DISTINCT), and pairwise Jaccard is estimated purely from sketch
+      * arithmetic: J ≈ |KMV(A∪B) ∩ A ∩ B| / |KMV(A∪B)| where the union
+      * sketch is the bottom-64 of the two sketches' merge. When the
+      * union holds < 64 values the sketch IS the exact union and the
+      * estimator collapses to exact — which is why the denominator is
+      * the union-sketch LENGTH, not k (the token-level variant of this
+      * query degenerates that way on this corpus's 31-token shared
+      * vocabulary; shingles give a 1063–1462-value universe per source
+      * and honest sketch behavior, mean |err| ≈ 0.016 measured).
+      *
+      * Shape at 100 TB: sketches ship 8·64 bytes per source — cross-
+      * SYSTEM set-overlap matrices (every shard pair, every snapshot
+      * pair) become |sources|²-row array arithmetic with NO token-level
+      * pair join; the exact side here is the calibration harness, one
+      * shingle-keyed source-set agg bounded by |sources| per key (the
+      * q104 discipline, never doc×doc). md5-derived hashes make sketch
+      * values bit-identical in any engine (the q134 posture), so the
+      * DuckDB oracle hash-matches the ESTIMATES. */
+    QueryDef("q136_kmv_jaccard",
+      """WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(list_transform(range(greatest(len(w)-2,0)),
+        |      i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS g FROM w)),
+        |h AS (SELECT source, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS hv FROM g),
+        |sk AS (SELECT source, (list_sort(list(DISTINCT hv)))[1:64] AS sk FROM h GROUP BY 1),
+        |n AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b,
+        |  round(i.i * 1.0 / (na.n + nb.n - i.i), 6) AS jacc_exact,
+        |  round(len(list_filter(u.u, x -> list_contains(sa.sk, x) AND list_contains(sb.sk, x)))
+        |    * 1.0 / len(u.u), 6) AS jacc_est
+        |FROM inter i
+        |JOIN n na ON na.source = i.src_a JOIN n nb ON nb.source = i.src_b
+        |JOIN sk sa ON sa.source = i.src_a JOIN sk sb ON sb.source = i.src_b,
+        |LATERAL (SELECT (list_sort(list_distinct(sa.sk || sb.sk)))[1:64] AS u) u"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val sgd = materialize(t(s, dir, "documents")
+        .select(col("source"), explode(shingles(col("text"))).as("g"))
+        .distinct())
+      val kmv = udaf(new graft.functions.BottomKAgg(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val hv = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+      val sk = sgd.select(col("source"), hv.as("hv"))
+        .groupBy("source").agg(kmv(col("hv")).as("sk"))
+      val n = sgd.groupBy("source").agg(count(lit(1)).as("n"))
+      // per-shingle source set (bounded by |sources|), exploded to
+      // ordered pairs — the q104 shape: one shuffle keyed by shingle,
+      // never a token-level self-join
+      val ss = sort_array(collect_set(col("source")))
+      val inter = sgd.groupBy("g").agg(ss.as("ss"))
+        .select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + 2, size(col("ss"))),
+            y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("i"))
+      val u = slice(sort_array(array_distinct(
+        concat(col("sk_a"), col("sk_b")))), 1, 64)
+      val matches = size(filter(col("u"),
+        x => array_contains(col("sk_a"), x) && array_contains(col("sk_b"), x)))
+      inter
+        .join(n.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(n.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .join(broadcast(sk.select(col("source").as("src_a"), col("sk").as("sk_a"))), "src_a")
+        .join(broadcast(sk.select(col("source").as("src_b"), col("sk").as("sk_b"))), "src_b")
+        .withColumn("u", u)
+        .select(col("src_a"), col("src_b"),
+          round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6)
+            .as("jacc_exact"),
+          round(matches.cast("double") / size(col("u")), 6).as("jacc_est"))
     }
   )
 
