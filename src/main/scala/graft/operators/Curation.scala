@@ -1061,6 +1061,50 @@ object Curation {
       alphaMix(t(s, dir, "documents").groupBy("source")
         .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
           .as("n_tokens")))
+    },
+
+    /** Policy blocklist gate: whole-WORD blocklist filtering with
+      * per-document evidence — the LDNOOBW-style term gate every corpus
+      * policy layer runs before its model-based filters. C4 dropped any
+      * page containing a blocklist term; Dolma and RefinedWeb gate on
+      * DENSITY instead so medical/educational text survives — the
+      * density rule here (keep iff blocked tokens < 10% of tokens).
+      * Matching is tokenized, not substring: "hash" flags neither
+      * "hashing" nor "rehash", which LIKE/regex substring scans get
+      * wrong. The keep decision is exact integer arithmetic
+      * (10·n_blocked < n_tokens) — no float threshold to drift
+      * cross-engine. The three-term list stands in for the policy
+      * dictionary; the operator is list-agnostic.
+      *
+      * Shape at 100 TB: one token explode and one map-side-combinable
+      * per-doc count agg; the blocklist is evaluated as a literal IN-set
+      * inside the scan projection (production: a broadcast dictionary) —
+      * no join, no shuffle beyond the per-doc aggregate. */
+    QueryDef("q139_blocklist_gate",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |a AS (SELECT doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (WHERE tok IN ('slow', 'hash', 'vector')) AS n_blocked,
+        |    list_sort(list(DISTINCT tok)
+        |      FILTER (WHERE tok IN ('slow', 'hash', 'vector'))) AS terms
+        |  FROM tok GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_blocked,
+        |  coalesce(terms, []::VARCHAR[]) AS matched_terms,
+        |  10 * n_blocked < n_tokens AS keep
+        |FROM a""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val blocklist = Seq("slow", "hash", "vector")
+      val isBlocked = col("tok").isin(blocklist: _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(isBlocked, lit(1))).as("n_blocked"),
+          sort_array(collect_set(when(isBlocked, col("tok"))))
+            .as("matched_terms"))
+        .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+          col("matched_terms"),
+          (lit(10) * col("n_blocked") < col("n_tokens")).as("keep"))
     }
   )
 

@@ -421,6 +421,43 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** Session-scoped md5-MinHash SIGNATURE table over the word-3 shingle
+    * frame — the cross-engine-replayable signature artifact q134
+    * calibrates and q141 bands for incremental dedup. At 16 salted
+    * digests per shingle occurrence this is the most compute-dense
+    * per-feature pass in the repo, so its consumers must not each pay
+    * it (the pair/LM/classifier memo lesson); billed as `md5_sigs` in
+    * the bench build ledger. At 100 TB this parquet IS the signature
+    * store a production pipeline persists and ships between systems —
+    * which is exactly why it is md5-derived and not xxhash64: any
+    * engine that can md5 recomputes and verifies it bit-identically. */
+  private val md5SigTables = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private[graft] def sharedMd5Signatures(s: SparkSession,
+      dir: String): DataFrame = {
+    val path = md5SigTables.getOrElseUpdate(
+      (graft.SessionMemo.key(s), dir),
+      graft.BuildMetrics.timed("md5_sigs") {
+        val p = graft.SessionMemo.tempDir("graft-md5-sigs")
+        sharedShingleFrame(s, dir, "word3")
+          .groupBy("doc_id")
+          .agg(graft.functions.Md5MinHashAgg.signature(col("f"), 16)
+            .as("sig"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
+
+  /** The canonical text form shared by q137 and its spec — Unicode NFC
+    * ([[graft.functions.UnicodeNormalize]]) → lowercase → trim →
+    * whitespace runs collapsed to one space. One Column definition so
+    * the engine, the oracle's mirror, and the tests cannot drift. */
+  private[graft] def canonicalText(text: Column): Column =
+    regexp_replace(trim(lower(graft.functions.UnicodeNormalize(text, "NFC"))),
+      "\\s+", " ")
+
   val queries: Seq[QueryDef] = Seq(
 
     /** Exact dedup by content hash: one row per distinct text with the
@@ -1006,9 +1043,7 @@ object Dedup {
         |SELECT doc_a, doc_b, jaccard_exact, jaccard_est,
         |  round(abs(jaccard_exact - jaccard_est), 6) AS abs_err
         |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val sig = sharedShingleFrame(s, dir, "word3")
-        .groupBy("doc_id")
-        .agg(graft.functions.Md5MinHashAgg.signature(col("f"), 16).as("sig"))
+      val sig = sharedMd5Signatures(s, dir)
       val pairs = sharedNearDupPairs(s, dir, 0.8)
       val matches = aggregate(
         zip_with(col("sig_a"), col("sig_b"),
@@ -1160,6 +1195,107 @@ object Dedup {
           round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6)
             .as("jacc_exact"),
           round(matches.cast("double") / size(col("u")), 6).as("jacc_est"))
+    },
+
+    /** Canonical-form exact dedup: documents are normalized to a
+      * canonical text — Unicode NFC ([[graft.functions.UnicodeNormalize]],
+      * UAX #15), lowercase, trimmed, whitespace runs collapsed — and
+      * THEN hashed and grouped, so byte-UNidentical trivial re-encodings
+      * (combining-mark vs precomposed forms of the same glyphs,
+      * case-only edits, reflowed whitespace) land in one group where
+      * q20's raw sha256 sees distinct texts. This is the "exact_norm"
+      * tier every web pipeline runs between raw-hash dedup and MinHash
+      * (CCNet normalizes before paragraph hashing, RefinedWeb before
+      * document hashing): it removes the mass of trivially-reencoded
+      * copies at exact-dedup cost, leaving the similarity ladder only
+      * true edits.
+      *
+      * Shape at 100 TB: identical to q20 — canonicalization is a narrow
+      * per-row map (the NFC pass short-circuits via
+      * `Normalizer.isNormalized` on already-normal text, the common
+      * case), and the shuffle moves 32-hex-char hashes, never documents.
+      * `n_raw_variants` counts DISTINCT RAW texts per canonical group —
+      * rows where it exceeds 1 are exactly the catches raw hashing
+      * misses (`DedupSpec` pins them on planted NFD/case/whitespace
+      * variants; on this ASCII corpus the groups coincide with q20's,
+      * and the oracle still verifies the full normalize→hash→group path
+      * through DuckDB's own `nfc_normalize`). */
+    QueryDef("q137_canonical_dedup",
+      """WITH c AS (SELECT doc_id, text,
+        |    md5(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')) AS canon_hash
+        |  FROM documents)
+        |SELECT canon_hash, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  count(DISTINCT text) AS n_raw_variants,
+        |  list_sort(list(doc_id)) AS doc_ids
+        |FROM c GROUP BY 1"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          md5(canonicalText(col("text"))).as("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(col("text")).as("n_raw_variants"),
+          sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+    },
+
+    /** Incremental snapshot dedup: a NEW document batch (odd doc_ids —
+      * standing in for today's crawl shard) near-dup-matched against the
+      * EXISTING corpus (even doc_ids) without ever pairing new×new or
+      * old×old — the production shape for continuous corpus growth,
+      * where each arriving shard is checked against everything already
+      * admitted but the admitted corpus never re-pairs with itself.
+      * Banding reads the session md5-MinHash signature table
+      * ([[sharedMd5Signatures]], 64 slots) as 16 bands × 4 rows; a new
+      * doc joins an old doc on any equal band (at j = 0.8 the miss
+      * probability is (1−0.8⁴)¹⁶ ≈ 8·10⁻⁴), then exact word-3-shingle
+      * Jaccard verifies each candidate on the shared frame. Output:
+      * every verified (new, old) pair — the admission gate's evidence
+      * rows.
+      *
+      * Shape at 100 TB: the existing corpus contributes its (band, doc)
+      * postings ONCE — persisted alongside the signature store exactly
+      * like this memo's parquet — and a day's batch explodes only its
+      * own 16 bands and probes; per-batch work ∝ batch size +
+      * collisions, never corpus size. This is the batch form of what
+      * [[graft.streaming.StreamingDedup]] maintains continuously.
+      * Signatures are md5-derived (the q134 posture), so the BANDING
+      * DECISION itself — not just the verified pair set — is replayed
+      * bit-identically by the oracle. */
+    QueryDef("q141_incremental_dedup",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+        |f AS (SELECT doc_id, unnest(sh) AS f FROM s),
+        |hm AS (SELECT doc_id, CAST(u.j AS INT) AS j,
+        |    md5(CAST(u.j AS VARCHAR) || '|' || f) AS hx
+        |  FROM f, unnest(range(16)) AS u(j)),
+        |sl AS (SELECT doc_id, j, CAST(r.r AS INT) AS r,
+        |    min(CAST(('0x' || substr(hx, CAST(8*r.r+1 AS INT), 8)) AS BIGINT)) AS mn
+        |  FROM hm, unnest(range(4)) AS r(r) GROUP BY 1, 2, 3),
+        |b AS (SELECT doc_id, j, list(mn ORDER BY r) AS band FROM sl GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM b n JOIN b o ON n.j = o.j AND n.band = o.band
+        |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+        |v AS (SELECT cand.new_id, cand.old_id,
+        |    len(list_intersect(a.sh, e.sh)) * 1.0 /
+        |      (len(a.sh) + len(e.sh) - len(list_intersect(a.sh, e.sh))) AS j
+        |  FROM cand JOIN s a ON a.doc_id = cand.new_id
+        |    JOIN s e ON e.doc_id = cand.old_id)
+        |SELECT new_id, old_id, round(j, 6) AS jaccard FROM v WHERE j >= 0.8"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val sig = sharedMd5Signatures(s, dir)
+      val bands = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          j => slice(col("sig"), j * 4 + 1, lit(4)))).as(Seq("j", "band")))
+      val newB = bands.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id").as("doc_a"), col("j"), col("band"))
+      val oldB = bands.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("doc_b"), col("j"), col("band"))
+      val cand = newB.join(oldB, Seq("j", "band"))
+        .select("doc_a", "doc_b").distinct()
+      verifyJaccard(cand, sharedShingleFrame(s, dir, "word3"), "f", 0.8)
+        .select(col("doc_a").as("new_id"), col("doc_b").as("old_id"),
+          round(col("jaccard"), 6).as("jaccard"))
     }
   )
 

@@ -577,6 +577,63 @@ object Similarity {
           explode(sequence(lit(1), lit(16))).as("pos"))
         .select(col("vec_id"), col("pos"),
           jlCoord(col("v"), col("pos")).as("coord"))
+    },
+
+    /** Embedding-space decontamination: every corpus vector scored
+      * against the full HELD-OUT benchmark set (vec_id % 29 = 0 — the
+      * deterministic stand-in for an eval suite's embedding table) by
+      * exact cosine; reports the nearest benchmark neighbor, its
+      * similarity, and how many benchmark vectors sit above the
+      * contamination threshold. This is the semantic tier of the
+      * decontamination ladder — q26/q87 catch verbatim gram overlap,
+      * q100 catches lexical paraphrase, and THIS tier catches
+      * embedding-space leakage (translations, heavy rewrites) that
+      * shares no surface text at all — the eval-contamination
+      * methodology of the Phi and GPT-4 technical reports.
+      *
+      * Shape at 100 TB: the benchmark side is BOUNDED (eval suites are
+      * thousands of items, never corpus-scale), so it broadcasts and the
+      * corpus makes ONE narrow pass — n·|benchmark| codegen'd
+      * [[graft.functions.DotProduct]]s with no shuffle before the
+      * per-vector agg; the argmax is a lexicographic struct max
+      * (map-side combinable), never a window over the corpus. Past the
+      * benchmark size where brute force pays, the q42/q99 IVF route
+      * prefilters candidates — composable, not needed for exactness
+      * here. Ties on the ROUNDED score break to the smallest benchmark
+      * id in both engines (max over (score, −id)); the 0.4 threshold is
+      * calibrated to this geometrically-near-random corpus (max
+      * cross-split cosine ≈ 0.48). */
+    QueryDef("q140_embedding_decon",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |h AS (SELECT vec_id, v FROM e WHERE vec_id % 29 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 29 <> 0),
+        |s AS (SELECT c.vec_id AS vec_id, h.vec_id AS hold_id,
+        |    round(list_sum(list_transform(range(len(c.v)), i -> c.v[i+1]*h.v[i+1])) /
+        |      (sqrt(list_sum(list_transform(range(len(c.v)), i -> c.v[i+1]*c.v[i+1]))) *
+        |       sqrt(list_sum(list_transform(range(len(h.v)), i -> h.v[i+1]*h.v[i+1])))), 6) AS cos
+        |  FROM c, h),
+        |a AS (SELECT vec_id,
+        |    max(struct_pack(c := cos, n := -hold_id)) AS m,
+        |    count(*) FILTER (WHERE cos >= 0.4) AS n_near
+        |  FROM s GROUP BY 1)
+        |SELECT vec_id, -(m.n) AS nearest_holdout, (m.c) AS max_cos,
+        |  n_near, n_near > 0 AS contaminated
+        |FROM a""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val h = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+        .select(col("vec_id").as("hold_id"), col("embedding").as("hv"))
+      val c = e.filter(pmod(col("vec_id"), lit(29)) =!= 0)
+        .select(col("vec_id"), col("embedding").as("cv"))
+      c.crossJoin(broadcast(h))
+        .select(col("vec_id"), col("hold_id"),
+          round(cosine(col("cv"), col("hv")), 6).as("cos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos").as("c"), (-col("hold_id")).as("n")))
+            .as("m"),
+          count(when(col("cos") >= 0.4, lit(1))).as("n_near"))
+        .select(col("vec_id"), (-col("m.n")).as("nearest_holdout"),
+          col("m.c").as("max_cos"), col("n_near"),
+          (col("n_near") > 0).as("contaminated"))
     }
   )
 

@@ -1793,6 +1793,47 @@ object TextAnalysis {
           col("p90").as("p90_est"), col("p99").as("p99_est")), "source")
         .select(col("source"), col("n"), col("p50_exact"), col("p50_est"),
           col("p90_exact"), col("p90_est"), col("p99_exact"), col("p99_est"))
+    },
+
+    /** Character-entropy quality gate: per-document Shannon entropy of
+      * the code-point distribution, in bits — the cheap "is this prose
+      * or key-mash/padding/base64" signal quality pipelines run
+      * alongside the token heuristics (natural language sits near 4
+      * bits/char; single-char padding → 0; uniform random base64 → 6).
+      * Computed via the count identity H = (ln n − Σ c·ln c / n) / ln 2
+      * — one explode ∝ corpus code points, one map-side-combinable
+      * (doc, char) tally, one per-doc aggregate over its ≤ |alphabet|
+      * counts; no window, no sort. The gate flag thresholds the ROUNDED
+      * score so both engines decide identically (the q84/q54 libm
+      * posture).
+      *
+      * Shape at 100 TB: the (doc, char) tally is bounded by docs ×
+      * alphabet and partial aggregation collapses each partition's
+      * repeats before the shuffle; the dominant cost is the char explode
+      * itself — one narrow pass over the corpus, no state. */
+    QueryDef("q138_char_entropy",
+      """WITH ch AS (SELECT doc_id, substr(text, CAST(u.i + 1 AS INT), 1) AS ch
+        |  FROM documents, unnest(range(length(text))) AS u(i)),
+        |f AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |e AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+        |    sum(c * ln(c)) AS sl FROM f GROUP BY 1)
+        |SELECT doc_id, n AS n_cp, n_distinct,
+        |  round((ln(n) - sl / n) / ln(2), 6) AS entropy_bits,
+        |  round((ln(n) - sl / n) / ln(2), 6) < 3.5 AS low_entropy
+        |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val chars = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), length(col("text")) - 1),
+          i => col("text").substr(i + 1, lit(1)))).as("ch"))
+      val eb = round(
+        (log(col("n")) - col("sl") / col("n")) / log(lit(2.0)), 6)
+      chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * log(col("c"))).as("sl"))
+        .select(col("doc_id"), col("n").as("n_cp"), col("n_distinct"),
+          eb.as("entropy_bits"), (eb < 3.5).as("low_entropy"))
     }
   )
 

@@ -326,4 +326,29 @@ class CurationSpec extends SparkSuite {
     assert(expected.exists(r => r._1 % 17 == 0 && !r._4),
       "curly-brace pages must drop")
   }
+
+  test("q139 blocklist: whole-word matching and the exact density boundary") {
+    val docs = Seq(
+      // substrings of blocked terms must NOT match — tokenized, not LIKE
+      (1L, "hashing rehash hashes vectorize slowly"),
+      // 5 blocked of 10 tokens -> drop; matched terms distinct + sorted
+      (2L, "slow hash vector slow slow x y z q w"),
+      // exactly 10% density: 10*1 < 10 is false -> drop (boundary)
+      (3L, "a b c d e f g h i slow"),
+      // just under 10%: 10*1 < 11 -> keep, with the term still reported
+      (4L, "a b c d e f g h i j slow")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir2 = tmpDir("blocklist")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+
+    val got = graft.SparkEntry.queries("q139_blocklist_gate")(spark, dir2)
+      .select("doc_id", "n_tokens", "n_blocked", "matched_terms", "keep")
+      .as[(Long, Long, Long, Seq[String], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 0L, Seq.empty, true)))
+    assert(got(2L) == ((2L, 10L, 5L, Seq("hash", "slow", "vector"), false)))
+    assert(got(3L) == ((3L, 10L, 1L, Seq("slow"), false)))
+    assert(got(4L) == ((4L, 11L, 1L, Seq("slow"), true)))
+  }
 }

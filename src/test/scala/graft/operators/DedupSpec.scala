@@ -290,4 +290,43 @@ class DedupSpec extends SparkSuite {
     assert(got.exists(r => r._3 > 0 && r._2.nonEmpty),
       "partial removal must keep the unique remainder")
   }
+
+  test("q137 canonical dedup groups NFD/case/whitespace variants raw hashing misses") {
+    // three renderings of the same sentence: precomposed é, decomposed
+    // e+U+0301, and a case/whitespace reflow — one canonical group;
+    // the fourth doc is genuinely different
+    val docs = Seq(
+      (1L, "Caf\u00e9 au lait"),           // NFC: precomposed e-acute
+      (2L, "Cafe\u0301 au lait"),          // NFD: e + combining acute
+      (3L, "  café   AU \t lait "),
+      (4L, "something else entirely")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir2 = tmpDir("canon")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+
+    val got = queries("q137_canonical_dedup")(spark, dir2)
+      .select("keep_id", "n_copies", "n_raw_variants")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L), (4L, 1L, 1L)))
+
+    // raw-hash dedup sees all four texts as distinct — the canonical
+    // tier's catch is real, not a restatement of q20
+    assert(queries("q20_dedup_exact")(spark, dir2).count() == 4L)
+  }
+
+  test("q141 incremental dedup == brute-force cross-parity pairs at sf0.01") {
+    val got = queries("q141_incremental_dedup")(spark, dir)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // expected: every brute-force >=0.8 pair with one odd (new) and one
+    // even (old) endpoint, oriented new->old; same-parity pairs must NOT
+    // appear (old x old re-pairing is the bug this operator exists to
+    // avoid)
+    val expected = bruteForcePairs.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }
+    assert(got == expected)
+    assert(got.nonEmpty, "sf0.01 plants cross-parity near-dup pairs")
+  }
 }

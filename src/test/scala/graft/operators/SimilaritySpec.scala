@@ -232,4 +232,36 @@ class SimilaritySpec extends SparkSuite {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
   }
+
+  test("q140 embedding decon == in-memory brute force (argmax tie rule)") {
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val hold = vecs.filter(_._1 % 29 == 0)
+    val corp = vecs.filter(_._1 % 29 != 0)
+    assert(hold.nonEmpty && corp.nonEmpty)
+    // sequential left-to-right double fold — the DotProduct order
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = corp.map { case (cid, cv) =>
+      val scored = hold.map { case (hid, hv) =>
+        (r6(dot(cv, hv) / (math.sqrt(dot(cv, cv)) * math.sqrt(dot(hv, hv)))),
+          hid)
+      }
+      val maxCos = scored.map(_._1).max
+      // ties on the rounded score break to the SMALLEST holdout id
+      val nearest = scored.filter(_._1 == maxCos).map(_._2).min
+      val nNear = scored.count(_._1 >= 0.4).toLong
+      cid -> ((nearest, maxCos, nNear, nNear > 0))
+    }.toMap
+
+    val got = queries("q140_embedding_decon")(spark, dir)
+      .select("vec_id", "nearest_holdout", "max_cos", "n_near", "contaminated")
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected)
+    assert(got.size == corp.length)
+  }
 }

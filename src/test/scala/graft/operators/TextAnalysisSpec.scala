@@ -529,4 +529,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(auc > 0.6, s"AUC $auc")
     assert(got.forall(r => r._3 > 0.0 && r._3 < 1.0))
   }
+
+  test("q138 char entropy: hand-computed distributions and gate flag") {
+    // H("aaaa") = 0 bits; H("abab") = 1; H("abcd") = 2 — all exact in
+    // double arithmetic (powers of two throughout), so the assertion is
+    // equality, not tolerance
+    val pd = docsDir("entropy", Seq(
+      1L -> "aaaa", 2L -> "abab", 3L -> "abcd"))
+    val got = graft.SparkEntry.queries("q138_char_entropy")(spark, pd)
+      .select("doc_id", "n_cp", "n_distinct", "entropy_bits", "low_entropy")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0.0, true)))
+    assert(got(2L) == ((2L, 4L, 2L, 1.0, true)))
+    assert(got(3L) == ((3L, 4L, 4L, 2.0, true)))
+
+    // the real corpus is prose-like: every doc must clear the key-mash
+    // gate with room (26 letters + space at near-natural frequencies)
+    val corpus = graft.SparkEntry.queries("q138_char_entropy")(
+        spark, "/root/testdata/sf0.01")
+      .select("entropy_bits").as[Double].collect()
+    assert(corpus.length == 500)
+    assert(corpus.forall(h => h > 3.5 && h < 5.0),
+      s"prose entropy band violated: min=${corpus.min} max=${corpus.max}")
+  }
 }
