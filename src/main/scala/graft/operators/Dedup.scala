@@ -1123,7 +1123,7 @@ object Dedup {
       * sketch-vs-truth report of q134/q126/q130 applied to SET
       * similarity between whole sources (Beyer SIGMOD'07): each
       * source's distinct word-3-shingle set is summarized as its 64
-      * smallest md5-derived hash values ([[graft.functions.BottomKAgg]]
+      * smallest md5-derived hash values ([[graft.functions.KmvAgg]]
       * — bounded buffer, min-k over the raw multiset, no per-group
       * DISTINCT), and pairwise Jaccard is estimated purely from sketch
       * arithmetic: J ≈ |KMV(A∪B) ∩ A ∩ B| / |KMV(A∪B)| where the union
@@ -1162,25 +1162,60 @@ object Dedup {
         |JOIN sk sa ON sa.source = i.src_a JOIN sk sb ON sb.source = i.src_b,
         |LATERAL (SELECT (list_sort(list_distinct(sa.sk || sb.sk)))[1:64] AS u) u"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
-      val sgd = materialize(t(s, dir, "documents")
-        .select(col("source"), explode(shingles(col("text"))).as("g"))
-        .distinct())
-      val kmv = udaf(new graft.functions.BottomKAgg(64),
-        org.apache.spark.sql.Encoders.scalaLong)
+      // Every statistic here derives from ONE non-distinct (source, g)
+      // pass over the session shingle frame with NO distinct shuffle
+      // anywhere — the three consumers each dedup for free:
+      //  - per-shingle source BITMASK via bit_or (OR absorbs repeats);
+      //  - the KMV sketch via min-k (the bounded buffer dedups);
+      //  - per-source distinct-shingle counts read OFF the bounded mask
+      //    table (sum of mask counts whose bit is set), never a
+      //    countDistinct over the corpus.
+      // The previous shape (distinct → per-shingle sorted source SET →
+      // interpreted struct per (shingle, pair)) spent 3.0 s of its
+      // 3.5 s on 2M struct allocations at sf0.1; here the shingle-keyed
+      // shuffle ships one 8-byte partial OR per (partition, shingle)
+      // and the C(S,2) pair explode runs over distinct source
+      // COMBINATIONS (bounded, a few hundred rows), each pair weighted
+      // by its mask count. Sources index into the mask in sorted order,
+      // so bit order == lexicographic order and pairs come out
+      // src_a < src_b exactly like the oracle's self-join. The sorted
+      // source list is a bounded driver fetch (the DoReMi posture);
+      // past 63 sources the mask widens to an array of longs —
+      // documented, not needed here.
+      val docsrc = t(s, dir, "documents").select("doc_id", "source")
+      val fs = materialize(sharedShingleFrame(s, dir, "word3")
+        .join(docsrc, "doc_id").select(col("source"), col("f").as("g")))
+      val srcArr = docsrc.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).toSeq
+      require(srcArr.size <= 63,
+        s"source bitmask holds <= 63 sources, got ${srcArr.size} " +
+          "(widen to array-of-longs masks past that)")
+      val pow2 = typedlit((0 until 63).map(1L << _))
+      val srcLit = typedlit(srcArr)
+      val idxMap = typedlit(srcArr.zipWithIndex.toMap)
       val hv = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-      val sk = sgd.select(col("source"), hv.as("hv"))
-        .groupBy("source").agg(kmv(col("hv")).as("sk"))
-      val n = sgd.groupBy("source").agg(count(lit(1)).as("n"))
-      // per-shingle source set (bounded by |sources|), exploded to
-      // ordered pairs — the q104 shape: one shuffle keyed by shingle,
-      // never a token-level self-join
-      val ss = sort_array(collect_set(col("source")))
-      val inter = sgd.groupBy("g").agg(ss.as("ss"))
-        .select(explode(flatten(transform(col("ss"), (x, i) =>
-          transform(slice(col("ss"), i + 2, size(col("ss"))),
-            y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      val sk = materialize(fs.select(col("source"), hv.as("hv"))
+        .groupBy("source")
+        .agg(graft.functions.KmvAgg.bottomK(col("hv"), 64).as("sk")))
+      val masks = materialize(fs
+        .select(col("g"), element_at(pow2,
+          element_at(idxMap, col("source")) + 1).as("bit"))
+        .groupBy("g").agg(bit_or(col("bit")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("c")))
+      val setBits = filter(sequence(lit(0), lit(srcArr.size - 1)),
+        b => col("mask").bitwiseAND(element_at(pow2, b + 1)) =!= 0)
+      val n = masks.withColumn("bs", setBits)
+        .select(explode(col("bs")).as("bi"), col("c"))
+        .groupBy("bi").agg(sum("c").as("n"))
+        .select(element_at(srcLit, col("bi") + 1).as("source"), col("n"))
+      val inter = masks
+        .withColumn("bs", setBits)
+        .select(col("c"), explode(flatten(transform(col("bs"), (x, i) =>
+          transform(slice(col("bs"), i + 2, size(col("bs"))),
+            y => struct(element_at(srcLit, x + 1).as("src_a"),
+              element_at(srcLit, y + 1).as("src_b")))))).as("p"))
         .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
-        .agg(count(lit(1)).as("i"))
+        .agg(sum("c").as("i"))
       val u = slice(sort_array(array_distinct(
         concat(col("sk_a"), col("sk_b")))), 1, 64)
       val matches = size(filter(col("u"),
