@@ -72,6 +72,26 @@ object Curation {
     * schedule), apply the Raffel 2020 per-line keeps and page drops, and
     * emit (id, n_lines, n_kept, page_keep, cleaned). Pure per-row column
     * arithmetic — no shuffle, stateless in the streaming form. */
+  /** The policy blocklist (stand-in for a production dictionary) and
+    * q139's per-document report, shared with the streaming gate view —
+    * ONE code path, pinned once. Pure row-local array arithmetic (the
+    * q72 posture): tokenize, filter against the literal IN-set, exact
+    * integer density rule — NO explode, NO shuffle, so the batch plan
+    * is a single narrow projection over the scan and the streaming
+    * form is stateless. */
+  private[graft] val blocklistTerms = Seq("slow", "hash", "vector")
+
+  def blocklistReport(df: DataFrame,
+      id: org.apache.spark.sql.Column): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val blocked = filter(toks, t => t.isInCollection(blocklistTerms))
+    df.select(id,
+      size(toks).cast("long").as("n_tokens"),
+      size(blocked).cast("long").as("n_blocked"),
+      sort_array(array_distinct(blocked)).as("matched_terms"),
+      (lit(10) * size(blocked) < size(toks)).as("keep"))
+  }
+
   def c4Report(df: DataFrame, id: org.apache.spark.sql.Column,
       docIdNum: org.apache.spark.sql.Column): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
@@ -1076,10 +1096,12 @@ object Curation {
       * cross-engine. The three-term list stands in for the policy
       * dictionary; the operator is list-agnostic.
       *
-      * Shape at 100 TB: one token explode and one map-side-combinable
-      * per-doc count agg; the blocklist is evaluated as a literal IN-set
-      * inside the scan projection (production: a broadcast dictionary) —
-      * no join, no shuffle beyond the per-doc aggregate. */
+      * Shape at 100 TB: ZERO shuffle — per-doc token stats are
+      * row-local array arithmetic ([[blocklistReport]], shared verbatim
+      * with the streaming gate view), the blocklist a literal IN-set
+      * inside the scan projection (production: a broadcast dictionary).
+      * The oracle tokenizes by explode+agg because SQL lambdas can't
+      * close over the list — same arithmetic, different engine idiom. */
     QueryDef("q139_blocklist_gate",
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
@@ -1092,19 +1114,7 @@ object Curation {
         |  coalesce(terms, []::VARCHAR[]) AS matched_terms,
         |  10 * n_blocked < n_tokens AS keep
         |FROM a""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val blocklist = Seq("slow", "hash", "vector")
-      val isBlocked = col("tok").isin(blocklist: _*)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          count(when(isBlocked, lit(1))).as("n_blocked"),
-          sort_array(collect_set(when(isBlocked, col("tok"))))
-            .as("matched_terms"))
-        .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
-          col("matched_terms"),
-          (lit(10) * col("n_blocked") < col("n_tokens")).as("keep"))
+      blocklistReport(t(s, dir, "documents"), col("doc_id"))
     }
   )
 

@@ -42,11 +42,16 @@ object StreamingExactDedup {
   /** `touched`: the batch's distinct keys, already persisted by the
     * caller — passed in (rather than recomputed here) so the composed
     * pipeline view's four stage helpers share ONE distinct + cached
-    * copy per batch instead of four. */
+    * copy per batch instead of four. `fpFn` is the row-local
+    * fingerprint (default: raw sha256 == batch q20; the canonical view
+    * passes md5 over [[graft.operators.Dedup.canonicalText]] == batch
+    * q137) — the entire maintenance ladder is fingerprint-agnostic. */
   private[streaming] def maintainFpState(
       postings: ParquetKeyedTable, pre: StateAccess, post: StateAccess,
       touched: DataFrame, ctx: BatchCtx,
-      table: String, textCol: String): FpState = {
+      table: String, textCol: String,
+      fpFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        sha2(_, 256)): FpState = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val preV = ctx.batchId match {
       case Some(id) => postings.versionBefore(id)
@@ -55,7 +60,7 @@ object StreamingExactDedup {
 
     def fps(rows: DataFrame): DataFrame = rows
       .select(col("key").as("doc_id"),
-        sha2(col(textCol), 256).as("fp"))
+        fpFn(col(textCol)).as("fp"))
 
     val oldFps = fps(pre.rows(table, touched)).persist(mem)
     ctx.defer(oldFps.unpersist())
@@ -117,6 +122,47 @@ object StreamingExactDedup {
           count(lit(1)).as("dup_cnt"))
         .select(col("fp").as("id"), col("fp"), col("keep_id"),
           col("dup_cnt"))
+      val deletes = st.emptied.select(col("key").as("id"))
+      (upserts, deletes)
+    })
+  }
+
+  /** Incremental CANONICAL-form dedup — the streaming form of batch
+    * q137: groups keyed by md5 of the canonical text (NFC → lowercase →
+    * whitespace-collapse, [[graft.operators.Dedup.canonicalText]] — one
+    * shared Column so batch, streaming and oracle cannot drift), so a
+    * case-only or re-encoded edit MOVES a document between groups while
+    * raw q20 groups would both keep it. Same state machine as
+    * [[exactDedupView]] via the fingerprint-agnostic ladder; the sink
+    * additionally carries `n_raw_variants` (distinct RAW texts inside
+    * the canonical group — the catches raw hashing misses), priced as
+    * one bucket-pruned text read of exactly the touched groups'
+    * members per batch. */
+  def canonicalDedupView(
+      spark: SparkSession, stateDir: String,
+      name: String = "canonical_dedup", table: String = "documents",
+      textCol: String = "text", buckets: Int = 32): ViewDef = {
+    val postings =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-post", "key", buckets)
+
+    ViewDef(name, (pre, post, batch, ctx) => {
+      val touched = batch(table).select("key").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ctx.defer(touched.unpersist())
+      val st = maintainFpState(postings, pre, post, touched, ctx,
+        table, textCol,
+        fpFn = t => md5(graft.operators.Dedup.canonicalText(t)))
+      // texts of the affected groups' CURRENT members — bucket-pruned,
+      // O(touched groups' membership), never a corpus read
+      val memberRows = post.rows(table,
+          st.postMembers.select(col("member").as("key")).distinct())
+        .select(col("key").as("member"), col(textCol).as("text"))
+      val upserts = st.postMembers.join(memberRows, "member")
+        .groupBy("fp")
+        .agg(min("member").as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct("text").as("n_raw_variants"))
+        .select(col("fp").as("id"), col("fp").as("canon_hash"),
+          col("keep_id"), col("n_copies"), col("n_raw_variants"))
       val deletes = st.emptied.select(col("key").as("id"))
       (upserts, deletes)
     })

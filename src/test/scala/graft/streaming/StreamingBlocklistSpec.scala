@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSuite, TableSpec}
+import graft.operators.Curation
+
+/** Streaming blocklist gate == batch q139 recompute at every step of a
+  * replayed document changelog. Both sides call the SAME
+  * [[Curation.blocklistReport]] columns, so the pin here is the view
+  * plumbing (touched-key rederivation, retraction), not a second rule
+  * implementation. */
+class StreamingBlocklistSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", StringType), StructField("text", StringType)))
+  private val sources =
+    Seq(TableSpec("documents", docSchema, primaryKey = Seq("doc_id")))
+
+  private var seqNo = 0L
+  private def rec(env: String): (String, String, Long) = {
+    seqNo += 1; ("documents", env, seqNo)
+  }
+  private def img(id: String, text: String) =
+    s"""{"doc_id":"$id","text":"$text"}"""
+  private def create(id: String, text: String) =
+    rec(s"""{"before":null,"after":${img(id, text)},"op":"c","ts_ms":$seqNo}""")
+  private def update(id: String, o: String, n: String) =
+    rec(s"""{"before":${img(id, o)},"after":${img(id, n)},"op":"u","ts_ms":$seqNo}""")
+  private def delete(id: String, text: String) =
+    rec(s"""{"before":${img(id, text)},"after":null,"op":"d","ts_ms":$seqNo}""")
+
+  private def expected(state: Seq[(String, String)]): Map[String, Seq[Any]] =
+    if (state.isEmpty) Map.empty
+    else Curation.blocklistReport(state.toDF("doc_id", "text"),
+        col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+
+  private def sinkDocs(sink: InMemoryUpsertSink): Map[String, Seq[Any]] = {
+    val fields = Seq("n_tokens", "n_blocked", "matched_terms", "keep")
+    sink.docs("blocklist_gate")
+      .map { case (id, d) => id -> fields.map(d(_)) }.toMap
+  }
+
+  test("gate == batch recompute per micro-batch; verdict flips on edit, " +
+      "row retracts on delete") {
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("sblock")
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingBlocklist.blocklistView()))
+    var state = Map.empty[String, String]
+
+    def step(batchId: Long, recs: (String, String, Long)*): Unit = {
+      pipeline.processBatch(recs.toDF("table", "value", "seq"),
+        Some(batchId))
+      assert(sinkDocs(sink) == expected(state.toSeq),
+        s"batch $batchId: sink != batch q139 recompute")
+    }
+
+    val clean = "a b c d e f g h i j k"
+    val dense = "slow hash vector slow x y z q w e"
+    state = Map("d1" -> clean, "d2" -> dense)
+    step(0, create("d1", clean), create("d2", dense))
+    assert(sinkDocs(sink)("d1").last == true)
+    assert(sinkDocs(sink)("d2").last == false)
+
+    // an edit that pushes d1 over the density line flips its verdict
+    val nowDense = "slow slow c d e f g h i j k"
+    state = Map("d1" -> nowDense, "d2" -> dense)
+    step(1, update("d1", clean, nowDense))
+    assert(sinkDocs(sink)("d1").last == false)
+
+    state = Map("d1" -> nowDense)
+    step(2, delete("d2", dense))
+    assert(!sinkDocs(sink).contains("d2"))
+
+    // replay idempotence
+    pipeline.processBatch(Seq(delete("d2", dense))
+      .toDF("table", "value", "seq"), Some(2L))
+    assert(sinkDocs(sink) == expected(state.toSeq))
+  }
+}
