@@ -1821,21 +1821,29 @@ object TextAnalysis {
         |  round((ln(n) - sl / n) / ln(2), 6) AS entropy_bits,
         |  round((ln(n) - sl / n) / ln(2), 6) < 3.5 AS low_entropy
         |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val chars = t(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), length(col("text")) - 1),
-          i => col("text").substr(i + 1, lit(1)))).as("ch"))
-      val eb = round(
-        (log(col("n")) - col("sl") / col("n")) / log(lit(2.0)), 6)
-      chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").as("n"),
-          count(lit(1)).as("n_distinct"),
-          sum(col("c") * log(col("c"))).as("sl"))
-        .select(col("doc_id"), col("n").as("n_cp"), col("n_distinct"),
-          eb.as("entropy_bits"), (eb < 3.5).as("low_entropy"))
+      charEntropyReport(t(s, dir, "documents"), "doc_id")
     }
   )
+
+  /** q138's entropy arithmetic over any documents-shaped frame, shared
+    * with the streaming gate view (one code path, pinned once). Docs
+    * with empty text produce NO row — both the oracle (range(0) is
+    * empty) and the streaming form (absent row = sink delete) agree. */
+  private[graft] def charEntropyReport(df: DataFrame,
+      idCol: String): DataFrame = {
+    val chars = df.filter(length(col("text")) > 0)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), length(col("text")) - 1),
+        i => col("text").substr(i + 1, lit(1)))).as("ch"))
+    val eb = round(
+      (log(col("n")) - col("sl") / col("n")) / log(lit(2.0)), 6)
+    chars.groupBy(idCol, "ch").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("sl"))
+      .select(col(idCol), col("n").as("n_cp"), col("n_distinct"),
+        eb.as("entropy_bits"), (eb < 3.5).as("low_entropy"))
+  }
 
   /** q131's order-free quantile fold over a weighted value table, shared
     * with the streaming histogram view (one code path): `counts` holds

@@ -474,4 +474,54 @@ class PlanSpec extends SparkSuite {
     // shard totals are map-side combined before the one shard shuffle
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q137: canonical dedup shuffles 32-hex hashes, never documents — " +
+      "same plan class as q20 with the normalize map fused at the scan") {
+    val p = plan("q137_canonical_dedup")
+    assert(p.contains("unicode_normalize"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // only the two consumed columns leave the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q138: entropy tally partially aggregates map-side; no window, " +
+      "no join") {
+    val p = plan("q138_char_entropy")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q139: blocklist gate is one exchange-free narrow map fused at " +
+      "the scan — no explode, no shuffle") {
+    val p = plan("q139_blocklist_gate")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p) // no explode — row-local arrays
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q140: the bounded benchmark side broadcasts; the corpus makes " +
+      "one pass with no shuffle before the per-vector aggregate") {
+    val p = plan("q140_embedding_decon")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window ["), p)
+    // exactly one aggregate pair (partial + final) over the scored rows
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+  }
+
+  test("q141: banding probes the signature memo — no LSH re-train, the " +
+      "verify join ships pair counts, never feature arrays") {
+    val p = plan("q141_incremental_dedup")
+    // signatures come from the md5_sigs parquet memo, not a re-run of
+    // the Md5MinHash aggregation
+    assert(!p.contains("md5_minhash_sig"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the exact-verify intersection is count-shaped (HashAggregate over
+    // pair keys), not an array-intersect projection
+    assert(p.contains("HashAggregate"), p)
+  }
 }
