@@ -65,13 +65,6 @@ object Curation {
     regexp_count(text, lit(IpPat)).cast("long").as("n_ips"),
     md5(piiRedact(text)).as("clean_sig"))
 
-  /** The C4 line-filter report shared by batch q128 and the streaming
-    * gate (one code path, the [[TextAnalysis.gopherRules]]/[[piiColumns]]
-    * pin discipline): regroup words into planted 10-word lines (the
-    * corpus is newline-free — `docIdNum` drives the deterministic plant
-    * schedule), apply the Raffel 2020 per-line keeps and page drops, and
-    * emit (id, n_lines, n_kept, page_keep, cleaned). Pure per-row column
-    * arithmetic — no shuffle, stateless in the streaming form. */
   /** The policy blocklist (stand-in for a production dictionary) and
     * q139's per-document report, shared with the streaming gate view —
     * ONE code path, pinned once. Pure row-local array arithmetic (the
@@ -92,6 +85,13 @@ object Curation {
       (lit(10) * size(blocked) < size(toks)).as("keep"))
   }
 
+  /** The C4 line-filter report shared by batch q128 and the streaming
+    * gate (one code path, the [[TextAnalysis.gopherRules]]/[[piiColumns]]
+    * pin discipline): regroup words into planted 10-word lines (the
+    * corpus is newline-free — `docIdNum` drives the deterministic plant
+    * schedule), apply the Raffel 2020 per-line keeps and page drops, and
+    * emit (id, n_lines, n_kept, page_keep, cleaned). Pure per-row column
+    * arithmetic — no shuffle, stateless in the streaming form. */
   def c4Report(df: DataFrame, id: org.apache.spark.sql.Column,
       docIdNum: org.apache.spark.sql.Column): DataFrame = {
     val words = split(trim(col("text")), "\\s+")

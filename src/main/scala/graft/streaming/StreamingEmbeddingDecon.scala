@@ -49,6 +49,14 @@ object StreamingEmbeddingDecon {
       val isHold = pmod(col("key").cast("long"), lit(29)) === 0
       val touched = batch(table).select("key").distinct().persist(mem)
       ctx.defer(touched.unpersist())
+      // the mod-29 split needs numeric keys; a key whose cast is null
+      // would be neither benchmark nor corpus (null-false on BOTH
+      // branches) and silently vanish from the sink — fail loudly
+      // instead, the StreamingC4 numeric-key contract enforced
+      val badKeys = touched.filter(col("key").cast("long").isNull)
+      require(badKeys.isEmpty,
+        s"$name requires numeric keys for the benchmark split; got " +
+          badKeys.limit(5).collect().map(_.getString(0)).mkString(", "))
       val holdTouched = touched.filter(isHold).persist(mem)
       ctx.defer(holdTouched.unpersist())
       val benchmarkChanged = !holdTouched.isEmpty

@@ -2,35 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-import graft.{SparkSuite, TableSpec}
+import graft.SparkSuite
 
 /** Incremental canonical-form dedup == batch q137 recompute at every
   * step of a replayed changelog: case/whitespace/NFC variants share a
   * group (where raw exact dedup would not), a canonicalization-only
   * edit does NOT move a doc between groups, a real edit does, and
   * n_raw_variants tracks the distinct RAW texts inside each group. */
-class StreamingCanonicalDedupSpec extends SparkSuite {
+class StreamingCanonicalDedupSpec extends SparkSuite with DocCdcFixture {
   import spark.implicits._
-
-  private val docSchema = StructType(Seq(
-    StructField("doc_id", StringType), StructField("text", StringType)))
-  private val sources =
-    Seq(TableSpec("documents", docSchema, primaryKey = Seq("doc_id")))
-
-  private var seqNo = 0L
-  private def rec(env: String): (String, String, Long) = {
-    seqNo += 1; ("documents", env, seqNo)
-  }
-  private def img(id: String, text: String) =
-    s"""{"doc_id":"$id","text":"$text"}"""
-  private def create(id: String, text: String): (String, String, Long) =
-    rec(s"""{"before":null,"after":${img(id, text)},"op":"c","ts_ms":$seqNo}""")
-  private def update(id: String, oldT: String, newT: String): (String, String, Long) =
-    rec(s"""{"before":${img(id, oldT)},"after":${img(id, newT)},"op":"u","ts_ms":$seqNo}""")
-  private def delete(id: String, text: String): (String, String, Long) =
-    rec(s"""{"before":${img(id, text)},"after":null,"op":"d","ts_ms":$seqNo}""")
 
   /** Batch q137's aggregation over the materialized state — the same
     * [[graft.operators.Dedup.canonicalText]] column. */
@@ -54,7 +35,7 @@ class StreamingCanonicalDedupSpec extends SparkSuite {
       "canonical-only edits stay, real edits move") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("scanon")
-    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+    val pipeline = new CdcPipeline(spark, docSources, stateDir, sink,
       Seq(StreamingExactDedup.canonicalDedupView(spark, stateDir)))
 
     def step(batchId: Long, recs: (String, String, Long)*): Unit = {
@@ -100,7 +81,7 @@ class StreamingCanonicalDedupSpec extends SparkSuite {
   test("replayed batch is idempotent") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("scanon-replay")
-    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+    val pipeline = new CdcPipeline(spark, docSources, stateDir, sink,
       Seq(StreamingExactDedup.canonicalDedupView(spark, stateDir)))
 
     pipeline.processBatch(Seq(create("r1", "Dup  Body"))

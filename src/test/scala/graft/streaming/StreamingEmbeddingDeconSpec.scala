@@ -1,11 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-
-import graft.{SparkSuite, TableSpec}
-import graft.operators.Similarity
+import graft.SparkSuite
 
 /** Streaming embedding decontamination == batch q140 recompute at every
   * step of a replayed embeddings changelog — including the GLOBAL
@@ -13,27 +8,9 @@ import graft.operators.Similarity
   * on corpus vectors the batch never touched (new nearest neighbor,
   * n_near increments/decrements, contamination appearing/vanishing),
   * and an emptied benchmark retracts every corpus row. */
-class StreamingEmbeddingDeconSpec extends SparkSuite {
+class StreamingEmbeddingDeconSpec extends SparkSuite
+    with EmbeddingCdcFixture {
   import spark.implicits._
-
-  private val embSchema = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(DoubleType))))
-  private val sources =
-    Seq(TableSpec("embeddings", embSchema, primaryKey = Seq("vec_id")))
-
-  private var seqNo = 0L
-  private def rec(env: String): (String, String, Long) = {
-    seqNo += 1; ("embeddings", env, seqNo)
-  }
-  private def img(id: Long, v: Seq[Double]) =
-    s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
-  private def create(id: Long, v: Seq[Double]) =
-    rec(s"""{"before":null,"after":${img(id, v)},"op":"c","ts_ms":$seqNo}""")
-  private def update(id: Long, o: Seq[Double], n: Seq[Double]) =
-    rec(s"""{"before":${img(id, o)},"after":${img(id, n)},"op":"u","ts_ms":$seqNo}""")
-  private def delete(id: Long, v: Seq[Double]) =
-    rec(s"""{"before":${img(id, v)},"after":null,"op":"d","ts_ms":$seqNo}""")
 
   // ids ≡ 0 mod 29 are the benchmark; 4-dim unit-ish vectors chosen so
   // cosines land on both sides of the 0.4 threshold
@@ -79,7 +56,7 @@ class StreamingEmbeddingDeconSpec extends SparkSuite {
       "untouched corpus rows; emptied benchmark retracts everything") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("sedecon")
-    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+    val pipeline = new CdcPipeline(spark, embSources, stateDir, sink,
       Seq(StreamingEmbeddingDecon.deconView(spark, stateDir)))
     var state = Map.empty[Long, Seq[Double]]
 
@@ -129,7 +106,7 @@ class StreamingEmbeddingDeconSpec extends SparkSuite {
   test("replayed batch is idempotent across both state stores") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("sedecon-replay")
-    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+    val pipeline = new CdcPipeline(spark, embSources, stateDir, sink,
       Seq(StreamingEmbeddingDecon.deconView(spark, stateDir)))
 
     pipeline.processBatch(Seq(create(0L, hold(0L)), create(1L, e1))

@@ -1,9 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-import graft.{SparkSuite, TableSpec}
+import graft.SparkSuite
 import graft.operators.TextAnalysis
 
 /** Streaming entropy gate == batch q138 recompute at every step of a
@@ -11,26 +10,8 @@ import graft.operators.TextAnalysis
   * [[TextAnalysis.charEntropyReport]] aggregation, so the pin here is
   * the view plumbing (touched-key rederivation, retraction, the
   * empty-text no-row rule). */
-class StreamingEntropySpec extends SparkSuite {
+class StreamingEntropySpec extends SparkSuite with DocCdcFixture {
   import spark.implicits._
-
-  private val docSchema = StructType(Seq(
-    StructField("doc_id", StringType), StructField("text", StringType)))
-  private val sources =
-    Seq(TableSpec("documents", docSchema, primaryKey = Seq("doc_id")))
-
-  private var seqNo = 0L
-  private def rec(env: String): (String, String, Long) = {
-    seqNo += 1; ("documents", env, seqNo)
-  }
-  private def img(id: String, text: String) =
-    s"""{"doc_id":"$id","text":"$text"}"""
-  private def create(id: String, text: String) =
-    rec(s"""{"before":null,"after":${img(id, text)},"op":"c","ts_ms":$seqNo}""")
-  private def update(id: String, o: String, n: String) =
-    rec(s"""{"before":${img(id, o)},"after":${img(id, n)},"op":"u","ts_ms":$seqNo}""")
-  private def delete(id: String, text: String) =
-    rec(s"""{"before":${img(id, text)},"after":null,"op":"d","ts_ms":$seqNo}""")
 
   private def expected(state: Seq[(String, String)]): Map[String, Seq[Any]] =
     if (state.isEmpty) Map.empty
@@ -48,7 +29,7 @@ class StreamingEntropySpec extends SparkSuite {
       "on edit; empty text and deletes retract") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("sentropy")
-    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+    val pipeline = new CdcPipeline(spark, docSources, stateDir, sink,
       Seq(StreamingEntropy.entropyView()))
     var state = Map.empty[String, String]
 
