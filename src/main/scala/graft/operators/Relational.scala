@@ -973,6 +973,53 @@ object Relational {
         .agg(count(lit(1)).as("n"), min("x").as("min_x"), max("x").as("max_x"),
           min("y").as("min_y"), max("y").as("max_y"),
           min("zkey").as("z_lo"), max("zkey").as("z_hi"))
+    },
+
+    /** Rendezvous (highest-random-weight) shard assignment with an
+      * elastic-rescale audit — the data-placement primitive for growing
+      * a sharded corpus store (Thaler & Ravishankar 1998; what Ceph/
+      * cassandra-style placement derives from): doc d lands on
+      * argmax_s md5(s|d). Adding shard N+1 can only move a doc TO the
+      * new shard (existing pairwise max relations are untouched), so
+      * exactly ~1/(N+1) of the corpus moves — against mod-hashing's
+      * near-total reshuffle, which the n_mod_moving column measures on
+      * the same docs. The report: per-shard occupancy under N=8 plus
+      * how much of each shard a 9th would siphon.
+      *
+      * Shape at 100 TB: assignment is pure row-local arithmetic (N md5s
+      * per doc, fused in the scan projection — no shuffle, no
+      * coordination state, which is the whole point of rendezvous over
+      * a directory service), and the audit is one bounded groupBy on
+      * shard id. Exact cross-engine: integer md5-slice weights,
+      * struct-max argmax, integer move counts, one rounded division. */
+    QueryDef("q142_rendezvous_sharding",
+      """WITH w AS (SELECT doc_id, n_chars, CAST(s.s AS INT) AS s,
+        |    CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS w
+        |  FROM documents, unnest(range(9)) AS s(s)),
+        |a AS (SELECT doc_id, n_chars,
+        |    (max(struct_pack(w := w, s := s)) FILTER (WHERE s < 8)).s AS shard,
+        |    (max(struct_pack(w := w, s := s))).s AS shard9
+        |  FROM w GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars,
+        |  count(*) FILTER (WHERE shard9 = 8) AS n_moving,
+        |  round(count(*) FILTER (WHERE shard9 = 8) * 1.0 / count(*), 6) AS move_frac,
+        |  count(*) FILTER (WHERE doc_id % 8 <> doc_id % 9) AS n_mod_moving
+        |FROM a GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      def weight(shard: Int) = conv(substring(
+        md5(concat_ws("|", lit(shard.toString),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      def argmax(n: Int) = greatest((0 until n).map(i =>
+        struct(weight(i).as("w"), lit(i).as("s"))): _*).getField("s")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          argmax(8).as("shard"), argmax(9).as("shard9"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+          count(when(col("shard9") === 8, lit(1))).as("n_moving"),
+          round(count(when(col("shard9") === 8, lit(1))).cast("double") /
+            count(lit(1)), 6).as("move_frac"),
+          count(when(pmod(col("doc_id"), lit(8)) =!=
+            pmod(col("doc_id"), lit(9)), lit(1))).as("n_mod_moving"))
     }
   )
 

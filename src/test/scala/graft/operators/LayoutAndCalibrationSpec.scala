@@ -85,4 +85,37 @@ class LayoutAndCalibrationSpec extends SparkSuite {
       assert(math.abs(err - math.abs(exact - est)) < 1e-6 + 5e-7)
     }
   }
+
+  test("q142: rendezvous assignment matches an md5 replica; a 9th shard " +
+      "siphons ~1/9 while mod-hashing would move ~8/9") {
+    val rows = run("q142_rendezvous_sharding").collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    assert(nDocs == docs.count(), "every doc lands on exactly one shard")
+
+    // in-memory replica of the assignment rule over all docs
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    def w(s: Int, d: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$s|$d").substring(0, 15), 16)
+    def shardOf(d: Long, n: Int): Int =
+      (0 until n).maxBy(s => (w(s, d), s))
+    val expected = ids.groupBy(shardOf(_, 8)).map { case (s, ds) =>
+      s -> ((ds.length.toLong,
+        ds.count(d => shardOf(d, 9) == 8).toLong,
+        ds.count(d => d % 8 != d % 9).toLong))
+    }
+    val got = rows.map(r => r.getAs[Int]("shard") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_moving"),
+        r.getAs[Long]("n_mod_moving")))).toMap
+    assert(got == expected)
+
+    // elasticity: rendezvous moves a ~1/9 minority; mod moves a large
+    // majority of the same docs — the whole argument for the operator
+    val moved = rows.map(_.getAs[Long]("n_moving")).sum.toDouble / nDocs
+    val modMoved = rows.map(_.getAs[Long]("n_mod_moving")).sum.toDouble / nDocs
+    assert(moved > 0.02 && moved < 0.25, s"rendezvous moved $moved")
+    assert(modMoved > 0.7, s"mod-hash moved $modMoved")
+    assert(modMoved > 4 * moved)
+  }
 }
