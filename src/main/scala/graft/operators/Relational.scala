@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -1005,14 +1005,10 @@ object Relational {
         |  round(count(*) FILTER (WHERE shard9 = 8) * 1.0 / count(*), 6) AS move_frac,
         |  count(*) FILTER (WHERE doc_id % 8 <> doc_id % 9) AS n_mod_moving
         |FROM a GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      def weight(shard: Int) = conv(substring(
-        md5(concat_ws("|", lit(shard.toString),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-      def argmax(n: Int) = greatest((0 until n).map(i =>
-        struct(weight(i).as("w"), lit(i).as("s"))): _*).getField("s")
       t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
-          argmax(8).as("shard"), argmax(9).as("shard9"))
+          rendezvousShard(col("doc_id"), 8).as("shard"),
+          rendezvousShard(col("doc_id"), 9).as("shard9"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
           count(when(col("shard9") === 8, lit(1))).as("n_moving"),
@@ -1032,6 +1028,19 @@ object Relational {
     * hash probes per row. `expectedNumItems` comes from a count over the
     * same pruned scan (cheap, exact sizing beats a guessed constant that
     * either overallocates memory or degrades fpp at scale). */
+  /** q142's rendezvous assignment, shared with the streaming shard-
+    * occupancy view (one code path): argmax over `n` shards of the
+    * integer md5(s|id) weight — pure row-local arithmetic, and
+    * deterministic for any id that prints the same string, so a later
+    * DELETE retracts from exactly the shard its INSERT entered. */
+  def rendezvousShard(id: Column, n: Int): Column = {
+    def weight(shard: Int) = conv(substring(
+      md5(concat_ws("|", lit(shard.toString), id.cast("string"))),
+      1, 15), 16, 10).cast("long")
+    greatest((0 until n).map(i =>
+      struct(weight(i).as("w"), lit(i).as("s"))): _*).getField("s")
+  }
+
   def bloomSemiJoinAgg(s: SparkSession, dir: String): DataFrame = {
     val buildKeys = t(s, dir, "orders")
       .filter(col("o_totalprice") > 400000)

@@ -1828,13 +1828,18 @@ object TextAnalysis {
   /** q138's entropy arithmetic over any documents-shaped frame, shared
     * with the streaming gate view (one code path, pinned once). Docs
     * with empty text produce NO row — both the oracle (range(0) is
-    * empty) and the streaming form (absent row = sink delete) agree. */
+    * empty) and the streaming form (absent row = sink delete) agree.
+    * The char explode rides the native [[graft.functions.NGrams
+    * .charWindowGrams]] loop at n=1 (positional 1-code-point windows ==
+    * the oracle's substr-per-index): the declarative
+    * transform(sequence, substr) form ran interpreted per character and
+    * cost 2.5s of the query's 2.9s at sf0.1. */
   private[graft] def charEntropyReport(df: DataFrame,
       idCol: String): DataFrame = {
     val chars = df.filter(length(col("text")) > 0)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), length(col("text")) - 1),
-        i => col("text").substr(i + 1, lit(1)))).as("ch"))
+      .select(col(idCol),
+        explode(graft.functions.NGrams.charWindowGrams(col("text"), 1))
+          .as("ch"))
     val eb = round(
       (log(col("n")) - col("sl") / col("n")) / log(lit(2.0)), 6)
     chars.groupBy(idCol, "ch").agg(count(lit(1)).as("c"))
