@@ -1014,8 +1014,10 @@ object Relational {
           count(when(col("shard9") === 8, lit(1))).as("n_moving"),
           round(count(when(col("shard9") === 8, lit(1))).cast("double") /
             count(lit(1)), 6).as("move_frac"),
-          count(when(pmod(col("doc_id"), lit(8)) =!=
-            pmod(col("doc_id"), lit(9)), lit(1))).as("n_mod_moving"))
+          // truncated %, not pmod: the oracle's % and the spec's Java %
+          // are truncated, and they must agree if ids are ever negative
+          count(when(col("doc_id") % 8 =!= col("doc_id") % 9,
+            lit(1))).as("n_mod_moving"))
     }
   )
 
@@ -1028,19 +1030,6 @@ object Relational {
     * hash probes per row. `expectedNumItems` comes from a count over the
     * same pruned scan (cheap, exact sizing beats a guessed constant that
     * either overallocates memory or degrades fpp at scale). */
-  /** q142's rendezvous assignment, shared with the streaming shard-
-    * occupancy view (one code path): argmax over `n` shards of the
-    * integer md5(s|id) weight — pure row-local arithmetic, and
-    * deterministic for any id that prints the same string, so a later
-    * DELETE retracts from exactly the shard its INSERT entered. */
-  def rendezvousShard(id: Column, n: Int): Column = {
-    def weight(shard: Int) = conv(substring(
-      md5(concat_ws("|", lit(shard.toString), id.cast("string"))),
-      1, 15), 16, 10).cast("long")
-    greatest((0 until n).map(i =>
-      struct(weight(i).as("w"), lit(i).as("s"))): _*).getField("s")
-  }
-
   def bloomSemiJoinAgg(s: SparkSession, dir: String): DataFrame = {
     val buildKeys = t(s, dir, "orders")
       .filter(col("o_totalprice") > 400000)
@@ -1086,5 +1075,29 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,6)")).cast("double").as("revenue"))
+  }
+
+  /** q142's rendezvous assignment, shared with the streaming shard-
+    * occupancy view (one code path): argmax over `n` shards of the
+    * integer md5(s|id) weight — pure row-local arithmetic, and
+    * deterministic for any id that prints the same string, so a later
+    * DELETE retracts from exactly the shard its INSERT entered. The
+    * concatenation is null-PROPAGATING (`concat`, not `concat_ws`,
+    * which would silently hash a null id as md5("0")… and give it a
+    * real shard while the oracle's `||` yields NULL); a null id gets a
+    * null shard, which every consumer's group guard then excludes —
+    * matching the oracle row-for-row. n = 1 is the single-shard
+    * bootstrap: everything lands on shard 0 with no argmax to run. */
+  def rendezvousShard(id: Column, n: Int): Column = {
+    require(n >= 1, s"rendezvousShard needs at least one shard, got $n")
+    def weight(shard: Int) = conv(substring(
+      md5(concat(lit(shard.toString + "|"), id.cast("string"))),
+      1, 15), 16, 10).cast("long")
+    // the null gate is explicit: with a null id every weight is null,
+    // but the argmax STRUCTS are not, so greatest would still pick one
+    // — gate the whole expression instead of trusting field nulls
+    if (n == 1) when(id.isNotNull, lit(0))
+    else when(id.isNotNull, greatest((0 until n).map(i =>
+      struct(weight(i).as("w"), lit(i).as("s"))): _*).getField("s"))
   }
 }

@@ -62,13 +62,14 @@ class StreamingShardingSpec extends SparkSuite with DocCdcFixture {
     assert(before.keySet == after.keySet)
     assert(before.count { case (k, v) => after(k) != v } == 1)
 
-    // deleting every doc of one shard retracts the shard row
-    def shardOf(id: String): Int =
-      Seq(id -> "x").toDF("doc_id", "text")
-        .select(Relational.rendezvousShard(col("doc_id"), 8))
-        .as[Int].head()
+    // deleting every doc of one shard retracts the shard row; shard
+    // lookup for all ids in ONE job, not one Spark job per id
     val targetShard = sinkDocs(sink).values.head._1
     val texts = docs.toMap + ("7" -> "a much longer replacement text body")
+    val shardOf: Map[String, Int] = texts.keys.toSeq.toDF("doc_id")
+      .select(col("doc_id"),
+        Relational.rendezvousShard(col("doc_id"), 8).as("s"))
+      .as[(String, Int)].collect().toMap
     val victims = texts.keys.toSeq.filter(id => shardOf(id) == targetShard)
     assert(victims.nonEmpty)
     state = texts -- victims
