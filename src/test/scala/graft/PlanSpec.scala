@@ -513,6 +513,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_max") || p.contains("partial_count"), p)
   }
 
+  test("q142: assignment is row-local arithmetic fused at the scan — " +
+      "no shuffle before the bounded per-shard aggregate, no window, " +
+      "no join") {
+    val p = plan("q142_rendezvous_sharding")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("Generate"), p) // no shard explode — pure argmax
+    // exactly the shard shuffle: one Exchange feeding the final agg
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+  }
+
   test("q141: banding probes the signature memo — no LSH re-train, the " +
       "verify join ships pair counts, never feature arrays") {
     val p = plan("q141_incremental_dedup")
