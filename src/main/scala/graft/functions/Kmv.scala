@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -42,6 +43,15 @@ case class KmvAgg(
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   require(k >= 1, s"k=$k")
+
+  // update() unboxes the child as Long; without a declared contract a
+  // non-long child (an int hash column, say) passes analysis and dies
+  // at runtime in asInstanceOf — fail at analysis like the repo's other
+  // Catalyst expressions (the RollingHash/NGrams posture)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT child, got ${child.dataType.sql}")
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -71,18 +71,30 @@ object Curation {
     * q72 posture): tokenize, filter against the literal IN-set, exact
     * integer density rule — NO explode, NO shuffle, so the batch plan
     * is a single narrow projection over the scan and the streaming
-    * form is stateless. */
+    * form is stateless.
+    *
+    * Empty-text contract: split(trim('')) yields [""] on both engines —
+    * a phantom token — so empty strings are filtered out of the token
+    * array and a blank document reports n_tokens = 0 with keep = true
+    * (zero blocked content gives this gate no grounds to drop; length
+    * gates like Gopher own the degenerate-length verdict). q138's
+    * no-row rule doesn't fit here: this report is a per-document
+    * verdict table, so every document gets a row. `matched_terms` is a
+    * sorted comma-joined STRING, not an array — the gate's pandas
+    * comparator cannot sort/hash LIST columns (terms are \s+-split
+    * tokens, so the comma join is unambiguous). */
   private[graft] val blocklistTerms = Seq("slow", "hash", "vector")
 
   def blocklistReport(df: DataFrame,
       id: org.apache.spark.sql.Column): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
     val blocked = filter(toks, t => t.isInCollection(blocklistTerms))
     df.select(id,
       size(toks).cast("long").as("n_tokens"),
       size(blocked).cast("long").as("n_blocked"),
-      sort_array(array_distinct(blocked)).as("matched_terms"),
-      (lit(10) * size(blocked) < size(toks)).as("keep"))
+      array_join(sort_array(array_distinct(blocked)), ",")
+        .as("matched_terms"),
+      (lit(10) * size(blocked) < size(toks) || size(toks) === 0).as("keep"))
   }
 
   /** The C4 line-filter report shared by batch q128 and the streaming
@@ -121,6 +133,27 @@ object Curation {
       .drop("kept", "clean_page")
   }
 
+  /** q26's oracle, shared verbatim with q146: the bloom gate is a
+    * plan-level optimization that must be invisible in the result (a
+    * bloom false positive is culled by the exact gram join; a true
+    * positive would have joined anyway), so both queries answer to the
+    * SAME SQL. */
+  private val decontaminateOracle: String = {
+    val splitCase =
+      """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |     ELSE 'test' END""".stripMargin
+    val gram = (1 to 5).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH d AS (SELECT doc_id, text, $splitCase AS split FROM documents),
+       |w AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS w FROM d),
+       |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+       |        range(greatest(len(w)-4, 0)), i -> $gram))) AS g FROM w),
+       |t AS (SELECT DISTINCT g FROM g WHERE split IN ('val', 'test'))
+       |SELECT g.doc_id AS doc_id, count(*) AS n_shared_grams
+       |FROM g JOIN t USING (g) WHERE split = 'train' GROUP BY 1
+       |""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     /** Benchmark decontamination: flag training-split documents sharing
@@ -132,21 +165,7 @@ object Curation {
       * (On a real corpus the holdout side is the published benchmark
       * suite — tiny and broadcastable; here it is derived from the q34
       * content-hash split so the gate can verify the full computation.) */
-    QueryDef("q26_decontaminate", {
-      val splitCase =
-        """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
-          |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
-          |     ELSE 'test' END""".stripMargin
-      val gram = (1 to 5).map(k => s"w[i+$k]").mkString("||' '||")
-      s"""WITH d AS (SELECT doc_id, text, $splitCase AS split FROM documents),
-         |w AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS w FROM d),
-         |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
-         |        range(greatest(len(w)-4, 0)), i -> $gram))) AS g FROM w),
-         |t AS (SELECT DISTINCT g FROM g WHERE split IN ('val', 'test'))
-         |SELECT g.doc_id AS doc_id, count(*) AS n_shared_grams
-         |FROM g JOIN t USING (g) WHERE split = 'train' GROUP BY 1
-         |""".stripMargin.replace("\n", " ")
-    }) { (s, dir) =>
+    QueryDef("q26_decontaminate", decontaminateOracle) { (s, dir) =>
       // both the holdout and train branches scan the session-shared
       // materialized gram table (b < 90 ⇔ train, ≥ 90 ⇔ val ∪ test) —
       // the 5-gram extraction pass runs once PER SESSION, not per query
@@ -1103,18 +1122,48 @@ object Curation {
       * The oracle tokenizes by explode+agg because SQL lambdas can't
       * close over the list — same arithmetic, different engine idiom. */
     QueryDef("q139_blocklist_gate",
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
-        |a AS (SELECT doc_id, count(*) AS n_tokens,
-        |    count(*) FILTER (WHERE tok IN ('slow', 'hash', 'vector')) AS n_blocked,
-        |    list_sort(list(DISTINCT tok)
-        |      FILTER (WHERE tok IN ('slow', 'hash', 'vector'))) AS terms
-        |  FROM tok GROUP BY 1)
-        |SELECT doc_id, n_tokens, n_blocked,
-        |  coalesce(terms, []::VARCHAR[]) AS matched_terms,
-        |  10 * n_blocked < n_tokens AS keep
-        |FROM a""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      """WITH a AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |    list_filter(toks, t -> list_contains(['slow', 'hash', 'vector'], t)) AS blocked
+        |  FROM a)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(blocked) AS BIGINT) AS n_blocked,
+        |  coalesce(array_to_string(list_sort(list_distinct(blocked)), ','), '') AS matched_terms,
+        |  10 * len(blocked) < len(toks) OR len(toks) = 0 AS keep
+        |FROM b""".stripMargin.replace("\n", " ")) { (s, dir) =>
       blocklistReport(t(s, dir, "documents"), col("doc_id"))
+    },
+
+    /** Bloom-GATED decontamination — q26's semantics behind q82's plan
+      * posture, composed: build one bloom over the holdout's distinct
+      * 5-grams (the bounded benchmark side — on a real corpus this is
+      * the published eval suite, a few MB of sketch broadcast to every
+      * executor), then cull the TRAIN side's grams map-side BEFORE the
+      * exact gram join. At 100 TB this is the difference between
+      * shuffling the corpus's entire distinct-gram table (q26) and
+      * shuffling only grams that might be contaminated — the bloom
+      * eliminates ~99% of shuffle bytes at fpp=0.01 since real
+      * contamination is rare. The exact join still runs ABOVE the
+      * bloom, so a false positive can never reach the result (q82's
+      * invariant, spec-pinned by equality with q26); the oracle is
+      * q26's verbatim — a plan optimization must be invisible in the
+      * answer. Sizing: `expectedNumItems` from an exact count over the
+      * already-materialized session gram memo (cheap; a guessed
+      * constant either overallocates every executor's memory or
+      * degrades fpp exactly when the benchmark grows). */
+    QueryDef("q146_bloom_decontaminate", decontaminateOracle) { (s, dir) =>
+      val grams = TextAnalysis.sharedDocGrams(s, dir)
+      val holdout = grams.filter(col("b") >= 90).select("g").distinct()
+      val bloom = holdout.stat.bloomFilter(
+        "g", math.max(holdout.count(), 1L), 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((g: String) => bc.value.mightContainString(g))
+      grams.filter(col("b") < 90)
+        .filter(mightContain(col("g"))) // pre-shuffle gram cull
+        .join(holdout, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     }
   )
 

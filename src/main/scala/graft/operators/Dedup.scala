@@ -1261,16 +1261,21 @@ object Dedup {
         |  FROM documents)
         |SELECT canon_hash, min(doc_id) AS keep_id, count(*) AS n_copies,
         |  count(DISTINCT text) AS n_raw_variants,
-        |  list_sort(list(doc_id)) AS doc_ids
+        |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         |FROM c GROUP BY 1"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
+      // doc_ids is a comma-joined STRING, sorted numerically before the
+      // stringify: the gate's pandas comparator cannot sort/hash LIST
+      // columns, so scalar it is — library callers wanting the array can
+      // split(',') losslessly (doc_id is numeric, no escaping needed)
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           md5(canonicalText(col("text"))).as("canon_hash"))
         .groupBy("canon_hash")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
           countDistinct(col("text")).as("n_raw_variants"),
-          sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("doc_ids"))
     },
 
     /** Incremental snapshot dedup: a NEW document batch (odd doc_ids —

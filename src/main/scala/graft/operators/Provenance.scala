@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.PublicSuffixParse
+
+/** Provenance-tier curation: registered-domain extraction and the
+  * domain-keyed operators production pipelines gate on BEFORE any text
+  * runs (RefinedWeb §3.1 dedups by URL before content; per-domain caps
+  * are the first flood guard). The corpus tables carry no URL column,
+  * so each document's host derives deterministically from `doc_id` —
+  * the c4Report planting posture: the DERIVATION is trivial and shared
+  * with the oracle verbatim; the operators under test (public-suffix
+  * longest-match, domain caps, domain dedup rollup) are the real thing.
+  *
+  * Shape at 100 TB: suffix parsing is pure row-local arithmetic over a
+  * bounded rule list (the published PSL is ~9k entries — broadcast
+  * data, not a join), so provenance extraction fuses into the scan;
+  * every domain-keyed aggregate downstream is bounded by |domains|,
+  * with the hot-domain skew handled exactly as q109 handles hot
+  * sources (bounded aggregation buffers, never a per-domain window
+  * sort). */
+object Provenance {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    graft.sources.Tables.load(s, dir, n)
+
+  /** Bounded stand-in for the publicsuffix.org list: plain rules only,
+    * chosen so the longest-match is real — `uk` AND `co.uk` (the match
+    * must prefer the longer), `io` AND `github.io` (a private-section
+    * suffix: x.github.io and y.github.io are different owners), and a
+    * three-label rule. The production swap-in is the published list
+    * loaded as data; nothing below depends on the list's size. */
+  private[graft] val suffixRules: Seq[String] = Seq(
+    "com", "org", "net", "io", "uk", "co.uk", "jp", "ac.jp",
+    "us", "k12.va.us", "github.io", "dev")
+
+  /** Deterministic per-document host (both engines replay it verbatim):
+    * subdomain / site-name / suffix each keyed off doc_id so the corpus
+    * covers multi-label suffixes, the private-section trap, an unknown
+    * TLD (`xyz` — exercises the PSL default rule), and — every 97th doc
+    * — a host that IS a bare public suffix (no registrable part). */
+  private[graft] def syntheticHost(docId: Column): Column =
+    when(pmod(docId, lit(97)) === 0, lit("github.io"))
+      .otherwise(concat(
+        element_at(array(lit(""), lit("www."), lit("cdn.")),
+          (pmod(docId, lit(3)) + 1).cast("int")),
+        lit("site"), pmod(docId, lit(20)).cast("string"), lit("."),
+        element_at(
+          array(lit("com"), lit("org"), lit("co.uk"), lit("ac.jp"),
+            lit("github.io"), lit("xyz")),
+          (pmod(docId, lit(6)) + 1).cast("int"))))
+
+  private val hostSql: String =
+    """CASE WHEN doc_id % 97 = 0 THEN 'github.io' ELSE
+      |  (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.' END)
+      |  || 'site' || CAST(doc_id % 20 AS VARCHAR) || '.'
+      |  || (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'ac.jp'
+      |      WHEN 4 THEN 'github.io' ELSE 'xyz' END) END"""
+      .stripMargin.replace("\n", " ")
+
+  private val suffixListSql: String =
+    suffixRules.map(s => s"'$s'").mkString(", ")
+
+  /** The oracle's replay of [[PublicSuffixParse]]: candidate suffixes of
+    * each host joined against the rule list AS A TABLE, longest match =
+    * smallest start index, then the same registered/suffix/default-rule
+    * arithmetic the expression runs. Shared by every domain oracle. */
+  private val domainCtes: String =
+    s"""sfx AS (SELECT unnest([$suffixListSql]) AS sfx),
+       |hh AS (SELECT doc_id, $hostSql AS host FROM documents),
+       |hl AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM hh),
+       |hc AS (SELECT doc_id, CAST(u.i AS INT) AS i,
+       |    array_to_string(labels[CAST(u.i AS INT):], '.') AS cand
+       |  FROM hl, unnest(range(1, len(labels) + 1)) AS u(i)),
+       |hm AS (SELECT hc.doc_id, min(hc.i) AS bi
+       |  FROM hc JOIN sfx ON hc.cand = sfx.sfx GROUP BY 1),
+       |rd AS (SELECT hl.doc_id, hl.host,
+       |    CASE WHEN hm.bi = 1 OR (hm.bi IS NULL AND len(labels) < 2) THEN NULL
+       |         WHEN hm.bi IS NOT NULL
+       |           THEN array_to_string(labels[CAST(hm.bi - 1 AS INT):], '.')
+       |         ELSE array_to_string(labels[CAST(len(labels) - 1 AS INT):], '.')
+       |         END AS registered_domain,
+       |    CASE WHEN hm.bi = 1 THEN host
+       |         WHEN hm.bi IS NOT NULL
+       |           THEN array_to_string(labels[CAST(hm.bi AS INT):], '.')
+       |         ELSE labels[len(labels)] END AS public_suffix
+       |  FROM hl LEFT JOIN hm ON hl.doc_id = hm.doc_id)"""
+      .stripMargin.replace("\n", " ")
+
+  /** doc_id → registered_domain, shared by the queries below and the
+    * streaming occupancy view (one code path for the grouping key). */
+  private[graft] def registeredDomain(docId: Column): Column =
+    PublicSuffixParse(syntheticHost(docId), suffixRules)
+      .getField("registered_domain")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    /** Registered-domain extraction audit: every document's host parsed
+      * into (registered_domain, public_suffix) — the provenance column
+      * the rest of the tier keys on. One narrow scan-fused projection;
+      * the native [[PublicSuffixParse]] does one label walk per row
+      * against the bounded rule set while the oracle re-derives the
+      * longest match as a join against the rules-as-table. */
+    QueryDef("q143_registered_domain",
+      s"""WITH $domainCtes
+         |SELECT doc_id, host, registered_domain, public_suffix FROM rd"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), syntheticHost(col("doc_id")).as("host"))
+        .withColumn("p", PublicSuffixParse(col("host"), suffixRules))
+        .select(col("doc_id"), col("host"),
+          col("p.registered_domain"), col("p.public_suffix"))
+    },
+
+    /** Per-DOMAIN document cap — q109's flood guard moved to the
+      * provenance tier, where it actually runs in production (capping
+      * by `source` treats all of one crawl as one publisher; capping by
+      * registered domain is what stops a single site from flooding the
+      * corpus). Same bounded-buffer shape as q109: keep the top 5 docs
+      * per registered domain by quality via [[graft.functions
+      * .TopKAggregator]] — ≤ 5 entries in the aggregation buffer, so a
+      * million-page domain ships the same shuffle bytes as a five-page
+      * one, with no per-domain window sort anywhere. Docs with no
+      * registrable domain (bare-suffix hosts) carry no publisher
+      * identity and are excluded from the cap — stated in the oracle's
+      * WHERE too. */
+    QueryDef("q144_domain_cap",
+      s"""WITH $domainCtes,
+         |q AS (SELECT rd.registered_domain, d.doc_id,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM documents d JOIN rd ON d.doc_id = rd.doc_id
+         |  WHERE rd.registered_domain IS NOT NULL),
+         |r AS (SELECT registered_domain, doc_id, quality,
+         |    row_number() OVER (PARTITION BY registered_domain
+         |                       ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |SELECT registered_domain, doc_id, quality, rk FROM r WHERE rk <= 5"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      t(s, dir, "documents")
+        .select(registeredDomain(col("doc_id")).as("registered_domain"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("doc_id"))
+        .filter(col("registered_domain").isNotNull)
+        .groupBy("registered_domain")
+        .agg(topk(col("quality"), col("doc_id")).as("top"))
+        .select(col("registered_domain"), posexplode(col("top")))
+        .select(col("registered_domain"), col("col.id").as("doc_id"),
+          col("col.score").as("quality"),
+          (col("pos") + 1).cast("long").as("rk"))
+    },
+
+    /** Domain-level dedup audit — q106's per-source rollup re-keyed to
+      * the provenance tier: for every registered domain, how many
+      * documents, how many sit in at least one near-dup pair, and the
+      * duplicate rate (the "which domains are template farms" read a
+      * corpus operator takes before deciding domain caps). Another free
+      * reader of the session-scoped shared pair table: incremental cost
+      * is one pair-endpoint distinct + a domain-keyed bounded aggregate;
+      * the oracle re-derives the pair set all-pairs as q106's does.
+      * Bare-suffix docs group under NULL — one audit row, kept (their
+      * dup rate is still signal). */
+    QueryDef("q145_domain_dedup",
+      s"""WITH $domainCtes,
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |dup AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p))
+        |SELECT rd.registered_domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+        |  round(count(dup.doc_id) * 1.0 / count(*), 6) AS dup_rate
+        |FROM rd LEFT JOIN dup ON rd.doc_id = dup.doc_id
+        |GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val dom = t(s, dir, "documents")
+        .select(col("doc_id"),
+          registeredDomain(col("doc_id")).as("registered_domain"))
+      val pairs = Dedup.sharedNearDupPairs(s, dir, 0.8, bandRows = 2,
+        nBands = 32)
+      val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn("dup", lit(1L))
+      dom.join(dupDocs, Seq("doc_id"), "left")
+        .groupBy("registered_domain")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("dup")).as("n_dup_docs"),
+          round(count(col("dup")) * 1.0 / count(lit(1)), 6).as("dup_rate"))
+    }
+  )
+}

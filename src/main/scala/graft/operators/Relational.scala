@@ -949,9 +949,9 @@ object Relational {
     QueryDef("q133_zorder_layout",
       """WITH d AS (SELECT doc_id, least(n_chars, 65535) AS x, doc_id % 65536 AS y FROM documents),
         |z AS (SELECT doc_id, x, y,
-        |    list_sum(list_transform(range(16), i ->
+        |    CAST(list_sum(list_transform(range(16), i ->
         |      (CAST(((x >> CAST(i AS INT)) & 1) AS BIGINT) << CAST(2*i AS INT)) +
-        |      (CAST(((y >> CAST(i AS INT)) & 1) AS BIGINT) << CAST(2*i+1 AS INT)))) AS zkey
+        |      (CAST(((y >> CAST(i AS INT)) & 1) AS BIGINT) << CAST(2*i+1 AS INT)))) AS BIGINT) AS zkey
         |  FROM d),
         |nt AS (SELECT x, y, zkey,
         |    CAST(ntile(16) OVER (ORDER BY zkey, doc_id) AS INT) AS bucket FROM z)
@@ -1000,7 +1000,7 @@ object Relational {
         |    (max(struct_pack(w := w, s := s)) FILTER (WHERE s < 8)).s AS shard,
         |    (max(struct_pack(w := w, s := s))).s AS shard9
         |  FROM w GROUP BY 1, 2)
-        |SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars,
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  count(*) FILTER (WHERE shard9 = 8) AS n_moving,
         |  round(count(*) FILTER (WHERE shard9 = 8) * 1.0 / count(*), 6) AS move_frac,
         |  count(*) FILTER (WHERE doc_id % 8 <> doc_id % 9) AS n_mod_moving

@@ -1805,7 +1805,13 @@ object TextAnalysis {
       * (doc, char) tally, one per-doc aggregate over its ≤ |alphabet|
       * counts; no window, no sort. The gate flag thresholds the ROUNDED
       * score so both engines decide identically (the q84/q54 libm
-      * posture).
+      * posture), and Σ c·ln c is carried as the q90/q111 decimal ledger
+      * — each term rounded to 12 and summed as DECIMAL(28,12), exact and
+      * order-independent — because a parallel double sum re-associates
+      * with the shuffle and is not a cross-engine (or re-layout)
+      * contract. `n_cp` is CAST BIGINT in the oracle: DuckDB's sum()
+      * yields HUGEINT, which the gate's pandas comparator renders as
+      * float64 against Spark's int64.
       *
       * Shape at 100 TB: the (doc, char) tally is bounded by docs ×
       * alphabet and partial aggregation collapses each partition's
@@ -1815,11 +1821,11 @@ object TextAnalysis {
       """WITH ch AS (SELECT doc_id, substr(text, CAST(u.i + 1 AS INT), 1) AS ch
         |  FROM documents, unnest(range(length(text))) AS u(i)),
         |f AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
-        |e AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
-        |    sum(c * ln(c)) AS sl FROM f GROUP BY 1)
+        |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
+        |    sum(CAST(round(c * ln(c), 12) AS DECIMAL(28,12))) AS sl FROM f GROUP BY 1)
         |SELECT doc_id, n AS n_cp, n_distinct,
-        |  round((ln(n) - sl / n) / ln(2), 6) AS entropy_bits,
-        |  round((ln(n) - sl / n) / ln(2), 6) < 3.5 AS low_entropy
+        |  round((ln(n) - CAST(sl AS DOUBLE) / n) / ln(2), 6) AS entropy_bits,
+        |  round((ln(n) - CAST(sl AS DOUBLE) / n) / ln(2), 6) < 3.5 AS low_entropy
         |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
       charEntropyReport(t(s, dir, "documents"), "doc_id")
     }
@@ -1841,11 +1847,12 @@ object TextAnalysis {
         explode(graft.functions.NGrams.charWindowGrams(col("text"), 1))
           .as("ch"))
     val eb = round(
-      (log(col("n")) - col("sl") / col("n")) / log(lit(2.0)), 6)
+      (log(col("n")) - col("sl").cast("double") / col("n")) / log(lit(2.0)), 6)
     chars.groupBy(idCol, "ch").agg(count(lit(1)).as("c"))
       .groupBy(idCol).agg(sum("c").as("n"),
         count(lit(1)).as("n_distinct"),
-        sum(col("c") * log(col("c"))).as("sl"))
+        sum(round(col("c") * log(col("c")), 12).cast("decimal(28,12)"))
+          .as("sl"))
       .select(col(idCol), col("n").as("n_cp"), col("n_distinct"),
         eb.as("entropy_bits"), (eb < 3.5).as("low_entropy"))
   }

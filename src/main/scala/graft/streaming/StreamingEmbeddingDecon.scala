@@ -73,9 +73,20 @@ object StreamingEmbeddingDecon {
       val holdNow = holdState.snapshot(holdSchema) // benchmark-sized
       val corpusRows =
         if (benchmarkChanged) {
-          val all = post(table).filter(!isHold).persist(mem)
+          val all = post(table).persist(mem)
           ctx.defer(all.unpersist())
-          all
+          // the batch guard above only sees keys TOUCHED in this batch;
+          // a non-numeric key that entered state before this view was
+          // attached would be null on BOTH mod-29 branches and silently
+          // vanish from the full-corpus pass — same contract, same
+          // loud failure, checked on the one pass that reads everything
+          val badState = all.select("key")
+            .filter(col("key").cast("long").isNull)
+          require(badState.isEmpty,
+            s"$name requires numeric keys; pre-existing state holds " +
+              badState.limit(5).collect().map(_.getString(0))
+                .mkString(", "))
+          all.filter(!isHold)
         } else post.rows(table, touched.filter(!isHold))
       val affectedIds =
         if (benchmarkChanged)

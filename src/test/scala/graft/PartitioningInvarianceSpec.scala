@@ -16,9 +16,13 @@ class PartitioningInvarianceSpec extends SparkSuite {
   // determinism-claiming queries across the families: content-hash split
   // and sampling, sequence packing, sessionization windows, LSH pair
   // generation, curriculum bins, cohort full-outer, salted join
+  // q138 rides on the decimal entropy ledger: Σ c·ln c is summed as
+  // DECIMAL(28,12) of 12-rounded terms, so re-layout (which re-orders
+  // the partial sums) must not move a single bit of entropy_bits
   private val names = Seq("q34_train_split", "q35_stratified_sample",
     "q63_seq_pack", "q69_sessionize", "q21_minhash_lsh",
-    "q66_curriculum_bins", "q77_churn_cohorts", "q64_salted_join")
+    "q66_curriculum_bins", "q77_churn_cohorts", "q64_salted_join",
+    "q138_char_entropy")
 
   // q21's production form reads the session-memoized parquet pair table,
   // which would make re-layout runs trivially identical — invariance must

@@ -404,6 +404,46 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
   }
 
+  test("q143: suffix parse is one exchange-free narrow map fused at " +
+      "the scan — provenance extraction costs a projection, not a join") {
+    val p = plan("q143_registered_domain")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p) // the rule list is in-expression data
+    assert(p.contains("public_suffix_parse"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("q144: per-DOMAIN cap keeps q109's bounded-buffer shape — no " +
+      "per-domain window sort, parse fused below the aggregate") {
+    val p = plan("q144_domain_cap")
+    assert(p.contains("TopKAggregator") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("public_suffix_parse"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q146: bloom prefilter culls train grams BELOW the gram-join " +
+      "exchange; values equal plain q26 (false positives never reach " +
+      "the result)") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q146_bloom_decontaminate")
+    // the bloom UDF must sit on the probe side inside the scan stage —
+    // culled grams never shuffle toward the exact join
+    val probeFilter = "Filter .*UDF\\((?:knownnotnull\\()?g".r
+    assert(probeFilter.findFirstIn(p).isDefined, p)
+    val lines = p.linesIterator.toSeq
+    val fi = lines.indexWhere(probeFilter.findFirstIn(_).isDefined)
+    val si = lines.indexWhere(_.contains("Scan parquet"), fi)
+    assert(fi >= 0 && si > fi &&
+      !lines.slice(fi, si).exists(_.contains("Exchange")), p)
+    val bloomed = SparkEntry.queries("q146_bloom_decontaminate")(spark, dir)
+      .collect().toSet
+    val plain = SparkEntry.queries("q26_decontaminate")(spark, dir)
+      .collect().toSet
+    assert(bloomed == plain)
+    assert(bloomed.nonEmpty)
+  }
+
   test("q110: bucket thresholds come from the distinct-score table — the " +
       "doc-level path has no per-language window") {
     val p = plan("q110_ccnet_buckets")

@@ -336,7 +336,10 @@ class CurationSpec extends SparkSuite {
       // exactly 10% density: 10*1 < 10 is false -> drop (boundary)
       (3L, "a b c d e f g h i slow"),
       // just under 10%: 10*1 < 11 -> keep, with the term still reported
-      (4L, "a b c d e f g h i j slow")).toDF("doc_id", "text")
+      (4L, "a b c d e f g h i j slow"),
+      // blank text: the phantom [""] token is filtered -> n_tokens=0,
+      // and the gate passes (no blocked content = no grounds to drop)
+      (5L, "   \t ")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")))
     val dir2 = tmpDir("blocklist")
@@ -344,11 +347,12 @@ class CurationSpec extends SparkSuite {
 
     val got = graft.SparkEntry.queries("q139_blocklist_gate")(spark, dir2)
       .select("doc_id", "n_tokens", "n_blocked", "matched_terms", "keep")
-      .as[(Long, Long, Long, Seq[String], Boolean)].collect()
+      .as[(Long, Long, Long, String, Boolean)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got(1L) == ((1L, 5L, 0L, Seq.empty, true)))
-    assert(got(2L) == ((2L, 10L, 5L, Seq("hash", "slow", "vector"), false)))
-    assert(got(3L) == ((3L, 10L, 1L, Seq("slow"), false)))
-    assert(got(4L) == ((4L, 11L, 1L, Seq("slow"), true)))
+    assert(got(1L) == ((1L, 5L, 0L, "", true)))
+    assert(got(2L) == ((2L, 10L, 5L, "hash,slow,vector", false)))
+    assert(got(3L) == ((3L, 10L, 1L, "slow", false)))
+    assert(got(4L) == ((4L, 11L, 1L, "slow", true)))
+    assert(got(5L) == ((5L, 0L, 0L, "", true)))
   }
 }

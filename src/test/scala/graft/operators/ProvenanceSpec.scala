@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Pins the provenance tier: q143's parse against an independent Scala
+  * longest-match replica over the same rule list, q144 against the
+  * declarative row_number form (the window the bounded aggregate
+  * exists to avoid), and q145's rollup against q106's corpus-wide
+  * totals (same pair table, different key — the totals must agree). */
+class ProvenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def queries = graft.SparkEntry.queries
+
+  /** Independent longest-match over the same rules: candidate suffixes
+    * shortest-start-index-first, then the PSL default rule. */
+  private def refParse(host: String): (Option[String], Option[String]) = {
+    val rules = Provenance.suffixRules.toSet
+    val labels = host.toLowerCase.split("\\.", -1)
+    if (labels.exists(_.isEmpty)) return (None, None)
+    (0 until labels.length)
+      .find(i => rules.contains(labels.drop(i).mkString(".")))
+      .map { i =>
+        if (i == 0) (None, Some(host.toLowerCase))
+        else (Some(labels.drop(i - 1).mkString(".")),
+          Some(labels.drop(i).mkString(".")))
+      }
+      .getOrElse {
+        if (labels.length >= 2)
+          (Some(labels.takeRight(2).mkString(".")), Some(labels.last))
+        else (None, Some(host.toLowerCase))
+      }
+  }
+
+  test("q143 == independent parse replica over every corpus host; the " +
+      "synthesized corpus covers all four suffix classes") {
+    val got = queries("q143_registered_domain")(spark, dir)
+      .as[(Long, String, Option[String], Option[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, host, rd, sfx) =>
+      assert((rd, sfx) == refParse(host), s"doc $id host $host")
+    }
+    // coverage: multi-label suffix, private suffix, unknown TLD
+    // (default rule), and the bare-suffix host every 97th doc plants
+    val suffixes = got.flatMap(_._4).toSet
+    assert(Set("co.uk", "ac.jp", "github.io", "xyz").subsetOf(suffixes))
+    assert(got.exists { case (id, host, rd, _) =>
+      id % 97 == 0 && host == "github.io" && rd.isEmpty })
+  }
+
+  test("q144 == the declarative row_number cap it replaces (top 5 per " +
+      "domain by quality, ties to lower doc_id)") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(Provenance.registeredDomain(col("doc_id"))
+          .as("registered_domain"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        col("doc_id"))
+      .filter(col("registered_domain").isNotNull)
+    val ref = docs
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("registered_domain")
+        .orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("registered_domain", "doc_id", "quality", "rk")
+      .as[(String, Long, Double, Long)].collect().toSet
+    val got = queries("q144_domain_cap")(spark, dir)
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.nonEmpty)
+    // the cap binds: some domain has more than 5 docs in the corpus
+    assert(docs.groupBy("registered_domain").count()
+      .filter(col("count") > 5).count() > 0,
+      "corpus must exercise the cap, not just rank everything")
+  }
+
+  test("q145 totals == q106 totals (same pair table, different rollup " +
+      "key); every q145 row is internally consistent") {
+    val dom = queries("q145_domain_dedup")(spark, dir)
+      .as[(Option[String], Long, Long, Double)].collect()
+    val src = queries("q106_dedup_report")(spark, dir)
+      .select("n_docs", "n_dup_docs").as[(Long, Long)].collect()
+    assert(dom.map(_._2).sum == src.map(_._1).sum) // corpus size
+    assert(dom.map(_._3).sum == src.map(_._2).sum) // dup-doc count
+    dom.foreach { case (rd, n, nd, rate) =>
+      assert(nd <= n, s"$rd: $nd dup of $n")
+      assert(math.abs(rate - nd.toDouble / n) < 1e-6, s"$rd rate")
+    }
+    // the bare-suffix docs (doc_id % 97 == 0) appear as the NULL group
+    assert(dom.exists(_._1.isEmpty), "null-domain audit row expected")
+  }
+}
