@@ -97,6 +97,44 @@ object Provenance {
     PublicSuffixParse(syntheticHost(docId), suffixRules)
       .getField("registered_domain")
 
+  /** Deterministic per-document URL for q147 (the q93 plant posture:
+    * the derivation is trivial and replayed verbatim by the oracle; the
+    * operator under test is the normalization). Scheme, a www prefix,
+    * a tracking query string, and a trailing slash each vary on their
+    * own doc_id schedule, while the normalization-invariant core
+    * (site name mod 25, path mod 50) repeats every 50 ids — so the
+    * corpus plants groups of raw-distinct URLs that normalize
+    * identically, which is exactly the crawl-frontier shape URL dedup
+    * exists for (the same page reached as http/https, with/without
+    * www, with/without utm_* decoration). */
+  private[graft] def syntheticUrl(docId: Column): Column = concat(
+    when(pmod(docId, lit(2)) === 0, lit("https://")).otherwise(lit("http://")),
+    when(pmod(docId, lit(4)) < 2, lit("")).otherwise(lit("www.")),
+    lit("site"), pmod(docId, lit(25)).cast("string"),
+    lit(".com/p/"), pmod(docId, lit(50)).cast("string"),
+    when(pmod(docId, lit(5)) === 0, lit("?utm_source=feed")).otherwise(lit("")),
+    when(pmod(docId, lit(7)) === 0, lit("/")).otherwise(lit("")))
+
+  private val urlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+      | || (CASE WHEN doc_id % 4 < 2 THEN '' ELSE 'www.' END)
+      | || 'site' || CAST(doc_id % 25 AS VARCHAR)
+      | || '.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+      | || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+      | || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)"""
+      .stripMargin.replace("\n", " ")
+
+  /** URL canonicalization for dedup keying: strip scheme, a leading
+    * www., the query string (tracking parameters are the usual
+    * offender), and trailing slashes, then lowercase. Order matters —
+    * the query strip runs before the slash strip so `?utm=.../`
+    * disappears whole. Pure regexp_replace chain (codegen'd; both
+    * engines implement the same anchored-regex semantics), shared with
+    * the streaming URL-dedup view. */
+  private[graft] def normalizeUrl(url: Column): Column = lower(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+      "^https?://", ""), "^www\\.", ""), "\\?.*$", ""), "/+$", ""))
+
   val queries: Seq[QueryDef] = Seq(
 
     /** Registered-domain extraction audit: every document's host parsed
@@ -194,6 +232,37 @@ object Provenance {
         .agg(count(lit(1)).as("n_docs"),
           count(col("dup")).as("n_dup_docs"),
           round(count(col("dup")) * 1.0 / count(lit(1)), 6).as("dup_rate"))
+    },
+
+    /** URL-level exact dedup — the FIRST dedup stage RefinedWeb §3.1
+      * runs, before any content hashing: the same page reached as
+      * http/https, with/without www, with tracking parameters or a
+      * trailing slash, is one document, and dropping re-crawls by URL
+      * key is orders of magnitude cheaper than text comparison (no
+      * tokenization, no shingles — a regexp chain and a groupBy on
+      * short keys). Output per canonical URL: the kept doc (min id),
+      * copy count, and how many RAW spellings collapsed into the key —
+      * rows with n_raw_variants > 1 are exactly the catches a naive
+      * raw-URL groupBy misses.
+      *
+      * Shape at 100 TB: identical to q20/q137 — normalization is a
+      * narrow per-row map fused at the scan, and the shuffle moves
+      * short URL keys, never documents. */
+    QueryDef("q147_url_dedup",
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |n AS (SELECT doc_id, url,
+         |    lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+         |      '^https?://', ''), '^www\\.', ''), '\\?.*$$', ''), '/+$$', '')) AS url_key
+         |  FROM u)
+         |SELECT url_key, min(doc_id) AS keep_id, count(*) AS n_copies,
+         |  count(DISTINCT url) AS n_raw_variants
+         |FROM n GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        .withColumn("url_key", normalizeUrl(col("url")))
+        .groupBy("url_key")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(col("url")).as("n_raw_variants"))
     }
   )
 }

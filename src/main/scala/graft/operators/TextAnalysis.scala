@@ -1828,8 +1828,59 @@ object TextAnalysis {
         |  round((ln(n) - CAST(sl AS DOUBLE) / n) / ln(2), 6) < 3.5 AS low_entropy
         |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
       charEntropyReport(t(s, dir, "documents"), "doc_id")
+    },
+
+    /** Encoding-damage (mojibake) gate: per-document counts of U+FFFD
+      * replacement characters — the scar every broken decode leaves
+      * behind — and of C0 control characters other than tab/newline/CR,
+      * with a 1%-of-code-points drop rule. Web-scale pipelines run this
+      * right after charset detection (a page decoded with the wrong
+      * charset is unusable no matter what the quality model says), and
+      * the corpus is clean ASCII, so the damage is PLANTED on doc_id
+      * schedules the oracle replays verbatim (the q93 posture): every
+      * 23rd doc gains four replacement chars (enough to trip 1% on
+      * short docs, not on long ones — both verdicts exercised), every
+      * 31st two control bytes. Exact integer rule, zero shuffles —
+      * pure row-local string arithmetic, shared verbatim with the
+      * streaming gate view ([[mojibakeReport]]). */
+    QueryDef("q148_mojibake_gate",
+      """WITH a AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 23 = 0 THEN ' ' || repeat(chr(65533), 4) ELSE '' END
+        |    || CASE WHEN doc_id % 31 = 0 THEN chr(1) || chr(2) ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(aug) AS BIGINT) AS n_cp,
+        |  CAST(len(regexp_extract_all(aug, '\x{FFFD}')) AS BIGINT) AS n_repl,
+        |  CAST(len(regexp_extract_all(aug, '[\x01-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl,
+        |  100 * (len(regexp_extract_all(aug, '\x{FFFD}'))
+        |       + len(regexp_extract_all(aug, '[\x01-\x08\x0b\x0c\x0e-\x1f]')))
+        |    < length(aug) OR length(aug) = 0 AS keep
+        |FROM a""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 23 === 0,
+          concat(lit(" "), lit("\uFFFD" * 4))).otherwise(""),
+        when(id % 31 === 0, lit("\u0001\u0002")).otherwise(""))
+      mojibakeReport(
+        t(s, dir, "documents").select(id, aug.as("text")), "doc_id")
     }
   )
+
+  /** q148's damage arithmetic over any documents-shaped frame, shared
+    * with the streaming gate view (one code path, pinned once). The
+    * planting is the CALLER's business (batch q148 plants on the
+    * doc_id schedule; the streaming view gates whatever text actually
+    * arrives) — this report only measures. Empty text keeps (nothing
+    * to condemn; length gates own that verdict — the q139 posture). */
+  private[graft] def mojibakeReport(df: DataFrame,
+      idCol: String): DataFrame = {
+    val nRepl = regexp_count(col("text"), lit("\\x{FFFD}")).cast("long")
+    val nCtrl = regexp_count(col("text"),
+      lit("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    val nCp = length(col("text")).cast("long")
+    df.select(col(idCol), nCp.as("n_cp"), nRepl.as("n_repl"),
+      nCtrl.as("n_ctrl"),
+      (lit(100) * (nRepl + nCtrl) < nCp || nCp === 0).as("keep"))
+  }
 
   /** q138's entropy arithmetic over any documents-shaped frame, shared
     * with the streaming gate view (one code path, pinned once). Docs

@@ -422,6 +422,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q147: URL dedup shuffles short normalized keys, never text — " +
+      "same plan class as q20/q137") {
+    val p = plan("q147_url_dedup")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("Join"), p)
+    // the URL derives from doc_id alone: text never leaves the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("q148: mojibake gate is one exchange-free narrow map fused at " +
+      "the scan") {
+    val p = plan("q148_mojibake_gate")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q146: bloom prefilter culls train grams BELOW the gram-join " +
       "exchange; values equal plain q26 (false positives never reach " +
       "the result)") {

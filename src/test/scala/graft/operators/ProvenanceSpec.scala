@@ -92,4 +92,32 @@ class ProvenanceSpec extends SparkSuite {
     // the bare-suffix docs (doc_id % 97 == 0) appear as the NULL group
     assert(dom.exists(_._1.isEmpty), "null-domain audit row expected")
   }
+
+  test("q147 == in-memory normalize-and-group replica; scheme/www/utm/" +
+      "slash spellings collapse and the raw-variant count proves it") {
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id").as[Long].collect()
+    def url(i: Long): String =
+      (if (i % 2 == 0) "https://" else "http://") +
+        (if (i % 4 < 2) "" else "www.") +
+        s"site${i % 25}.com/p/${i % 50}" +
+        (if (i % 5 == 0) "?utm_source=feed" else "") +
+        (if (i % 7 == 0) "/" else "")
+    def norm(u: String): String = u
+      .replaceAll("^https?://", "").replaceAll("^www\\.", "")
+      .replaceAll("\\?.*$", "").replaceAll("/+$", "").toLowerCase
+    val ref = ids.groupBy(i => norm(url(i))).map { case (k, g) =>
+      (k, g.min, g.length.toLong, g.map(url).distinct.length.toLong)
+    }.toSet
+    val got = queries("q147_url_dedup")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == ref)
+    // normalization genuinely fires: some group holds >1 raw spelling,
+    // and no normalized key still carries scheme/www/query decoration
+    assert(got.exists(_._4 > 1), "planted raw variants must collapse")
+    got.foreach { case (k, _, _, _) =>
+      assert(!k.contains("://") && !k.startsWith("www.") &&
+        !k.contains("?") && !k.endsWith("/"), k)
+    }
+  }
 }

@@ -553,4 +553,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(corpus.forall(h => h > 3.5 && h < 5.0),
       s"prose entropy band violated: min=${corpus.min} max=${corpus.max}")
   }
+
+  test("q148 mojibake gate: plant schedules, both damage classes, and " +
+      "the exact 1% boundary in both directions") {
+    // ids chosen against the plant schedules: 23/713 gain 4 U+FFFD,
+    // 31/62/713 gain 2 control bytes; text lengths straddle the 1% rule
+    val pd = docsDir("mojibake", Seq(
+      1L -> ("c" * 50), // clean: zero damage, keeps
+      23L -> ("c" * 50), // 4 repl of 55 cp: 400 < 55 false -> drop
+      46L -> ("c" * 600), // 4 repl of 605 cp: 400 < 605 -> keep
+      31L -> ("c" * 300), // 2 ctrl of 302: 200 < 302 -> keep
+      62L -> ("c" * 50), // 2 ctrl of 52: 200 < 52 false -> drop
+      713L -> ("c" * 50), // both plants (23*31): 6 damaged -> drop
+      3L -> "")) // empty text: nothing to condemn -> keep
+    val got = graft.SparkEntry.queries("q148_mojibake_gate")(spark, pd)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 50L, 0L, 0L, true)))
+    assert(got(23L) == ((23L, 55L, 4L, 0L, false)))
+    assert(got(46L) == ((46L, 605L, 4L, 0L, true)))
+    assert(got(31L) == ((31L, 302L, 0L, 2L, true)))
+    assert(got(62L) == ((62L, 52L, 0L, 2L, false)))
+    assert(got(713L) == ((713L, 57L, 4L, 2L, false)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, true)))
+
+    // the real corpus exercises both verdicts (short docs trip on the
+    // replacement plant, long ones absorb it)
+    val corpus = graft.SparkEntry.queries("q148_mojibake_gate")(
+        spark, "/root/testdata/sf0.01")
+      .select("keep").as[Boolean].collect()
+    assert(corpus.length == 500)
+    assert(corpus.exists(!_) && corpus.count(identity) > 400,
+      "plants must drop some docs and spare most")
+  }
 }
