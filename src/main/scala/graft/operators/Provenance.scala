@@ -97,6 +97,19 @@ object Provenance {
     PublicSuffixParse(syntheticHost(docId), suffixRules)
       .getField("registered_domain")
 
+  /** The opt-out domain list (bounded stand-in for aggregated
+    * robots/ai.txt consent data) and q149's membership test, shared
+    * with the streaming gate view — one code path. A null registered
+    * domain is NOT opted out (no publisher to match). The three
+    * entries are residues the host synth actually emits (doc_id ≡ 24,
+    * 2, 28 mod 60 respectively — the name and suffix schedules share
+    * parity, so e.g. site1.com never occurs), one per suffix class. */
+  private[graft] val optOutDomains: Seq[String] =
+    Seq("site4.com", "site2.co.uk", "site8.github.io")
+
+  private[graft] def optedOut(registeredDomain: Column): Column =
+    coalesce(registeredDomain.isInCollection(optOutDomains), lit(false))
+
   /** Deterministic per-document URL for q147 (the q93 plant posture:
     * the derivation is trivial and replayed verbatim by the oracle; the
     * operator under test is the normalization). Scheme, a www prefix,
@@ -232,6 +245,31 @@ object Provenance {
         .agg(count(lit(1)).as("n_docs"),
           count(col("dup")).as("n_dup_docs"),
           round(count(col("dup")) * 1.0 / count(lit(1)), 6).as("dup_rate"))
+    },
+
+    /** Opt-out policy gate — the compliance member of the provenance
+      * tier: documents whose registered domain appears on the opt-out
+      * list (the bounded stand-in for aggregated robots.txt / ai.txt
+      * crawl-consent results, which production pipelines honor at the
+      * PUBLISHER granularity — every subdomain and page of an opted-out
+      * domain goes, which is exactly why the key is the registered
+      * domain and not the host) are flagged for removal. Docs with no
+      * registrable domain cannot be matched to a publisher's opt-out
+      * and pass this gate (provenance-less traffic is someone else's
+      * drop rule). Pure row-local: the suffix parse fuses at the scan
+      * and the list probe is an IN over broadcast data — no join, no
+      * shuffle; the oracle replays the same membership over the
+      * list-as-table semantics via IN. */
+    QueryDef("q149_optout_gate",
+      s"""WITH $domainCtes
+         |SELECT doc_id, registered_domain,
+         |  coalesce(registered_domain IN (${optOutDomains
+            .map(d => s"'$d'").mkString(", ")}), FALSE) AS opted_out
+         |FROM rd""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          registeredDomain(col("doc_id")).as("registered_domain"))
+        .withColumn("opted_out", optedOut(col("registered_domain")))
     },
 
     /** URL-level exact dedup — the FIRST dedup stage RefinedWeb §3.1

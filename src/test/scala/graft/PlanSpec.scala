@@ -440,6 +440,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q149: opt-out gate is exchange-free — the list probes as an " +
+      "IN over broadcast data, never a join") {
+    val p = plan("q149_optout_gate")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   test("q146: bloom prefilter culls train grams BELOW the gram-join " +
       "exchange; values equal plain q26 (false positives never reach " +
       "the result)") {

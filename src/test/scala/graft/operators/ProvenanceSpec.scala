@@ -93,6 +93,25 @@ class ProvenanceSpec extends SparkSuite {
     assert(dom.exists(_._1.isEmpty), "null-domain audit row expected")
   }
 
+  test("q149 opt-out gate: exactly the listed domains' docs flag, at " +
+      "publisher granularity; null-domain docs pass") {
+    val got = queries("q149_optout_gate")(spark, dir)
+      .as[(Long, Option[String], Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, rd, out) =>
+      assert(out == rd.exists(Provenance.optOutDomains.contains),
+        s"doc $id domain $rd")
+    }
+    // the list residues (24, 2, 28 mod 60) occur in the corpus, and the
+    // flag hits EVERY host spelling of an opted-out publisher (www./
+    // cdn./bare all share the registered domain)
+    val flagged = got.filter(_._3)
+    assert(flagged.nonEmpty, "opt-out residues must occur")
+    assert(flagged.map(_._1 % 60).toSet.subsetOf(Set(24L, 2L, 28L)))
+    assert(got.filter(_._2.isEmpty).forall(!_._3),
+      "provenance-less docs cannot be matched to an opt-out")
+  }
+
   test("q147 == in-memory normalize-and-group replica; scheme/www/utm/" +
       "slash spellings collapse and the raw-variant count proves it") {
     val ids = graft.sources.Tables.load(spark, dir, "documents")
