@@ -272,6 +272,74 @@ object Provenance {
         .withColumn("opted_out", optedOut(col("registered_domain")))
     },
 
+    /** Budget-constrained per-domain selection — q144's doc-count cap
+      * generalized to the unit that actually costs money: keep, per
+      * registered domain, the highest-quality documents whose TOKEN
+      * total fits a per-domain budget (the "no publisher buys more
+      * than B tokens of the run" rule a mixture planner hands down).
+      * Selection is by whole quality BUCKET (floor(quality·100), ≤ 101
+      * buckets): admit buckets best-first while the running token
+      * total stays within budget. Whole-bucket admission is the
+      * deterministic, scale-correct form — per-doc greedy would need a
+      * per-domain total order over documents (the hot-domain sort
+      * q109/q144 exist to avoid); bucket granularity costs at most one
+      * bucket of under-fill and keeps everything exact-integer.
+      *
+      * Shape at 100 TB: one map-side-combinable (domain, bucket)
+      * aggregate over the corpus, then the cumulative window runs over
+      * the BOUNDED bucket table (domains × ≤101 rows — the q110/q112
+      * move), never over documents; the final rollup is domain-keyed.
+      * A domain whose best bucket alone busts the budget keeps nothing
+      * (threshold_qb NULL, zero kept) — stated in both engines. */
+    QueryDef("q150_token_budget",
+      s"""WITH $domainCtes,
+         |d AS (SELECT rd.registered_domain AS rd,
+         |    CAST(floor(${TextAnalysis.qualityScoreSql} * 100) AS INT) AS qb,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents doc JOIN rd ON doc.doc_id = rd.doc_id
+         |  WHERE rd.registered_domain IS NOT NULL),
+         |g AS (SELECT rd, qb, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY 1, 2),
+         |c AS (SELECT rd, qb, n_docs, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY rd ORDER BY qb DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tok
+         |  FROM g)
+         |SELECT rd AS registered_domain,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(CASE WHEN cum_tok <= 500 THEN qb END) AS threshold_qb,
+         |  CAST(coalesce(sum(CASE WHEN cum_tok <= 500 THEN n_docs END), 0)
+         |    AS BIGINT) AS n_docs_kept,
+         |  CAST(coalesce(sum(CASE WHEN cum_tok <= 500 THEN n_tokens END), 0)
+         |    AS BIGINT) AS n_tokens_kept
+         |FROM c GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 500L
+      val d = t(s, dir, "documents")
+        .select(registeredDomain(col("doc_id")).as("rd"),
+          floor(TextAnalysis.qualityScore(col("text")) * 100)
+            .cast("int").as("qb"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        .filter(col("rd").isNotNull)
+      val g = d.groupBy("rd", "qb")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      // cumulative admission over the bounded per-domain bucket table
+      val w = Window.partitionBy("rd").orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = col("cum_tok") <= budget
+      g.withColumn("cum_tok", sum("n_tokens").over(w))
+        .groupBy("rd")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          min(when(kept, col("qb"))).as("threshold_qb"),
+          coalesce(sum(when(kept, col("n_docs"))), lit(0L))
+            .as("n_docs_kept"),
+          coalesce(sum(when(kept, col("n_tokens"))), lit(0L))
+            .as("n_tokens_kept"))
+        .withColumnRenamed("rd", "registered_domain")
+    },
+
     /** URL-level exact dedup — the FIRST dedup stage RefinedWeb §3.1
       * runs, before any content hashing: the same page reached as
       * http/https, with/without www, with tracking parameters or a

@@ -448,6 +448,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
   }
 
+  test("q150: the (domain, bucket) tally partially aggregates map-side " +
+      "and the cumulative window is DOMAIN-partitioned over the bounded " +
+      "bucket table — never a global or per-doc sort") {
+    val p = plan("q150_token_budget")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    // the window must carry a partition key (rd): an empty-partition
+    // window would pull the whole table onto one task
+    assert("windowspecdefinition\\(rd#\\d+".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q146: bloom prefilter culls train grams BELOW the gram-join " +
       "exchange; values equal plain q26 (false positives never reach " +
       "the result)") {

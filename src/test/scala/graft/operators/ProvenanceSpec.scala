@@ -93,6 +93,36 @@ class ProvenanceSpec extends SparkSuite {
     assert(dom.exists(_._1.isEmpty), "null-domain audit row expected")
   }
 
+  test("q150 == in-memory bucket-greedy replica; the 500-token budget " +
+      "binds for some domains and is a whole-bucket prefix everywhere") {
+    val rows = graft.sources.Tables.load(spark, dir, "documents")
+      .select(Provenance.registeredDomain(col("doc_id")).as("rd"),
+        floor(TextAnalysis.qualityScore(col("text")) * 100)
+          .cast("int").as("qb"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .filter(col("rd").isNotNull)
+      .as[(String, Int, Long)].collect()
+    val ref = rows.groupBy(_._1).map { case (rd, docs) =>
+      val buckets = docs.groupBy(_._2).map { case (qb, g) =>
+        (qb, g.length.toLong, g.map(_._3).sum)
+      }.toSeq.sortBy(-_._1) // best quality first
+      val cum = buckets.scanLeft(0L)(_ + _._3).tail
+      val kept = buckets.zip(cum).takeWhile(_._2 <= 500L).map(_._1)
+      (rd, (docs.length.toLong, docs.map(_._3).sum,
+        kept.lastOption.map(_._1),
+        kept.map(_._2).sum, kept.map(_._3).sum))
+    }
+    val got = queries("q150_token_budget")(spark, dir)
+      .as[(String, Long, Long, Option[Int], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == ref)
+    // the budget is real on this corpus: some domain is cut, some not
+    assert(got.values.exists(v => v._5 < v._2 && v._2 > 500),
+      "no domain was budget-cut")
+    assert(got.values.exists(v => v._5 == v._2), "no domain fit whole")
+    got.values.foreach(v => assert(v._5 <= 500, s"budget exceeded: $v"))
+  }
+
   test("q149 opt-out gate: exactly the listed domains' docs flag, at " +
       "publisher granularity; null-domain docs pass") {
     val got = queries("q149_optout_gate")(spark, dir)
