@@ -110,6 +110,29 @@ object Provenance {
   private[graft] def optedOut(registeredDomain: Column): Column =
     coalesce(registeredDomain.isInCollection(optOutDomains), lit(false))
 
+  /** q150's admission arithmetic over a (rd, qb, n_docs, n_tokens)
+    * bucket-count frame, shared with the streaming budget view (one
+    * code path, pinned once): cumulative token totals best-bucket-first
+    * per domain, whole buckets admitted while the running total fits
+    * `budget`. The window's input is the BOUNDED bucket table (domains
+    * × ≤101 rows), never documents. */
+  private[graft] def budgetReport(bucketCounts: DataFrame,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("rd").orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = col("cum_tok") <= budget
+    bucketCounts.withColumn("cum_tok", sum("n_tokens").over(w))
+      .groupBy("rd")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min(when(kept, col("qb"))).as("threshold_qb"),
+        coalesce(sum(when(kept, col("n_docs"))), lit(0L))
+          .as("n_docs_kept"),
+        coalesce(sum(when(kept, col("n_tokens"))), lit(0L))
+          .as("n_tokens_kept"))
+      .withColumnRenamed("rd", "registered_domain")
+  }
+
   /** Deterministic per-document URL for q147 (the q93 plant posture:
     * the derivation is trivial and replayed verbatim by the oracle; the
     * operator under test is the normalization). Scheme, a www prefix,
@@ -315,29 +338,16 @@ object Provenance {
          |  CAST(coalesce(sum(CASE WHEN cum_tok <= 500 THEN n_tokens END), 0)
          |    AS BIGINT) AS n_tokens_kept
          |FROM c GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val budget = 500L
       val d = t(s, dir, "documents")
         .select(registeredDomain(col("doc_id")).as("rd"),
           floor(TextAnalysis.qualityScore(col("text")) * 100)
             .cast("int").as("qb"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
         .filter(col("rd").isNotNull)
-      val g = d.groupBy("rd", "qb")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      // cumulative admission over the bounded per-domain bucket table
-      val w = Window.partitionBy("rd").orderBy(col("qb").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val kept = col("cum_tok") <= budget
-      g.withColumn("cum_tok", sum("n_tokens").over(w))
-        .groupBy("rd")
-        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
-          min(when(kept, col("qb"))).as("threshold_qb"),
-          coalesce(sum(when(kept, col("n_docs"))), lit(0L))
-            .as("n_docs_kept"),
-          coalesce(sum(when(kept, col("n_tokens"))), lit(0L))
-            .as("n_tokens_kept"))
-        .withColumnRenamed("rd", "registered_domain")
+      budgetReport(
+        d.groupBy("rd", "qb")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")),
+        budget = 500L)
     },
 
     /** URL-level exact dedup — the FIRST dedup stage RefinedWeb §3.1

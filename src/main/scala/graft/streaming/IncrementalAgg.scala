@@ -41,14 +41,15 @@ object IncrementalAgg {
       live: Column,                     // row contributes iff
       amount: Column)                   // summed measure
 
-  private def aggSchema(gNames: Seq[String]): StructType =
+  private[streaming] def aggSchema(gNames: Seq[String]): StructType =
     StructType(
       (StructField("key", StringType) +:
         gNames.map(StructField(_, StringType))) ++
         Seq(StructField("amt", DoubleType), StructField("cnt", LongType)))
 
   /** (key, groups..., d_amt, d_cnt) contributions of a set of state rows. */
-  private def contrib(rows: DataFrame, spec: GroupSpec, sign: Int): DataFrame = {
+  private[streaming] def contrib(rows: DataFrame, spec: GroupSpec,
+      sign: Int): DataFrame = {
     val gNames = spec.groupCols.map(_._1)
     rows.filter(spec.live)
       .select(spec.groupCols.map { case (n, c) => c.cast("string").as(n) } :+
@@ -70,7 +71,7 @@ object IncrementalAgg {
     * after a partial crash — and the merge carries the batchId so an
     * already-committed agg store skips. The returned sink frames derive
     * from (pre-version rows + deltas), so they too are replay-identical. */
-  private def applyDeltas(
+  private[streaming] def applyDeltas(
       aggTable: ParquetKeyedTable, gNames: Seq[String],
       deltas: DataFrame, ctx: BatchCtx): (DataFrame, DataFrame) = {
     val summed = deltas
