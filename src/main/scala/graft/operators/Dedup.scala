@@ -1336,6 +1336,47 @@ object Dedup {
       verifyJaccard(cand, sharedShingleFrame(s, dir, "word3"), "f", 0.8)
         .select(col("doc_a").as("new_id"), col("doc_b").as("old_id"),
           round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    /** Quality-aware survivor selection — the dedup family's POLICY
+      * upgrade over min-id: within each near-dup cluster keep the
+      * highest-QUALITY member (ties → lower doc_id), the rule
+      * production pipelines actually ship (RefinedWeb/Dolma keep the
+      * best rendering of a page — min-id keeps whichever copy crawled
+      * first, which is often the truncated or boilerplate-wrapped
+      * one). q39's composed build uses min-id (cheap, join-free);
+      * this emits the policy table that swaps in for it: per cluster,
+      * the argmax member by (quality, -doc_id) struct-max — the
+      * q140/q142 tie posture, exact because quality is the 6-rounded
+      * score both engines share.
+      *
+      * Shape at 100 TB: one narrow quality projection joined onto the
+      * session cluster memo (cluster table ∝ duplicate density, not
+      * corpus), then a cluster-keyed bounded aggregate — the argmax is
+      * map-side combinable, so a giant template cluster ships one
+      * struct per map partition, never its member list. */
+    QueryDef("q151_survivor_policy",
+      s"""WITH RECURSIVE ${Curation.clusterCtes},
+         |q AS (SELECT c.cluster_id, c.doc_id,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM clusters c JOIN documents USING (doc_id))
+         |SELECT cluster_id, count(*) AS n_members,
+         |  -((max(struct_pack(q := quality, negid := -doc_id))).negid)
+         |    AS survivor_id,
+         |  (max(struct_pack(q := quality, negid := -doc_id))).q
+         |    AS survivor_quality
+         |FROM q GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val quality = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      sharedNearDupClusters(s, dir)
+        .join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality").as("q"),
+            (-col("doc_id")).as("negid"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("m.negid")).as("survivor_id"),
+          col("m.q").as("survivor_quality"))
     }
   )
 

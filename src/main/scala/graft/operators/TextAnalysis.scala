@@ -1451,6 +1451,38 @@ object TextAnalysis {
             (lit(1.0) * col("p") * col("nn")) - 1.0, 6)).as("gini"))
     },
 
+    /** Classifier CALIBRATION table — the reliability diagram behind
+      * q112's AUC: per unit-width LOGIT bin of the q85 score, how many
+      * documents landed there and what fraction is actually positive.
+      * AUC says the ranking is right; calibration says whether the
+      * score VALUE can be thresholded at a target precision (the
+      * question a curation pipeline actually asks before picking its
+      * keep cutoff). Binning is floor(score) in logit space — the
+      * score is an exact DECIMAL sum cast to double, identical in both
+      * engines bit-for-bit, so the bin edge needs no epsilon and no
+      * cross-engine exp/sigmoid ever runs (the q84/q54 libm posture:
+      * the sigmoid is monotone, so reliability in logit bins reads the
+      * same). One pass over the session score memo: a bounded
+      * bin-keyed aggregate (scores land in a few dozen unit bins),
+      * map-side combinable, no window.
+      *
+      * Shape at 100 TB: the memo scan is the cost; the aggregate
+      * output is |bins| rows. */
+    QueryDef("q152_calibration",
+      s"""$classifierCtes,
+         |j AS (SELECT CAST(floor(s.score) AS BIGINT) AS logit_bin, lbl.hi
+         |  FROM scored s JOIN lbl USING (doc_id))
+         |SELECT logit_bin, count(*) AS n, CAST(sum(hi) AS BIGINT) AS n_pos,
+         |  round(sum(hi) * 1.0 / count(*), 6) AS pos_rate
+         |FROM j GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      classifierScores(s, dir)
+        .select(floor(col("score")).cast("long").as("logit_bin"),
+          col("hi"))
+        .groupBy("logit_bin")
+        .agg(count(lit(1)).as("n"), sum("hi").cast("long").as("n_pos"),
+          round(sum("hi") * 1.0 / count(lit(1)), 6).as("pos_rate"))
+    },
+
     /** Head-vocabulary coverage: the fraction of each document's token
       * OCCURRENCES drawn from the corpus's top-20 vocabulary — the
       * "how templated is this doc" signal dataset reports tabulate

@@ -315,6 +315,53 @@ class DedupSpec extends SparkSuite {
     assert(queries("q20_dedup_exact")(spark, dir2).count() == 4L)
   }
 
+  test("q151 survivor policy keeps the best-quality member, not the " +
+      "first-crawled one; ties fall to the lower id") {
+    // b1 is a near-dup of a1 (two words appended: 28/30 shingles
+    // shared, j ≈ 0.93) but strictly higher quality (longer + more
+    // stopwords) — the quality policy must keep b1 where min-id keeps
+    // a1. The (c1, c2) pair is byte-identical -> equal quality, tie to
+    // the lower id. d9 is a singleton and must not appear.
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "a calm river flows past the old mill near the quiet village " +
+      "in early morning light"
+    val docs = Seq(
+      (1L, base), (2L, base + " of course"),
+      (5L, "an entirely different body of text about engines and " +
+        "pipelines that shares nothing with the fox sentence at all"),
+      (6L, "an entirely different body of text about engines and " +
+        "pipelines that shares nothing with the fox sentence at all"),
+      (9L, "a singleton document with no duplicate partner anywhere"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir2 = tmpDir("survivor")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+
+    val got = queries("q151_survivor_policy")(spark, dir2)
+      .select("cluster_id", "n_members", "survivor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (5L, 2L, 5L)))
+
+    // corpus-wide: one survivor per cluster, always a member, and ==
+    // an in-memory argmax replica over the same cluster/quality tables
+    val cl = graft.operators.Dedup.sharedNearDupClusters(spark, dir)
+      .as[(Long, Long)].collect()
+    val q = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    val ref = cl.groupBy(_._2).map { case (cid, ms) =>
+      val members = ms.map(_._1)
+      val survivor = members.minBy(id => (-q(id), id))
+      (cid, members.length.toLong, survivor, q(survivor))
+    }.toSet
+    val full = queries("q151_survivor_policy")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(full == ref)
+  }
+
   test("q141 incremental dedup == brute-force cross-parity pairs at sf0.01") {
     val got = queries("q141_incremental_dedup")(spark, dir)
       .select("new_id", "old_id").as[(Long, Long)].collect().toSet

@@ -554,6 +554,30 @@ class TextAnalysisSpec extends SparkSuite {
       s"prose entropy band violated: min=${corpus.min} max=${corpus.max}")
   }
 
+  test("q152 calibration == in-memory recompute from the score memo; " +
+      "bins partition the corpus and the top bin outranks the bottom") {
+    val scores = graft.operators.TextAnalysis
+      .classifierScoresBuild(spark, "/root/testdata/sf0.01")
+      .select("score", "hi").as[(Double, Int)].collect()
+    val ref = scores.groupBy(s => math.floor(s._1).toLong).map {
+      case (b, g) =>
+        (b, g.length.toLong, g.map(_._2.toLong).sum,
+          BigDecimal(g.map(_._2).sum.toDouble / g.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.SparkEntry.queries("q152_calibration")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSet == ref)
+    assert(got.map(_._2).sum == 500L, "bins must partition the corpus")
+    assert(got.length > 2, "unit logit bins must spread")
+    // the classifier was trained on these labels: reliability must
+    // slope the right way end-to-end
+    val byBin = got.sortBy(_._1)
+    assert(byBin.last._4 > byBin.head._4,
+      s"top bin ${byBin.last} must outrank bottom ${byBin.head}")
+  }
+
   test("q148 mojibake gate: plant schedules, both damage classes, and " +
       "the exact 1% boundary in both directions") {
     // ids chosen against the plant schedules: 23/713 gain 4 U+FFFD,
