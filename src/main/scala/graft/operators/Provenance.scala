@@ -27,23 +27,48 @@ object Provenance {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     graft.sources.Tables.load(s, dir, n)
 
-  /** Bounded stand-in for the publicsuffix.org list: plain rules only,
-    * chosen so the longest-match is real — `uk` AND `co.uk` (the match
-    * must prefer the longer), `io` AND `github.io` (a private-section
-    * suffix: x.github.io and y.github.io are different owners), and a
-    * three-label rule. The production swap-in is the published list
-    * loaded as data; nothing below depends on the list's size. */
-  private[graft] val suffixRules: Seq[String] = Seq(
-    "com", "org", "net", "io", "uk", "co.uk", "jp", "ac.jp",
-    "us", "k12.va.us", "github.io", "dev")
+  /** Bounded stand-in for the publicsuffix.org list, loaded as DATA
+    * from a resource file in the published list's own line format —
+    * the production swap-in is the ~9k-entry published file dropped in
+    * at the same path. Plain rules with real longest-match nesting
+    * (`uk`/`co.uk`, `io`/`github.io`, a three-label rule) plus the
+    * PSL's own wildcard/exception examples (`*.ck`, `!www.ck`,
+    * `*.kawasaki.jp`) so every branch of the matching algorithm runs
+    * against the gate. Nothing below depends on the list's size. */
+  private[graft] val suffixRules: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_standin.dat")
+    require(in != null, "public_suffix_standin.dat resource missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+    finally in.close()
+  }
+
+  /** The three PSL rule classes of [[suffixRules]], split once for the
+    * oracle's list-as-table replay (the same parse
+    * [[graft.functions.PublicSuffixParse]] runs on its constructor
+    * argument): (plain, wildcard bases, exception names). */
+  private val (plainRules, wildcardBaseRules, exceptionRules) = {
+    val lower = suffixRules.map(_.toLowerCase)
+    (lower.filterNot(r => r.startsWith("!") || r.startsWith("*.")),
+      lower.filter(_.startsWith("*.")).map(_.substring(2)),
+      lower.filter(_.startsWith("!")).map(_.substring(1)))
+  }
 
   /** Deterministic per-document host (both engines replay it verbatim):
     * subdomain / site-name / suffix each keyed off doc_id so the corpus
     * covers multi-label suffixes, the private-section trap, an unknown
     * TLD (`xyz` — exercises the PSL default rule), and — every 97th doc
-    * — a host that IS a bare public suffix (no registrable part). */
+    * — one of five trap hosts cycling by doc_id/97: a host that IS a
+    * bare public suffix (no registrable part), the `!www.ck` exception
+    * (registrable WITH a suffix carved out of the wildcard), a host the
+    * `*.ck` wildcard makes a bare suffix, a host one label under it
+    * (registrable under the wildcard suffix), and a `*.kawasaki.jp`
+    * bare-suffix host sitting UNDER the plain `jp` rule. */
   private[graft] def syntheticHost(docId: Column): Column =
-    when(pmod(docId, lit(97)) === 0, lit("github.io"))
+    when(pmod(docId, lit(97)) === 0,
+      element_at(array(lit("github.io"), lit("www.ck"), lit("foo.ck"),
+        lit("a.b.ck"), lit("demo.kawasaki.jp")),
+        (pmod((docId / 97).cast("long"), lit(5)) + 1).cast("int")))
       .otherwise(concat(
         element_at(array(lit(""), lit("www."), lit("cdn.")),
           (pmod(docId, lit(3)) + 1).cast("int")),
@@ -54,7 +79,11 @@ object Provenance {
           (pmod(docId, lit(6)) + 1).cast("int"))))
 
   private val hostSql: String =
-    """CASE WHEN doc_id % 97 = 0 THEN 'github.io' ELSE
+    """CASE WHEN doc_id % 97 = 0 THEN
+      |  (CASE (doc_id // 97) % 5 WHEN 0 THEN 'github.io'
+      |      WHEN 1 THEN 'www.ck' WHEN 2 THEN 'foo.ck'
+      |      WHEN 3 THEN 'a.b.ck' ELSE 'demo.kawasaki.jp' END)
+      |ELSE
       |  (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.' END)
       |  || 'site' || CAST(doc_id % 20 AS VARCHAR) || '.'
       |  || (CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
@@ -62,33 +91,47 @@ object Provenance {
       |      WHEN 4 THEN 'github.io' ELSE 'xyz' END) END"""
       .stripMargin.replace("\n", " ")
 
-  private val suffixListSql: String =
-    suffixRules.map(s => s"'$s'").mkString(", ")
+  private def sqlList(rules: Seq[String]): String =
+    if (rules.isEmpty) "''" // never matches a non-empty label set
+    else rules.map(s => s"'$s'").mkString(", ")
 
   /** The oracle's replay of [[PublicSuffixParse]]: candidate suffixes of
-    * each host joined against the rule list AS A TABLE, longest match =
-    * smallest start index, then the same registered/suffix/default-rule
-    * arithmetic the expression runs. Shared by every domain oracle. */
+    * each host joined against the three rule classes AS TABLES under the
+    * full publicsuffix.org algorithm — an exception match prevails
+    * (suffix = rule minus its leftmost label); otherwise the longest
+    * plain-or-wildcard match (`*` = exactly one label, so a wildcard
+    * needs i < nl); otherwise the default `*` rule. Identical
+    * registered/suffix arithmetic to the expression. Shared by every
+    * domain oracle. */
   private val domainCtes: String =
-    s"""sfx AS (SELECT unnest([$suffixListSql]) AS sfx),
-       |hh AS (SELECT doc_id, $hostSql AS host FROM documents),
+    s"""hh AS (SELECT doc_id, $hostSql AS host FROM documents),
        |hl AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM hh),
-       |hc AS (SELECT doc_id, CAST(u.i AS INT) AS i,
-       |    array_to_string(labels[CAST(u.i AS INT):], '.') AS cand
+       |hc AS (SELECT doc_id, CAST(u.i AS INT) AS i, len(labels) AS nl,
+       |    array_to_string(labels[CAST(u.i AS INT):], '.') AS cand,
+       |    array_to_string(labels[CAST(u.i + 1 AS INT):], '.') AS tail
        |  FROM hl, unnest(range(1, len(labels) + 1)) AS u(i)),
-       |hm AS (SELECT hc.doc_id, min(hc.i) AS bi
-       |  FROM hc JOIN sfx ON hc.cand = sfx.sfx GROUP BY 1),
+       |hx AS (SELECT doc_id, min(i) AS xi FROM hc
+       |  WHERE cand IN (${sqlList(exceptionRules)}) GROUP BY 1),
+       |hm AS (SELECT doc_id, min(i) AS bi FROM hc
+       |  WHERE cand IN (${sqlList(plainRules)})
+       |     OR (i < nl AND tail IN (${sqlList(wildcardBaseRules)}))
+       |  GROUP BY 1),
        |rd AS (SELECT hl.doc_id, hl.host,
-       |    CASE WHEN hm.bi = 1 OR (hm.bi IS NULL AND len(labels) < 2) THEN NULL
+       |    CASE WHEN hx.xi IS NOT NULL
+       |           THEN array_to_string(labels[CAST(hx.xi AS INT):], '.')
+       |         WHEN hm.bi = 1 OR (hm.bi IS NULL AND len(labels) < 2) THEN NULL
        |         WHEN hm.bi IS NOT NULL
        |           THEN array_to_string(labels[CAST(hm.bi - 1 AS INT):], '.')
        |         ELSE array_to_string(labels[CAST(len(labels) - 1 AS INT):], '.')
        |         END AS registered_domain,
-       |    CASE WHEN hm.bi = 1 THEN host
+       |    CASE WHEN hx.xi IS NOT NULL
+       |           THEN array_to_string(labels[CAST(hx.xi + 1 AS INT):], '.')
+       |         WHEN hm.bi = 1 THEN host
        |         WHEN hm.bi IS NOT NULL
        |           THEN array_to_string(labels[CAST(hm.bi AS INT):], '.')
        |         ELSE labels[len(labels)] END AS public_suffix
-       |  FROM hl LEFT JOIN hm ON hl.doc_id = hm.doc_id)"""
+       |  FROM hl LEFT JOIN hm ON hl.doc_id = hm.doc_id
+       |    LEFT JOIN hx ON hl.doc_id = hx.doc_id)"""
       .stripMargin.replace("\n", " ")
 
   /** doc_id → registered_domain, shared by the queries below and the
@@ -96,6 +139,22 @@ object Provenance {
   private[graft] def registeredDomain(docId: Column): Column =
     PublicSuffixParse(syntheticHost(docId), suffixRules)
       .getField("registered_domain")
+
+  /** THE token count of the provenance tier — one definition shared by
+    * batch q150, the streaming token-budget view and the streaming
+    * occupancy gauge (r10 ADVICE: the three had drifted between
+    * filtered and unfiltered split forms, so the live gauge and the
+    * budget disagreed on the same document). The filtered form: split
+    * on whitespace and drop empty tokens, so a blank document counts 0
+    * tokens — the q139 empty-text posture. Oracle replica:
+    * [[tokenCountSql]]. */
+  private[graft] def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+      .cast("long")
+
+  /** DuckDB replay of [[tokenCount]] over a column reference. */
+  private[graft] def tokenCountSql(col: String): String =
+    s"len(list_filter(regexp_split_to_array(trim($col), '\\s+'), t -> t <> ''))"
 
   /** The opt-out domain list (bounded stand-in for aggregated
     * robots/ai.txt consent data) and q149's membership test, shared
@@ -318,7 +377,7 @@ object Provenance {
       s"""WITH $domainCtes,
          |d AS (SELECT rd.registered_domain AS rd,
          |    CAST(floor(${TextAnalysis.qualityScoreSql} * 100) AS INT) AS qb,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |    CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok
          |  FROM documents doc JOIN rd ON doc.doc_id = rd.doc_id
          |  WHERE rd.registered_domain IS NOT NULL),
          |g AS (SELECT rd, qb, count(*) AS n_docs,
@@ -342,7 +401,7 @@ object Provenance {
         .select(registeredDomain(col("doc_id")).as("rd"),
           floor(TextAnalysis.qualityScore(col("text")) * 100)
             .cast("int").as("qb"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          tokenCount(col("text")).as("n_tok"))
         .filter(col("rd").isNotNull)
       budgetReport(
         d.groupBy("rd", "qb")

@@ -38,8 +38,7 @@ object StreamingDomainOccupancy {
             Provenance.registeredDomain(col("doc_id").cast("long")),
             lit("(none)"))),
         live = lit(true),
-        amount = size(filter(split(trim(col("text")), "\\s+"),
-          t => length(t) > 0)).cast("double")),
+        amount = Provenance.tokenCount(col("text")).cast("double")),
       toDoc = m => m.select(col("key").as("id"),
         col("g_domain").as("registered_domain"),
         col("cnt").as("n_docs"), col("amt").cast("long").as("n_tokens")))

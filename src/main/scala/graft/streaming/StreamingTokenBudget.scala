@@ -44,7 +44,7 @@ object StreamingTokenBudget {
         "g_qb" -> floor(TextAnalysis.qualityScore(col("text")) * 100)
           .cast("int").cast("string")),
       live = lit(true),
-      amount = size(split(trim(col("text")), "\\s+")).cast("double"))
+      amount = Provenance.tokenCount(col("text")).cast("double"))
 
     ViewDef(name, (pre, post, batch, ctx) => {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

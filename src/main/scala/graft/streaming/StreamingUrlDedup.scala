@@ -42,7 +42,11 @@ object StreamingUrlDedup {
       val upserts = st.postMembers
         .withColumn("url", rawUrl(col("member")))
         .groupBy("fp")
-        .agg(min("member").as("keep_id"), count(lit(1)).as("n_copies"),
+        // NUMERIC min, matching batch q147's min(doc_id): the CDC key is
+        // a string, and a lexicographic min elects a different survivor
+        // for mixed-width ids ("10" < "9") — r10 ADVICE
+        .agg(min(col("member").cast("long")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
           countDistinct("url").as("n_raw_variants"))
         .select(col("fp").as("id"), col("fp").as("url_key"),
           col("keep_id"), col("n_copies"), col("n_raw_variants"))

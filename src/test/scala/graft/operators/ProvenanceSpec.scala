@@ -16,24 +16,30 @@ class ProvenanceSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
   private def queries = graft.SparkEntry.queries
 
-  /** Independent longest-match over the same rules: candidate suffixes
-    * shortest-start-index-first, then the PSL default rule. */
+  /** Independent replica of the FULL publicsuffix.org algorithm over
+    * the same rule list: exception prevails (suffix = rule minus its
+    * leftmost label), else longest plain-or-wildcard match (`*` =
+    * exactly one label), else the PSL default rule. */
   private def refParse(host: String): (Option[String], Option[String]) = {
-    val rules = Provenance.suffixRules.toSet
+    val all = Provenance.suffixRules.map(_.toLowerCase)
+    val plain = all.filterNot(r => r.startsWith("!") || r.startsWith("*.")).toSet
+    val wild = all.filter(_.startsWith("*.")).map(_.substring(2)).toSet
+    val exc = all.filter(_.startsWith("!")).map(_.substring(1)).toSet
     val labels = host.toLowerCase.split("\\.", -1)
     if (labels.exists(_.isEmpty)) return (None, None)
-    (0 until labels.length)
-      .find(i => rules.contains(labels.drop(i).mkString(".")))
-      .map { i =>
-        if (i == 0) (None, Some(host.toLowerCase))
-        else (Some(labels.drop(i - 1).mkString(".")),
-          Some(labels.drop(i).mkString(".")))
-      }
-      .getOrElse {
-        if (labels.length >= 2)
-          (Some(labels.takeRight(2).mkString(".")), Some(labels.last))
-        else (None, Some(host.toLowerCase))
-      }
+    def at(i: Int) = labels.drop(i).mkString(".")
+    (0 until labels.length).find(i => exc.contains(at(i))) match {
+      case Some(i) => (Some(at(i)), Some(at(i + 1)))
+      case None =>
+        (0 until labels.length).find(i => plain.contains(at(i)) ||
+          (i + 1 < labels.length && wild.contains(at(i + 1)))) match {
+          case Some(0) => (None, Some(host.toLowerCase))
+          case Some(i) => (Some(at(i - 1)), Some(at(i)))
+          case None if labels.length >= 2 =>
+            (Some(labels.takeRight(2).mkString(".")), Some(labels.last))
+          case None => (None, Some(host.toLowerCase))
+        }
+    }
   }
 
   test("q143 == independent parse replica over every corpus host; the " +
@@ -45,11 +51,26 @@ class ProvenanceSpec extends SparkSuite {
       assert((rd, sfx) == refParse(host), s"doc $id host $host")
     }
     // coverage: multi-label suffix, private suffix, unknown TLD
-    // (default rule), and the bare-suffix host every 97th doc plants
+    // (default rule), the bare-suffix host every 97th doc plants, the
+    // *.ck wildcard (bare suffix AND registrable-one-under), and the
+    // !www.ck exception carve-out
     val suffixes = got.flatMap(_._4).toSet
     assert(Set("co.uk", "ac.jp", "github.io", "xyz").subsetOf(suffixes))
     assert(got.exists { case (id, host, rd, _) =>
       id % 97 == 0 && host == "github.io" && rd.isEmpty })
+    assert(got.exists { case (_, host, rd, sfx) =>
+      host == "www.ck" && rd.contains("www.ck") && sfx.contains("ck") },
+      "exception trap host must occur and parse as registrable")
+    assert(got.exists { case (_, host, rd, sfx) =>
+      host == "foo.ck" && rd.isEmpty && sfx.contains("foo.ck") },
+      "wildcard bare-suffix trap host must occur")
+    assert(got.exists { case (_, host, rd, sfx) =>
+      host == "a.b.ck" && rd.contains("a.b.ck") && sfx.contains("b.ck") },
+      "wildcard one-under trap host must occur")
+    assert(got.exists { case (_, host, rd, sfx) =>
+      host == "demo.kawasaki.jp" && rd.isEmpty &&
+        sfx.contains("demo.kawasaki.jp") },
+      "wildcard-under-plain trap host must occur")
   }
 
   test("q144 == the declarative row_number cap it replaces (top 5 per " +

@@ -51,9 +51,10 @@ class StreamingDomainOccupancySpec extends SparkSuite with DocCdcFixture {
         s"batch $batchId: sink != batch recompute")
     }
 
-    // ids chosen to spread over several domains; 97 and 194 plant the
-    // bare-suffix host (registered domain null -> "(none)")
-    val docs = (Seq(97L, 194L) ++ (1L to 30L)).map(i =>
+    // ids chosen to spread over several domains; 194 (foo.ck, wildcard
+    // bare suffix) and 388 (demo.kawasaki.jp) plant hosts with a null
+    // registered domain -> "(none)"
+    val docs = (Seq(194L, 388L) ++ (1L to 30L)).map(i =>
       i.toString -> s"doc body number $i with a few tokens")
     state = docs.toMap
     step(0, docs.map { case (id, t) => create(id, t) }: _*)

@@ -45,12 +45,16 @@ class StreamingOptOutSpec extends SparkSuite with DocCdcFixture {
         s"batch $batchId: sink != batch q149 recompute")
     }
 
-    // 24 -> site4.com (opted out), 25 -> allowed, 97 -> bare suffix
-    state = Map("24" -> "a", "25" -> "b", "97" -> "c")
-    step(0, create("24", "a"), create("25", "b"), create("97", "c"))
+    // 24 -> site4.com (opted out), 25 -> allowed, 194 -> foo.ck, a
+    // *.ck wildcard bare suffix (null registered domain); 97 is the
+    // !www.ck exception trap — registrable but NOT on the opt-out list
+    state = Map("24" -> "a", "25" -> "b", "194" -> "c", "97" -> "d")
+    step(0, create("24", "a"), create("25", "b"), create("194", "c"),
+      create("97", "d"))
     assert(sinkDocs(sink)("24") == ((Some("site4.com"), true)))
     assert(sinkDocs(sink)("25")._2 == false)
-    assert(sinkDocs(sink)("97") == ((None, false)))
+    assert(sinkDocs(sink)("194") == ((None, false)))
+    assert(sinkDocs(sink)("97") == ((Some("www.ck"), false)))
 
     state -= "24"
     step(1, delete("24", "a"))

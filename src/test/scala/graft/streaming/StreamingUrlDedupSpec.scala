@@ -15,15 +15,21 @@ import graft.operators.Provenance
 class StreamingUrlDedupSpec extends SparkSuite with DocCdcFixture {
   import spark.implicits._
 
-  /** Batch q147's aggregation over the materialized state keys. */
+  /** Batch q147's aggregation over the materialized state keys —
+    * NUMERIC min, the batch query's min(doc_id) semantics (the CDC key
+    * is a string; lexicographic min elects the wrong survivor for
+    * mixed-width ids: "10" < "9"). */
   private def batchRecompute(
       state: DataFrame): Set[(String, String, Long, Long)] = {
     val url = Provenance.syntheticUrl(col("doc_id").cast("long"))
     state.select(col("doc_id"), url.as("url"),
         Provenance.normalizeUrl(url).as("url_key"))
       .groupBy("url_key")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+      .agg(min(col("doc_id").cast("long")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
         countDistinct("url").as("n_raw_variants"))
+      .select(col("url_key"), col("keep_id").cast("string"),
+        col("n_copies"), col("n_raw_variants"))
       .as[(String, String, Long, Long)].collect().toSet
   }
 
@@ -81,5 +87,11 @@ class StreamingUrlDedupSpec extends SparkSuite with DocCdcFixture {
       .toDF("table", "value", "seq")
     pipeline.processBatch(b3, Some(3L))
     assert(sinkRows(sink) == batchRecompute(pipeline.state("documents")))
+
+    // mixed-width ids: 8 and 108 share a group (≡ mod 50) and the
+    // survivor is the NUMERIC min 8 — a lexicographic min over the
+    // string CDC key would elect "108" ("1" < "8"); r10 ADVICE
+    step(4, create("8", "text w"), create("108", "text x"))
+    assert(sinkRows(sink).map(r => (r._2, r._3)) == Set(("8", 2L)))
   }
 }
