@@ -43,15 +43,54 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** The deterministic Gaussian hyperplane family the sign-LSH tiers
-    * share (q41/q24 batch, [[graft.streaming.StreamingAnn]] incremental):
-    * 16 planes of 64 dims from a seeded RNG, consumed as 4 bands × 4 sign
-    * bits. Seeding on the driver keeps every executor — and every later
-    * BATCH of a streaming index — hashing with identical planes. */
-  def hyperplanes(seed: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
-  }
+  /** The deterministic hyperplane family the sign-LSH tiers share
+    * (q41/q24 batch, [[graft.streaming.StreamingAnn]] incremental):
+    * 16 planes of 64 dims, consumed as 4 bands × 4 sign bits. Entries
+    * are MD5-DERIVED (the q134/q141 signature posture): coordinate
+    * (j, d) of seed s is `(int(md5("s|j|d")[0:8]) % 2001 − 1000)/1000`
+    * — uniform on [−1, 1] by exact integer arithmetic, so the planes
+    * (and therefore the BANDING DECISION, not just the verified
+    * results) are replayed bit-identically by the DuckDB oracle, which
+    * is what moved q41/q24 off the no-oracle list in r11. A seeded-RNG
+    * Gaussian family (the previous form) is statistically nicer but
+    * exists only inside one JVM; for 64-dim sign-LSH the coordinate
+    * distribution is immaterial — only the induced random directions
+    * matter, and uniform cubes are the standard deterministic
+    * stand-in. Same constant everywhere keeps every executor — and
+    * every later BATCH of a streaming index — hashing with identical
+    * planes. */
+  def hyperplanes(seed: Int): Seq[Seq[Double]] =
+    (0 until 16).map { j =>
+      (0 until 64).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed|$j|$d".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(
+          md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+        (h % 2001 - 1000) / 1000.0
+      }
+    }
+
+  /** The oracle's replay of [[hyperplanes]]+[[signBands]] for `seed`:
+    * CTEs `pl(j, pv)` (the 16 planes as DOUBLE[]) and `sb(vec_id,
+    * band_id, bh)` over CTE `e(vec_id, v)`, with the same band-hash
+    * fold (bit j of a band weighted 2^(3−j%4)) and the same
+    * left-to-right double dot product deciding each sign. */
+  private def signBandsSql(seed: Int): String =
+    s"""pl AS MATERIALIZED (SELECT CAST(u.j AS INT) AS j,
+       |    list_transform(range(64), d ->
+       |      (CAST(('0x' || substr(md5('$seed|' || CAST(u.j AS VARCHAR)
+       |         || '|' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+       |       % 2001 - 1000) / 1000.0) AS pv
+       |  FROM unnest(range(16)) AS u(j)),
+       |sb AS MATERIALIZED (SELECT e.vec_id,
+       |    CAST(pl.j // 4 AS INT) AS band_id,
+       |    CAST(sum(CASE WHEN ${dSql("e.v", "pl.pv")} > 0
+       |      THEN 1 << CAST(3 - pl.j % 4 AS INT) ELSE 0 END) AS INT) AS bh
+       |  FROM e, pl GROUP BY 1, 2)"""
+      // single-line: this fragment interpolates into templates that run
+      // their OWN stripMargin afterwards, which would eat the leading
+      // pipe of any continuation line starting with `||`
+      .stripMargin.replace("\n", " ")
 
   /** `array<struct<band_id,bh>>`: 4 bands of 4 sign bits for vector `v`
     * against `planes`. The per-band fold runs over 4 elements only, so the
@@ -204,9 +243,32 @@ object Similarity {
 
     /** Random-hyperplane LSH ANN: 16 deterministic hyperplanes as 4 bands
       * of 4 sign bits; a candidate that matches the query in ANY band is
-      * scored exactly. Approximate — covered by the recall test, not the
-      * oracle. */
-    QueryDef.noOracle("q41_ann_lsh_topk") { (s, dir) =>
+      * scored exactly. Oracle-checked since r11 (no-oracle through r10):
+      * the planes are md5-derived ([[hyperplanes]]), so the oracle
+      * replays the ENTIRE approximate computation — plane values, sign
+      * bits, band hashes, bucket join, exact rescoring, (score DESC, id)
+      * top-k — bit-identically; the recall-vs-exact property stays in
+      * SimilaritySpec. */
+    QueryDef("q41_ann_lsh_topk",
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |${signBandsSql(7)},
+         |qb AS (SELECT vec_id AS query_id, band_id, bh FROM sb
+         |  WHERE vec_id < $NQ),
+         |cand AS (SELECT DISTINCT qb.query_id, sb.vec_id AS neighbor_id
+         |  FROM sb JOIN qb ON sb.band_id = qb.band_id AND sb.bh = qb.bh
+         |  WHERE sb.vec_id <> qb.query_id),
+         |sc AS (SELECT c.query_id, c.neighbor_id,
+         |  ROUND(${dSql("q.v", "n.v")} /
+         |    (sqrt(${dSql("q.v", "q.v")}) * sqrt(${dSql("n.v", "n.v")})), 6)
+         |    AS score
+         |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+         |    JOIN e n ON n.vec_id = c.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= $K""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").as("v"))
       // 4 bands × 4 sign bits per vector
@@ -233,9 +295,26 @@ object Similarity {
       * vectors): sign-LSH bucket candidates → exact cosine verify ≥ τ.
       * Approximate by nature (recall bounded by bucket probability at τ;
       * this corpus is geometrically near-random, see SimilaritySpec) —
-      * verified by test against brute force, not the SQL oracle. At
-      * 100 TB the bucket join IS the point: no n² pair scan. */
-    QueryDef.noOracle("q24_embedding_neardup") { (s, dir) =>
+      * and oracle-checked since r11 because the md5-derived planes let
+      * DuckDB replay the banding decision itself (it goes band-join
+      * like the engine, not all-pairs — same candidates, same verified
+      * set). At 100 TB the bucket join IS the point: no n² pair scan. */
+    QueryDef("q24_embedding_neardup",
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |${signBandsSql(11)},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sb a JOIN sb b ON a.band_id = b.band_id AND a.bh = b.bh
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |  ROUND(${dSql("x.v", "y.v")} /
+         |    (sqrt(${dSql("x.v", "x.v")}) * sqrt(${dSql("y.v", "y.v")})), 6)
+         |    AS score
+         |FROM cand c JOIN e x ON x.vec_id = c.vec_a
+         |  JOIN e y ON y.vec_id = c.vec_b
+         |WHERE ROUND(${dSql("x.v", "y.v")} /
+         |    (sqrt(${dSql("x.v", "x.v")}) * sqrt(${dSql("y.v", "y.v")})), 6)
+         |  >= 0.3""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").as("v"))
       val sig = e.withColumn("bands", signBands(col("v"), hyperplanes(11)))

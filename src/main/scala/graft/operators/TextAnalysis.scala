@@ -931,44 +931,97 @@ object TextAnalysis {
           length(col("text")).as("len"), round(z, 6).as("z"))
     },
 
-    /** Sketch-based corpus report: per-language approximate distinct
-      * token count (HyperLogLog++, rsd 2%) and approximate length
-      * percentiles (the Greenwald-Khanna quantile summary behind
-      * `approx_percentile`, accuracy 10k). This is the 100 TB form of
-      * q56/q62's exact versions: exact distinct shuffles every (lang,
-      * token) pair and exact percentile sorts each group's values,
-      * while both sketches reduce each partition to a KB-sized summary
-      * that merges associatively — the shuffle is |languages| ×
-      * sketch_size regardless of corpus size. No DuckDB oracle (sketch
-      * estimates are engine-specific by construction); the spec pins
-      * each estimate against its exact counterpart (HLL within its 3σ
-      * rsd band, quantiles within the documented rank-error bound).
-      * Quantiles surface as three SCALAR columns, not an array: the
-      * driver's gate harness sorts result frames through pandas, which
-      * cannot hash an array cell (r4's one red row was exactly this). */
-    QueryDef.noOracle("q76_approx_stats") { (s, dir) =>
+    /** Sketch-based corpus report WITH its own error-bound audit:
+      * per-language approximate distinct token count (HyperLogLog++,
+      * rsd 2%) and approximate length percentiles (the Greenwald-Khanna
+      * quantile summary behind `approx_percentile`, accuracy 10k),
+      * each VERIFIED in-query against its exact counterpart — the
+      * q126/q130 sketch-calibration posture. This is the 100 TB form
+      * of q56/q62's exact versions: both sketches reduce each
+      * partition to a KB-sized summary that merges associatively; the
+      * exact sides here are the calibration harness that says how far
+      * off the sketches are (on a corpus whose vocabulary doesn't fit
+      * a shuffle, the sketch column is the one that still runs).
+      *
+      * Oracle-checked since r11 (no-oracle through r10): sketch
+      * estimates are engine-specific by construction, so the gate row
+      * carries the exact values plus DETERMINISTIC verdicts — the HLL
+      * estimate inside its 3σ rsd band (|est − exact| ≤ max(1,
+      * 0.06·exact)), each quantile estimate between the order
+      * statistics neighboring its target rank (GK rank error ≤
+      * n/10000 < 1 at gate scale, so the window is rank−1..rank+2).
+      * The oracle recomputes the exact columns and pins every verdict
+      * TRUE; a sketch regression (or a bounds-arithmetic bug) flips a
+      * boolean and the row goes red. */
+    QueryDef("q76_approx_stats",
+      """WITH tk AS (SELECT lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT token) AS BIGINT) AS vocab_exact
+        |  FROM tk GROUP BY 1),
+        |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT v.lang, d.n_docs, v.n_tokens, v.vocab_exact,
+        |  TRUE AS vocab_in_bounds, TRUE AS p50_in_bounds,
+        |  TRUE AS p90_in_bounds, TRUE AS p99_in_bounds
+        |FROM v JOIN d USING (lang)"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      // vocab sketch over the exploded token stream; length sketch over
-      // the per-DOC frame (exploding first would token-weight the
-      // quantiles) — two partial+final aggs, then a join of two
-      // |languages|-row results
+      // vocab sketch + exact over the exploded token stream (one
+      // shuffle serves both); length sketch over the per-DOC frame
+      // (exploding first would token-weight the quantiles)
       val vocab = docs
         .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
-          approx_count_distinct(col("token"), 0.02).as("approx_vocab"))
-      val lens = docs
-        .select(col("lang"), length(col("text")).as("len"))
-        .groupBy("lang")
+          countDistinct(col("token")).as("vocab_exact"),
+          approx_count_distinct(col("token"), 0.02).as("av"))
+      val lens = graft.CacheScope.persist(docs
+        .select(col("lang"), length(col("text")).as("len")))
+      val sketch = lens.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           approx_percentile(col("len"), typedlit(Seq(0.5, 0.9, 0.99)),
             lit(10000)).as("pcts"))
-      vocab.join(lens, "lang")
-        .select(col("lang"), col("n_tokens"), col("approx_vocab"),
-          col("n_docs"),
-          element_at(col("pcts"), 1).cast("double").as("approx_len_p50"),
-          element_at(col("pcts"), 2).cast("double").as("approx_len_p90"),
-          element_at(col("pcts"), 3).cast("double").as("approx_len_p99"))
+      // exact order statistics bracketing each target rank: a per-lang
+      // rank (bounded groups) filtered to the 2 needed rows per (lang,
+      // p) — never a global sort
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("len")
+      val ranked = lens.withColumn("r", row_number().over(w) - 1)
+      val targets = sketch.select(col("lang"), col("n_docs"), col("pcts"),
+          posexplode(typedlit(Seq(0.5, 0.9, 0.99))).as(Seq("pi", "p")))
+        .select(col("lang"), col("pi"),
+          element_at(col("pcts"), col("pi") + 1).cast("double").as("est"),
+          floor(col("p") * (col("n_docs") - 1)).cast("int").as("rk"),
+          col("n_docs"))
+      val bounds = targets
+        .join(ranked, Seq("lang"))
+        .filter(col("r") === greatest(col("rk") - 1, lit(0)) ||
+          col("r") === least(col("rk") + 2, col("n_docs").cast("int") - 1))
+        .groupBy("lang", "pi")
+        .agg(first("est").as("est"),
+          min("len").cast("double").as("lo"),
+          max("len").cast("double").as("hi"))
+        .groupBy("lang")
+        .agg(
+          max(when(col("pi") === 0,
+            col("est") >= col("lo") && col("est") <= col("hi")))
+            .as("p50_in_bounds"),
+          max(when(col("pi") === 1,
+            col("est") >= col("lo") && col("est") <= col("hi")))
+            .as("p90_in_bounds"),
+          max(when(col("pi") === 2,
+            col("est") >= col("lo") && col("est") <= col("hi")))
+            .as("p99_in_bounds"))
+      vocab.join(sketch.select("lang", "n_docs"), "lang")
+        .join(bounds, "lang")
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("vocab_exact"),
+          (abs(col("av") - col("vocab_exact")) <=
+            greatest(lit(1.0), lit(0.06) * col("vocab_exact")))
+            .as("vocab_in_bounds"),
+          col("p50_in_bounds"), col("p90_in_bounds"), col("p99_in_bounds"))
     },
 
     /** Collocation mining: the top-25 adjacent word pairs by pointwise

@@ -136,39 +136,53 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
-  test("q76 sketches land inside their documented error bounds") {
+  test("q76 exact columns match an in-memory recompute and every sketch " +
+      "verdict holds (the in-query bound audit agrees with this one)") {
     val dir = "/root/testdata/sf0.01"
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val exactVocab = docs
       .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
-      .groupBy("lang").agg(countDistinct("token").as("v"))
-      .as[(String, Long)].collect().toMap
+      .groupBy("lang").agg(count(lit(1)).as("nt"),
+        countDistinct("token").as("v"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
     val exactLens = docs.select(col("lang"), length(col("text")).as("len"))
       .groupBy("lang").agg(collect_list("len").as("lens"))
       .as[(String, Seq[Int])].collect().toMap
 
+    // independent sketch re-derivations (same sketch params the query
+    // uses) — the bound audit below must agree with the query's verdicts
+    val approxV = docs
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("lang").agg(approx_count_distinct(col("token"), 0.02).as("av"))
+      .as[(String, Long)].collect().toMap
+    val approxP = docs.select(col("lang"), length(col("text")).as("len"))
+      .groupBy("lang")
+      .agg(approx_percentile(col("len"), typedlit(Seq(0.5, 0.9, 0.99)),
+        lit(10000)).as("pcts"))
+      .as[(String, Seq[Double])].collect().toMap
+
     val out = graft.SparkEntry.queries("q76_approx_stats")(spark, dir)
-      .select(col("lang"), col("approx_vocab"), col("n_docs"),
-        array(col("approx_len_p50"), col("approx_len_p90"),
-          col("approx_len_p99")).as("pcts"))
-      .as[(String, Long, Long, Seq[Double])].collect()
+      .as[(String, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
     assert(out.length == exactVocab.size)
-    for ((lang, approxV, nDocs, pcts) <- out) {
-      val exact = exactVocab(lang)
-      // HLL++ rsd 0.02 → 3σ = 6% relative (generous; typical error ≪)
-      assert(math.abs(approxV - exact) <= math.max(1, 0.06 * exact),
-        s"$lang vocab: approx $approxV vs exact $exact")
+    for ((lang, nDocs, nTok, vocab, vOk, p50Ok, p90Ok, p99Ok) <- out) {
+      assert((nTok, vocab) == exactVocab(lang), s"$lang exact cols")
       val lens = exactLens(lang).sorted
       assert(nDocs == lens.length)
-      // GK accuracy 10000 → rank error ≤ n/10000 < 1 at this n: the
-      // estimate must be an EXACT order statistic neighboring the target
-      for ((p, est) <- Seq(0.5, 0.9, 0.99).zip(pcts)) {
+      // the query's verdicts must equal this spec's own bound check
+      val expVOk = math.abs(approxV(lang) - vocab) <=
+        math.max(1, 0.06 * vocab)
+      assert(vOk == expVOk, s"$lang vocab verdict")
+      val expP = Seq(0.5, 0.9, 0.99).zip(approxP(lang)).map { case (p, est) =>
         val rank = (p * (lens.length - 1)).toInt
         val lo = lens(math.max(0, rank - 1)).toDouble
         val hi = lens(math.min(lens.length - 1, rank + 2)).toDouble
-        assert(est >= lo && est <= hi,
-          s"$lang p$p: $est outside [$lo,$hi]")
+        est >= lo && est <= hi
       }
+      assert(Seq(p50Ok, p90Ok, p99Ok) == expP, s"$lang quantile verdicts")
+      // and on this corpus the sketches genuinely land in bounds
+      assert(vOk && p50Ok && p90Ok && p99Ok, s"$lang: a sketch missed")
     }
   }
 
