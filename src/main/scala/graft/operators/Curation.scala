@@ -215,6 +215,77 @@ object Curation {
           TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
+    /** q39's curated corpus with q151's QUALITY-AWARE survivors swapped
+      * in — the composition production pipelines actually ship
+      * (RefinedWeb/Dolma keep the best RENDERING of a duplicated page;
+      * q39's min-id keeps whichever copy crawled first, often the
+      * truncated or boilerplate-wrapped one). Per near-dup cluster the
+      * survivor is the argmax member by (quality, −doc_id) — q151's
+      * struct-max over the same session cluster memo — and every other
+      * member is a loser; the quality floor and content-hash split are
+      * q39's unchanged. A cluster whose best member fails the floor
+      * contributes nothing (same as q39 when its min-id survivor
+      * fails): dedup still sees low-quality duplicates, the FILTER is
+      * what drops them.
+      *
+      * Shape at 100 TB: q39's plan plus one bounded cluster-keyed
+      * argmax (map-side combinable — one struct per map partition per
+      * cluster, never member lists) and a survivor broadcast back onto
+      * the cluster table; everything is ∝ duplicate density except the
+      * quality scan q39 already pays. */
+    QueryDef("q153_quality_survivor_corpus", {
+      val split =
+        """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+          |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+          |     ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE $clusterCtes,
+         |cq AS (SELECT c.cluster_id, c.doc_id,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM clusters c JOIN documents USING (doc_id)),
+         |surv AS (SELECT cluster_id,
+         |    -((max(struct_pack(q := quality, negid := -doc_id))).negid)
+         |      AS survivor_id
+         |  FROM cq GROUP BY 1),
+         |losers AS (SELECT cq.doc_id FROM cq JOIN surv USING (cluster_id)
+         |  WHERE cq.doc_id <> surv.survivor_id)
+         |SELECT doc_id, $split AS split,
+         |  ${TextAnalysis.qualityScoreSql} AS quality
+         |FROM documents
+         |WHERE ${TextAnalysis.qualityScoreSql} >= 0.5
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+
+      // quality-aware survivors over the session cluster memo: argmax
+      // by (quality, -doc_id) per cluster (q151's rule), then losers =
+      // every clustered doc except its cluster's survivor
+      val clusters = Dedup.sharedNearDupClusters(s, dir)
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val survivors = clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max(struct(col("quality").as("q"),
+          (-col("doc_id")).as("negid"))).as("m"))
+        .select(col("cluster_id"), (-col("m.negid")).as("survivor_id"))
+      // cluster-keyed join, NOT a forced broadcast: the cluster table is
+      // duplicate-density-sized, which at 100 TB is still unbounded —
+      // AQE may still broadcast when it measures small
+      val losers = clusters.join(survivors, "cluster_id")
+        .filter(col("doc_id") =!= col("survivor_id"))
+        .select("doc_id")
+
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      kept.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
     /** Span-REMOVAL decontamination — q26 locates contaminated training
       * documents; this operator goes the step further real pipelines
       * take (the GPT-3/PaLM decontamination recipe): cut the overlapping

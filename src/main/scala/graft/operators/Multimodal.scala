@@ -43,7 +43,13 @@ object Multimodal {
     * schema a real ingest (S3 image tarballs, audio shards) would carry.
     * Formats rotate png/jpeg/wav by doc id; dimensions and sample rate
     * are embedded IN THE BYTES (and must be recovered from them). */
-  def mediaFrame(s: SparkSession, dir: String): DataFrame = {
+  def mediaFrame(s: SparkSession, dir: String): DataFrame =
+    mediaFrameOf(t(s, dir, "documents"))
+
+  /** [[mediaFrame]] over any (doc_id, text)-shaped frame — the shared
+    * synthesis path the streaming phash view reuses on CDC batches, so
+    * batch and incremental hash the IDENTICAL payload bytes. */
+  def mediaFrameOf(docs: DataFrame): DataFrame = {
     val fmt = element_at(array(lit("png"), lit("jpeg"), lit("wav")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
     val w = (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int")
@@ -77,7 +83,7 @@ object Multimodal {
       .when(fmt === "jpeg", jpegHex)
       .otherwise(wavHex)
 
-    t(s, dir, "documents").select(
+    docs.select(
       col("doc_id").as("media_id"),
       concat(unhex(headerHex), col("text").cast("binary")).as("payload"),
       struct(fmt.as("format"), w.as("width"), h.as("height")).as("meta"))

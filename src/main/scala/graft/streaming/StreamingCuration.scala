@@ -40,6 +40,21 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object StreamingCuration {
 
+  /** Which member of a near-dup cluster survives into the curated
+    * corpus. [[MinId]] is batch q39's rule (cheap — the cluster label
+    * IS the survivor, no extra reads); [[BestQuality]] is batch q153's
+    * argmax by (quality, −doc_id) — q151's policy — which needs the
+    * CURRENT quality of every member of a touched cluster, so the
+    * re-evaluation frontier widens from the touched docs to their whole
+    * clusters (bucket-pruned reads ∝ touched clusters' sizes — still
+    * never a corpus scan, and exactly the cost the policy implies: one
+    * member's quality edit can flip its whole cluster's survivor). */
+  sealed trait SurvivorPolicy
+  object SurvivorPolicy {
+    case object MinId extends SurvivorPolicy
+    case object BestQuality extends SurvivorPolicy
+  }
+
   private def pairSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("doc_a", StringType),
@@ -117,13 +132,18 @@ object StreamingCuration {
   /** Continuous curated-corpus view over a CDC `documents`-shaped source.
     * Sink documents: (id = doc_id, split, quality). Defaults match batch
     * q39: word 3-shingles, 32×2 banding, jaccard ≥ 0.8, quality ≥ 0.5,
-    * 90/5/5 content-hash split. */
+    * 90/5/5 content-hash split, min-id survivors. With
+    * `policy = BestQuality` the sink equals batch q153 instead (q151's
+    * argmax survivors); the numeric (quality, −id) tie-break casts the
+    * string CDC key to long — the q147/URL-dedup posture, ids are
+    * numeric in this corpus contract. */
   def curatedView(
       spark: SparkSession, stateDir: String,
       name: String = "curated_corpus", table: String = "documents",
       textCol: String = "text", threshold: Double = 0.8,
       minQuality: Double = 0.5, bandRows: Int = 2, nBands: Int = 32,
-      shingleN: Int = 3, buckets: Int = 32): ViewDef = {
+      shingleN: Int = 3, buckets: Int = 32,
+      policy: SurvivorPolicy = SurvivorPolicy.MinId): ViewDef = {
     val sigTable =
       new ParquetKeyedTable(spark, s"$stateDir/$name-sigs", "key", buckets)
     val bucketTable =
@@ -140,15 +160,50 @@ object StreamingCuration {
         labelTable, post, batch, ctx, table, textCol, threshold,
         bandRows, nBands, shingleN)
       val newLabels = cs.newLabels
-      val affected = batch(table).select("key")
-        .union(cs.labelDiff).distinct().persist(mem)
-      ctx.defer(affected.unpersist())
+      val affected0 = batch(table).select("key").union(cs.labelDiff)
+        .distinct()
+
+      // affected docs + this batch's loser set, by policy. MinId reads
+      // nothing extra (the cluster label IS the survivor); BestQuality
+      // widens the frontier to every member of a touched cluster and
+      // re-derives each touched cluster's argmax survivor from pruned
+      // post-state quality reads — batch q153's rule, incrementally
+      // (one member's quality edit can flip its whole cluster's
+      // survivor, so the cluster IS the retraction unit).
+      val (affected, losers) = policy match {
+        case SurvivorPolicy.MinId =>
+          val a = affected0.persist(mem)
+          ctx.defer(a.unpersist())
+          (a, newLabels.filter(col("key") =!= col("cluster_id"))
+            .select("key"))
+        case SurvivorPolicy.BestQuality =>
+          val touchedClusters = newLabels
+            .join(affected0, Seq("key"), "left_semi")
+            .select("cluster_id").distinct()
+          val touchedMembers = newLabels
+            .join(touchedClusters, Seq("cluster_id"), "left_semi")
+            .persist(mem)
+          ctx.defer(touchedMembers.unpersist())
+          val a = affected0.union(touchedMembers.select("key")).distinct()
+            .persist(mem)
+          ctx.defer(a.unpersist())
+          val q = post.rows(table, touchedMembers.select("key"))
+            .select(col("key"),
+              TextAnalysis.qualityScore(col(textCol)).as("quality"))
+          val surv = touchedMembers.join(q, "key")
+            .groupBy("cluster_id")
+            .agg(max(struct(col("quality").as("q"),
+              (-col("key").cast("long")).as("negid"))).as("m"))
+            .select(col("cluster_id"),
+              (-col("m.negid")).cast("string").as("survivor"))
+          (a, touchedMembers.join(surv, "cluster_id")
+            .filter(col("key") =!= col("survivor")).select("key"))
+      }
 
       // 3. re-evaluate ONLY the affected docs: pruned post-state text
       // reads; a doc absent from post state was deleted this batch
       val live = post.rows(table, affected)
         .select(col("key"), col(textCol).as("text"))
-      val losers = newLabels.filter(col("key") =!= col("cluster_id"))
       val bucket = pmod(
         conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
         lit(100L))

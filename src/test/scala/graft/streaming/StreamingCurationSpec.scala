@@ -115,6 +115,86 @@ class StreamingCurationSpec extends SparkSuite {
     assert(sinkDocs(sink).keySet == Set("q1", "q3"))
   }
 
+  /** Batch q153 recompute (q39 with q151's argmax survivors) over the
+    * current materialized document state. */
+  private def batchQ153(state: DataFrame): Map[String, (String, Double)] = {
+    val docs = state.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"))).as("f"))
+    val pairs = Dedup.nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.clusterPairsStar(pairs)
+    val q = docs.select(col("doc_id").as("m_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val surv = clusters.join(q, clusters("doc_id") === q("m_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality").as("q"),
+        (-col("m_id").cast("long")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).cast("string").as("sid"))
+    val losers = clusters.join(surv, "cluster_id")
+      .filter(col("doc_id") =!= col("sid")).select("doc_id")
+    val bucket = pmod(
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val out = docs
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .as[(String, String, Double)].collect()
+      .map { case (id, s, qq) => id -> (s, math.rint(qq * 1e6) / 1e6) }.toMap
+    docs.unpersist()
+    out
+  }
+
+  test("BestQuality policy == batch q153 after every batch: the argmax " +
+      "survivor wins over min-id, flips on a quality edit, and hands " +
+      "off on delete") {
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("scuration-q153")
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingCuration.curatedView(spark, stateDir,
+        policy = StreamingCuration.SurvivorPolicy.BestQuality)))
+
+    def step(batchId: Long, recs: (String, String, Long)*): Unit = {
+      pipeline.processBatch(recs.toDF("table", "value", "seq"),
+        Some(batchId))
+      assert(sinkDocs(sink) == batchQ153(pipeline.state("documents")),
+        s"batch $batchId: incremental != batch q153 recompute")
+    }
+
+    // textHQ: one mid-word swapped for a 4th stopword — same cluster as
+    // textA (1-word edit, jaccard ≈ 0.85) but quality 0.7 vs 0.575
+    val textHQ = {
+      val w = qwords("a").toArray; w(20) = "the"; w.mkString(" ")
+    }
+
+    // the HIGHER-quality doc has the HIGHER id: min-id policy would
+    // keep 21, the argmax policy must keep 22
+    step(0, create("21", textA), create("22", textHQ), create("30", textB))
+    assert(sinkDocs(sink).keySet == Set("22", "30"),
+      "argmax survivor (the better rendering) must win over min-id")
+
+    // a quality EDIT on the survivor — no cluster change — flips the
+    // survivorship: 22 degrades to 21's quality, the (quality, -id)
+    // tie-break now elects 21
+    step(1, update("22", textHQ, textA2))
+    assert(sinkDocs(sink).keySet == Set("21", "30"),
+      "quality-edit CDC event must flip the cluster's survivor")
+
+    // deleting the survivor hands off to the remaining member
+    step(2, delete("21", textA))
+    assert(sinkDocs(sink).keySet == Set("22", "30"))
+
+    // replay idempotence on the widened-frontier path
+    val b2 = Seq(delete("21", textA)).toDF("table", "value", "seq")
+    pipeline.processBatch(b2, Some(2L))
+    assert(sinkDocs(sink) == batchQ153(pipeline.state("documents")))
+  }
+
   test("language-mix view retracts deletes and tracks reclassifying updates") {
     val sink = new InMemoryUpsertSink
     val stateDir = tmpDir("scuration-lang")
