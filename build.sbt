@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Derby (JdbcSpec's embedded server) writes its log relative to CWD;
+  // route it under target/ so `git status` stays clean for the driver's
+  // artifact diffing (r10 VERDICT #9)
+  "-Dderby.stream.error.file=target/derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

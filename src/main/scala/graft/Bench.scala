@@ -32,7 +32,15 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query memo ledger (r10 VERDICT #5): hit/miss deltas of the
+    // session build memos around each TIMED run. After the warm-up pass
+    // every memo is built, so a timed-pass MISS means a rebuild was
+    // billed to that query's wall-clock — scatter with a memo-pressure
+    // signature becomes attributable instead of argued.
+    val memoLedger =
+      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, (Long, Long)]]
     val results = names.map { name =>
+      val memo0 = BuildMetrics.memoSnapshot
       val t0 = System.nanoTime()
       val sec =
         try {
@@ -43,6 +51,11 @@ object Bench {
             errors(name) = e.toString.linesIterator.next().take(200)
             -1.0
         } finally CacheScope.drainWithCheckpoints(spark) // outside the next query's timing
+      val delta = BuildMetrics.memoSnapshot.flatMap { case (k, (h, m)) =>
+        val (h0, m0) = memo0.getOrElse(k, (0L, 0L))
+        if (h > h0 || m > m0) Some(k -> ((h - h0, m - m0))) else None
+      }
+      if (delta.nonEmpty) memoLedger(name) = delta
       name -> sec
     }
 
@@ -77,8 +90,19 @@ object Bench {
     val build = BuildMetrics.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
       .mkString("{", ",", "}")
+    // per-query "<name>:<hits>h<misses>m" memo rows; timed-pass misses
+    // also surface flat in "memo_misses" so a reader can grep one key.
+    // Placed EARLY in the line: the driver keeps only the LAST ~2000
+    // chars, which must stay reserved for the expensive query rows
+    // (the r6 ordering fix); the full record lands in BENCH_full.json.
+    val memoJson = memoLedger.map { case (q, d) =>
+      s"${jstr(q)}:${jstr(d.toSeq.sortBy(_._1)
+        .map { case (k, (h, m)) => s"$k:${h}h${m}m" }.mkString(","))}"
+    }.mkString("{", ",", "}")
+    val missTotal = memoLedger.valuesIterator.flatMap(_.valuesIterator)
+      .map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"errors":$es,"failed":${errors.size},"r1_subset_total":$r1Total,"n_queries":${results.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timed_pass_memo_misses":$missTotal,"memo":$memoJson,"queries":$qs,"build":$build,"errors":$es,"failed":${errors.size},"r1_subset_total":$r1Total,"n_queries":${results.size},"sf":${jstr(sfDir)}}"""
     println(line)
     // durable full per-query record, committed with the repo: the
     // driver's BENCH_r{N}.json truncates this line, so the complete map

@@ -19,6 +19,10 @@ package graft
   */
 object BuildMetrics {
   private val secs = scala.collection.concurrent.TrieMap.empty[String, Double]
+  private val memoHits =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val memoMisses =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Run `body`, billing its wall-clock to `name`. */
   def timed[T](name: String)(body: => T): T = {
@@ -30,5 +34,34 @@ object BuildMetrics {
     }
   }
 
+  /** `getOrElseUpdate` with hit/miss ACCOUNTING under `name` — a miss
+    * also bills its build wall-clock to `name` via [[timed]]. The
+    * counters feed Bench's per-query `"memo"` ledger (r10 VERDICT #5:
+    * with 150+ queries sharing session memos, run-to-run scatter needs
+    * to be attributable — a memo MISS inside the timed pass means a
+    * rebuild was billed to that query's wall-clock, which is a finding,
+    * not noise). */
+  def memo[K, V](map: scala.collection.concurrent.TrieMap[K, V], key: K,
+      name: String)(build: => V): V =
+    map.get(key) match {
+      case Some(v) =>
+        memoHits.updateWith(name)(p => Some(p.getOrElse(0L) + 1)); v
+      case None =>
+        // getOrElseUpdate for atomicity; the thunk may lose a race and
+        // not run, so accounting keys off whether OUR thunk executed
+        var built = false
+        val v = map.getOrElseUpdate(key, { built = true; timed(name)(build) })
+        val ctr = if (built) memoMisses else memoHits
+        ctr.updateWith(name)(p => Some(p.getOrElse(0L) + 1))
+        v
+    }
+
   def snapshot: Map[String, Double] = secs.toMap
+
+  /** (hits, misses) per memo name, cumulative across the JVM. */
+  def memoSnapshot: Map[String, (Long, Long)] = {
+    val names = memoHits.keySet ++ memoMisses.keySet
+    names.map(n => n ->
+      ((memoHits.getOrElse(n, 0L), memoMisses.getOrElse(n, 0L)))).toMap
+  }
 }

@@ -120,9 +120,9 @@ object Bpe {
   private val trained =
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Merge]]
   private[operators] def trainedMerges(s: SparkSession, dir: String): Seq[Merge] =
-    trained.getOrElseUpdate((graft.SessionMemo.key(s), dir),
-      graft.BuildMetrics.timed("bpe_merges")(
-        train(wordFreqs(t(s, dir, "documents")), nMerges = 10)))
+    graft.BuildMetrics.memo(trained,
+      (graft.SessionMemo.key(s), dir), "bpe_merges")(
+      train(wordFreqs(t(s, dir, "documents")), nMerges = 10))
 
   /** DuckDB replica of [[train]]'s ten merge rounds — closing two of the
     * r5 no-oracle rows (VERDICT #5): the trainer is deterministic string

@@ -303,9 +303,8 @@ object Dedup {
 
   private[graft] def sharedShingleFrame(s: SparkSession, dir: String,
       features: String = "word3"): DataFrame = {
-    val path = shingleFrames.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir, features),
-      graft.BuildMetrics.timed(s"shingle_frame_$features") {
+    val path = graft.BuildMetrics.memo(shingleFrames,
+      (graft.SessionMemo.key(s), dir, features), s"shingle_frame_$features") {
         val p = graft.SessionMemo.tempDir("graft-shingle-frame")
         val feat =
           if (features == "char5") graft.functions.NGrams.charGrams(col("text"), 5)
@@ -314,7 +313,7 @@ object Dedup {
           .select(col("doc_id"), explode(feat).as("f"))
           .write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 
@@ -346,9 +345,8 @@ object Dedup {
     * duplicates-sized parquet. */
   private[graft] def sharedWindowFrame(s: SparkSession, dir: String,
       n: Int = 50): DataFrame = {
-    val path = windowFrames.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir, n),
-      graft.BuildMetrics.timed(s"window_frame_$n") {
+    val path = graft.BuildMetrics.memo(windowFrames,
+      (graft.SessionMemo.key(s), dir, n), s"window_frame_$n") {
         val p = graft.SessionMemo.tempDir("graft-window-frame")
         // the frame explodes to one row per corpus CHARACTER, so it is
         // exploded TWICE from the (small, persisted) document set rather
@@ -367,7 +365,7 @@ object Dedup {
         explode0.join(dup, "g").select("doc_id", "i", "g")
           .write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 
@@ -380,9 +378,8 @@ object Dedup {
   private[graft] def sharedNearDupPairs(s: SparkSession, dir: String,
       threshold: Double = 0.8, bandRows: Int = 2,
       nBands: Int = 32, features: String = "word3"): DataFrame = {
-    val path = pairTables.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir, threshold, bandRows, nBands, features),
-      graft.BuildMetrics.timed(s"neardup_pair_table_$features") {
+    val path = graft.BuildMetrics.memo(pairTables,
+      (graft.SessionMemo.key(s), dir, threshold, bandRows, nBands, features), s"neardup_pair_table_$features") {
         val p = graft.SessionMemo.tempDir("graft-neardup-pairs")
         // the exploded frame comes from the session feature-frame memo:
         // the signature AND verify branches inside this build (and q22/
@@ -394,7 +391,7 @@ object Dedup {
           threshold, bandRows, nBands)
           .write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 
@@ -409,15 +406,14 @@ object Dedup {
   private[graft] def sharedNearDupClusters(s: SparkSession, dir: String,
       threshold: Double = 0.8, bandRows: Int = 2,
       nBands: Int = 32): DataFrame = {
-    val path = clusterTables.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir, threshold, bandRows, nBands),
-      graft.BuildMetrics.timed("neardup_cluster_table") {
+    val path = graft.BuildMetrics.memo(clusterTables,
+      (graft.SessionMemo.key(s), dir, threshold, bandRows, nBands), "neardup_cluster_table") {
         val p = graft.SessionMemo.tempDir("graft-neardup-clusters")
         val pairs = sharedNearDupPairs(s, dir, threshold, bandRows, nBands)
           .select("doc_a", "doc_b")
         clusterPairsStar(pairs).write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 
@@ -436,9 +432,8 @@ object Dedup {
 
   private[graft] def sharedMd5Signatures(s: SparkSession,
       dir: String): DataFrame = {
-    val path = md5SigTables.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir),
-      graft.BuildMetrics.timed("md5_sigs") {
+    val path = graft.BuildMetrics.memo(md5SigTables,
+      (graft.SessionMemo.key(s), dir), "md5_sigs") {
         val p = graft.SessionMemo.tempDir("graft-md5-sigs")
         sharedShingleFrame(s, dir, "word3")
           .groupBy("doc_id")
@@ -446,7 +441,7 @@ object Dedup {
             .as("sig"))
           .write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 

@@ -68,8 +68,8 @@ object KMeans {
     scala.collection.concurrent.TrieMap.empty[(String, String), Model]
   private def fittedModel(s: SparkSession, dir: String,
       vectors: DataFrame): Model =
-    fitted.getOrElseUpdate((graft.SessionMemo.key(s), dir),
-      graft.BuildMetrics.timed("kmeans_model") {
+    graft.BuildMetrics.memo(fitted,
+      (graft.SessionMemo.key(s), dir), "kmeans_model") {
         // k ∝ n (SemDeDup trains k proportional to the corpus), floor 8:
         // with FIXED k a 100× corpus gives 100× cluster sizes → 10,000×
         // within-cluster pairs in q101 (r6 VERDICT #3). At the gate
@@ -92,7 +92,7 @@ object KMeans {
             "replicate k=8 and would mismatch at this size — regenerate " +
             "them if an oracle comparison is intended")
         fit(vectors, k = k, maxIters = 5)
-      })
+      }
 
   /** k for the shared corpus model: ⌈n / targetPerCluster⌉ with a floor
     * — expected cluster size stays ≤ `targetPerCluster` as the corpus

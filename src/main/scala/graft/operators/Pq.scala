@@ -242,12 +242,12 @@ object Pq {
   private val fitted =
     scala.collection.concurrent.TrieMap.empty[(String, String), Model]
   private[operators] def fittedModel(s: SparkSession, dir: String): Model =
-    fitted.getOrElseUpdate((graft.SessionMemo.key(s), dir),
-        graft.BuildMetrics.timed("pq_codebooks") {
+    graft.BuildMetrics.memo(fitted,
+        (graft.SessionMemo.key(s), dir), "pq_codebooks") {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       fit(e, m = 16, k = 16, maxIters = 5)
-    })
+    }
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
@@ -448,14 +448,14 @@ object Pq {
   private val flatCodesPaths =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[operators] def pqCodesPath(s: SparkSession, dir: String): String =
-    flatCodesPaths.getOrElseUpdate((graft.SessionMemo.key(s), dir),
-        graft.BuildMetrics.timed("pq_codes") {
+    graft.BuildMetrics.memo(flatCodesPaths,
+        (graft.SessionMemo.key(s), dir), "pq_codes") {
       val path = graft.SessionMemo.tempDir("graft-pq-codes")
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       encode(fittedModel(s, dir), e).write.mode("overwrite").parquet(path)
       path
-    })
+    }
 
   /** Session-scoped train-once PQ-codes layout for q99: the corpus
     * encoded to m codes/vector, hive-partitioned by the same cell
@@ -463,8 +463,8 @@ object Pq {
   private val codesPaths =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[operators] def ivfPqCodesPath(s: SparkSession, dir: String): String =
-    codesPaths.getOrElseUpdate((graft.SessionMemo.key(s), dir),
-        graft.BuildMetrics.timed("ivfpq_codes") {
+    graft.BuildMetrics.memo(codesPaths,
+        (graft.SessionMemo.key(s), dir), "ivfpq_codes") {
       val path = graft.SessionMemo.tempDir("graft-ivfpq-codes")
       val model = fittedModel(s, dir)
       val e = t(s, dir, "embeddings")
@@ -472,7 +472,7 @@ object Pq {
         .join(e.select("vec_id", "label"), "vec_id")
         .write.mode("overwrite").partitionBy("label").parquet(path)
       path
-    })
+    }
 
   /** Routed IVF-PQ search (see q99). `shortlist` multiplies topK to set
     * ADC shortlist depth; probes = the first 5 corpus vectors. */

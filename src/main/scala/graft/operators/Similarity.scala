@@ -746,8 +746,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private[operators] def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexes.getOrElseUpdate((graft.SessionMemo.key(s), dir),
-        graft.BuildMetrics.timed("ivf_index") {
+    graft.BuildMetrics.memo(ivfIndexes,
+        (graft.SessionMemo.key(s), dir), "ivf_index") {
       val path = graft.SessionMemo.tempDir("graft-ivf-index")
       val e = t(s, dir, "embeddings")
       e.select(col("label"), posexplode(col("embedding")))
@@ -761,5 +761,5 @@ object Similarity {
       e.write.mode("overwrite").partitionBy("label")
         .parquet(s"$path/cells")
       path
-    })
+    }
 }

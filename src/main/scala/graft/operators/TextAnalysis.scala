@@ -76,9 +76,8 @@ object TextAnalysis {
   private val gramTables =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[operators] def sharedDocGrams(s: SparkSession, dir: String): DataFrame = {
-    val path = gramTables.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir),
-      graft.BuildMetrics.timed("word5_grams") {
+    val path = graft.BuildMetrics.memo(gramTables,
+      (graft.SessionMemo.key(s), dir), "word5_grams") {
         val p = graft.SessionMemo.tempDir("graft-doc-grams")
         val bucket = pmod(
           conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
@@ -89,7 +88,7 @@ object TextAnalysis {
               .as("g"))
           .write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 
@@ -107,14 +106,13 @@ object TextAnalysis {
   private val lmTables =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sharedLmScores(s: SparkSession, dir: String): DataFrame = {
-    val path = lmTables.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir),
-      graft.BuildMetrics.timed("lm_scores") {
+    val path = graft.BuildMetrics.memo(lmTables,
+      (graft.SessionMemo.key(s), dir), "lm_scores") {
         val p = graft.SessionMemo.tempDir("graft-lm-scores")
         lmScoresOf(t(s, dir, "documents").select("doc_id", "text"))
           .write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 
@@ -265,13 +263,12 @@ object TextAnalysis {
     * (doc_id, score, hi). */
   private[operators] def classifierScores(
       s: SparkSession, dir: String): DataFrame = {
-    val path = clsTables.getOrElseUpdate(
-      (graft.SessionMemo.key(s), dir),
-      graft.BuildMetrics.timed("classifier_scores") {
+    val path = graft.BuildMetrics.memo(clsTables,
+      (graft.SessionMemo.key(s), dir), "classifier_scores") {
         val p = graft.SessionMemo.tempDir("graft-cls-scores")
         classifierScoresBuild(s, dir).write.mode("overwrite").parquet(p)
         p
-      })
+      }
     s.read.parquet(path)
   }
 

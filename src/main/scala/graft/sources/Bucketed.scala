@@ -31,7 +31,8 @@ object Bucketed {
   def table(s: SparkSession, dir: String, name: String, key: String,
       numBuckets: Int = 16): DataFrame = {
     val sessionKey = (graft.SessionMemo.key(s), dir, name, key, numBuckets)
-    val tbl = done.getOrElseUpdate(sessionKey, synchronized {
+    val tbl = graft.BuildMetrics.memo(done, sessionKey,
+      s"bucketed_$name")(synchronized {
       val safe = s"${key}_$numBuckets${dir}".replaceAll("[^A-Za-z0-9]", "_")
       val t = s"${name}_bucketed_$safe"
       if (!s.catalog.tableExists(t)) {
