@@ -129,6 +129,53 @@ object StreamingCuration {
     ClusterState(newLabels, labelDiff)
   }
 
+  /** This batch's affected-doc frontier and near-dup loser set under
+    * `policy`, shared by [[curatedView]] and
+    * [[StreamingPipelineCorpus]]. MinId reads nothing extra (the
+    * cluster label IS the survivor); BestQuality widens the frontier
+    * to every member of a cluster touched by `affected0` and
+    * re-derives each touched cluster's argmax survivor — batch q153's
+    * (quality, −id) rule — from pruned post-state quality reads (one
+    * member's quality edit can flip its whole cluster's survivor, so
+    * the cluster is the retraction unit). Returns (affected frontier
+    * incl. the widened members — persisted, unpersist deferred on
+    * `ctx` — , loser keys). */
+  private[streaming] def survivorLosers(
+      policy: SurvivorPolicy, newLabels: DataFrame, affected0: DataFrame,
+      post: StateAccess, table: String, textCol: String,
+      ctx: BatchCtx): (DataFrame, DataFrame) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    policy match {
+      case SurvivorPolicy.MinId =>
+        val a = affected0.persist(mem)
+        ctx.defer(a.unpersist())
+        (a, newLabels.filter(col("key") =!= col("cluster_id"))
+          .select("key"))
+      case SurvivorPolicy.BestQuality =>
+        val touchedClusters = newLabels
+          .join(affected0, Seq("key"), "left_semi")
+          .select("cluster_id").distinct()
+        val touchedMembers = newLabels
+          .join(touchedClusters, Seq("cluster_id"), "left_semi")
+          .persist(mem)
+        ctx.defer(touchedMembers.unpersist())
+        val a = affected0.union(touchedMembers.select("key")).distinct()
+          .persist(mem)
+        ctx.defer(a.unpersist())
+        val q = post.rows(table, touchedMembers.select("key"))
+          .select(col("key"),
+            TextAnalysis.qualityScore(col(textCol)).as("quality"))
+        val surv = touchedMembers.join(q, "key")
+          .groupBy("cluster_id")
+          .agg(max(struct(col("quality").as("q"),
+            (-col("key").cast("long")).as("negid"))).as("m"))
+          .select(col("cluster_id"),
+            (-col("m.negid")).cast("string").as("survivor"))
+        (a, touchedMembers.join(surv, "cluster_id")
+          .filter(col("key") =!= col("survivor")).select("key"))
+    }
+  }
+
   /** Continuous curated-corpus view over a CDC `documents`-shaped source.
     * Sink documents: (id = doc_id, split, quality). Defaults match batch
     * q39: word 3-shingles, 32×2 banding, jaccard ≥ 0.8, quality ≥ 0.5,
@@ -162,43 +209,8 @@ object StreamingCuration {
       val newLabels = cs.newLabels
       val affected0 = batch(table).select("key").union(cs.labelDiff)
         .distinct()
-
-      // affected docs + this batch's loser set, by policy. MinId reads
-      // nothing extra (the cluster label IS the survivor); BestQuality
-      // widens the frontier to every member of a touched cluster and
-      // re-derives each touched cluster's argmax survivor from pruned
-      // post-state quality reads — batch q153's rule, incrementally
-      // (one member's quality edit can flip its whole cluster's
-      // survivor, so the cluster IS the retraction unit).
-      val (affected, losers) = policy match {
-        case SurvivorPolicy.MinId =>
-          val a = affected0.persist(mem)
-          ctx.defer(a.unpersist())
-          (a, newLabels.filter(col("key") =!= col("cluster_id"))
-            .select("key"))
-        case SurvivorPolicy.BestQuality =>
-          val touchedClusters = newLabels
-            .join(affected0, Seq("key"), "left_semi")
-            .select("cluster_id").distinct()
-          val touchedMembers = newLabels
-            .join(touchedClusters, Seq("cluster_id"), "left_semi")
-            .persist(mem)
-          ctx.defer(touchedMembers.unpersist())
-          val a = affected0.union(touchedMembers.select("key")).distinct()
-            .persist(mem)
-          ctx.defer(a.unpersist())
-          val q = post.rows(table, touchedMembers.select("key"))
-            .select(col("key"),
-              TextAnalysis.qualityScore(col(textCol)).as("quality"))
-          val surv = touchedMembers.join(q, "key")
-            .groupBy("cluster_id")
-            .agg(max(struct(col("quality").as("q"),
-              (-col("key").cast("long")).as("negid"))).as("m"))
-            .select(col("cluster_id"),
-              (-col("m.negid")).cast("string").as("survivor"))
-          (a, touchedMembers.join(surv, "cluster_id")
-            .filter(col("key") =!= col("survivor")).select("key"))
-      }
+      val (affected, losers) = survivorLosers(policy, newLabels,
+        affected0, post, table, textCol, ctx)
 
       // 3. re-evaluate ONLY the affected docs: pruned post-state text
       // reads; a doc absent from post state was deleted this batch

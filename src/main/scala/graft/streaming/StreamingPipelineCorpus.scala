@@ -57,7 +57,11 @@ object StreamingPipelineCorpus {
     * source with a source column. Sink documents: id = source|rk,
     * fields (source, doc_id, quality, rk, clean_sig). Defaults match
     * batch q115: word 3-shingles ≥ 0.8 for near-dup, word 5-grams for
-    * decon, top 10 per source by quality. */
+    * decon, top 10 per source by quality, min-id near-dup survivors.
+    * `policy = BestQuality` swaps in q153's argmax survivor rule at
+    * the near-dup stage (the composed form of the curatedView policy —
+    * the affected frontier widens by the touched clusters' members,
+    * exactly [[StreamingCuration.survivorLosers]]'s contract). */
   def pipelineView(
       spark: SparkSession, stateDir: String,
       name: String = "pipeline_corpus", table: String = "documents",
@@ -65,7 +69,9 @@ object StreamingPipelineCorpus {
       capN: Int = 10, threshold: Double = 0.8,
       bandRows: Int = 2, nBands: Int = 32, shingleN: Int = 3,
       gramN: Int = 5, ledgerShards: Int = 16,
-      buckets: Int = 32): ViewDef = {
+      buckets: Int = 32,
+      policy: StreamingCuration.SurvivorPolicy =
+        StreamingCuration.SurvivorPolicy.MinId): ViewDef = {
     val sigTable =
       new ParquetKeyedTable(spark, s"$stateDir/$name-sigs", "key", buckets)
     val bucketTable =
@@ -100,13 +106,16 @@ object StreamingPipelineCorpus {
       val gs = StreamingDecontamination.maintainGramState(
         hTable, tTable, pre, post, touched, ctx, table, textCol, gramN)
 
-      // every doc whose pipeline verdict can have changed this batch
-      val affected = touched
+      // every doc whose pipeline verdict can have changed this batch;
+      // under BestQuality the near-dup stage additionally pulls in the
+      // touched clusters' members (survivorLosers' widened frontier)
+      val affected0 = touched
         .union(cs.labelDiff)
         .union(fs.affectedMembers)
         .union(gs.transHolders)
-        .distinct().persist(mem)
-      ctx.defer(affected.unpersist())
+        .distinct()
+      val (affected, nearLosers) = StreamingCuration.survivorLosers(
+        policy, cs.newLabels, affected0, post, table, textCol, ctx)
 
       // eligibility of the affected docs from post state: train split ∧
       // Gopher keep ∧ exact survivor ∧ near-dup survivor ∧ clean
@@ -122,8 +131,6 @@ object StreamingPipelineCorpus {
           live.select(col("key"), col("text")), col("key"))
         .filter(col("keep")).select("key")
       val exactLosers = fs.losersAmong(affected)
-      val nearLosers = cs.newLabels
-        .filter(col("key") =!= col("cluster_id")).select("key")
       val contaminated = gs.sharedCounts(affected)
         .select(col("id").as("key"))
       val eligible = live.filter(bucket < 90)

@@ -460,6 +460,36 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q153: quality-aware survivors are a map-side-combinable " +
+      "cluster-keyed argmax plus anti-joins — no window, no per-cluster " +
+      "sort, no cartesian") {
+    val p = plan("q153_quality_survivor_corpus")
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q41/q24: sign-LSH candidates come from a band-keyed equi-join, " +
+      "never an all-pairs product — the plan IS the point at 100 TB") {
+    Seq("q41_ann_lsh_topk", "q24_embedding_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(p.contains("Join"), s"$q: $p") // the band bucket join
+    }
+  }
+
+  test("q76: quantile brackets rank inside lang partitions over the " +
+      "bounded per-doc length frame; the sketch aggregates partially " +
+      "combine map-side") {
+    val p = plan("q76_approx_stats")
+    assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_approx_count_distinct") ||
+      p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q146: bloom prefilter culls train grams BELOW the gram-join " +
       "exchange; values equal plain q26 (false positives never reach " +
       "the result)") {

@@ -33,6 +33,8 @@ class StreamingPipelineCorpusSpec extends SparkSuite {
     s"""{"doc_id":"$id","text":"$text","source":"$src"}"""
   private def create(id: String, text: String, src: String) =
     rec(s"""{"before":null,"after":${img(id, text, src)},"op":"c","ts_ms":$seqNo}""")
+  private def update(id: String, o: String, n: String, src: String) =
+    rec(s"""{"before":${img(id, o, src)},"after":${img(id, n, src)},"op":"u","ts_ms":$seqNo}""")
   private def delete(id: String, text: String, src: String) =
     rec(s"""{"before":${img(id, text, src)},"after":null,"op":"d","ts_ms":$seqNo}""")
 
@@ -58,8 +60,12 @@ class StreamingPipelineCorpusSpec extends SparkSuite {
   private def train(prefix: String, n: Int = 56): String =
     mkText(prefix, n, _ < 90)
 
-  /** Batch q115 recompute (string keys) over the materialized state. */
-  private def batchRecompute(state: DataFrame)
+  /** Batch q115 recompute (string keys) over the materialized state;
+    * `bestQuality = true` swaps in q153's argmax survivor rule at the
+    * near-dup stage (numeric-id tie-break — the policy's documented
+    * contract). */
+  private def batchRecompute(state: DataFrame,
+      bestQuality: Boolean = false)
       : Set[(String, String, Double, Long, String)] = {
     val docs = state.select(col("doc_id"), col("text"), col("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -77,8 +83,23 @@ class StreamingPipelineCorpusSpec extends SparkSuite {
       explode(Dedup.shingles(col("text"))).as("f"))
     val pairs = Dedup.nearDupPairs(exploded, 0.8, bandRows = 2, nBands = 32)
       .select("doc_a", "doc_b")
-    val nearLosers = Dedup.clusterPairsStar(pairs)
-      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val clusters = Dedup.clusterPairsStar(pairs)
+    val nearLosers =
+      if (!bestQuality)
+        clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+      else {
+        val q = docs.select(col("doc_id").as("m_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val surv = clusters.join(q, clusters("doc_id") === q("m_id"))
+          .groupBy("cluster_id")
+          .agg(max(struct(col("quality").as("q"),
+            (-col("m_id").cast("long")).as("negid"))).as("m"))
+          .select(col("cluster_id"),
+            (-col("m.negid")).cast("string").as("sid"))
+        clusters.join(surv, "cluster_id")
+          .filter(col("doc_id") =!= col("sid")).select("doc_id")
+      }
     val grams = docs.select(col("doc_id"), bucket.as("b"),
       explode(graft.functions.NGrams.wordShingles(col("text"), 5)).as("g"))
     val hold = grams.filter(col("b") >= 90).select("g").distinct()
@@ -184,6 +205,53 @@ class StreamingPipelineCorpusSpec extends SparkSuite {
     // degradation: the top doc leaves; the displaced rank re-fills
     step(5, delete("tF", textC, "s1"))
     assert(sinkRows(sink).count(_._1 == "s1") == capN)
+  }
+
+  test("BestQuality policy: composed sink == batch q115-with-argmax " +
+      "recompute; the better rendering survives and a quality edit " +
+      "flips the survivor") {
+    // a near-dup of textA with one filler swapped for a 4th stopword:
+    // HIGHER quality than textA, id chosen HIGHER, bucket tuned train
+    val textAhq = (30 until 50).iterator.map { i =>
+      val w = textA.split(" "); w(i) = "the"; w.mkString(" ")
+    }.find(t => bucketOf(t) < 90).get
+
+    val sink = new InMemoryUpsertSink
+    val stateDir = tmpDir("spipeline-q153")
+    val pipeline = new CdcPipeline(spark, sources, stateDir, sink,
+      Seq(StreamingPipelineCorpus.pipelineView(spark, stateDir,
+        capN = capN,
+        policy = StreamingCuration.SurvivorPolicy.BestQuality)))
+
+    def step(batchId: Long, recs: (String, String, Long)*): Unit = {
+      pipeline.processBatch(recs.toDF("table", "value", "seq"),
+        Some(batchId))
+      assert(sinkRows(sink) ==
+        batchRecompute(pipeline.state("documents"), bestQuality = true),
+        s"batch $batchId: incremental != argmax-q115 recompute")
+    }
+
+    // numeric ids (the policy's tie-break contract): the HIGHER-quality
+    // near-dup has the HIGHER id — min-id would keep 101, argmax keeps 102
+    step(0, create("101", textA, "s1"), create("102", textAhq, "s1"),
+      create("201", textD, "s2"))
+    val ids0 = sinkRows(sink).map(_._2)
+    assert(ids0.contains("102") && !ids0.contains("101"),
+      "argmax survivor must beat min-id in the composed pipeline")
+
+    // a pure quality edit on the survivor (same cluster, quality drops
+    // to 101's level) flips survivorship to the lower id
+    step(1, update("102", textAhq, textA2, "s1"))
+    val ids1 = sinkRows(sink).map(_._2)
+    assert(ids1.contains("101") && !ids1.contains("102"),
+      "quality-edit CDC event must flip the composed survivor")
+
+    // replay idempotence on the widened-frontier path
+    val b1 = Seq(update("102", textAhq, textA2, "s1"))
+      .toDF("table", "value", "seq")
+    pipeline.processBatch(b1, Some(1L))
+    assert(sinkRows(sink) ==
+      batchRecompute(pipeline.state("documents"), bestQuality = true))
   }
 
   test("property: random changelogs keep the sink == batch q115 at " +
