@@ -30,5 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // route it under target/ so `git status` stays clean for the driver's
   // artifact diffing (r10 VERDICT #9)
   "-Dderby.stream.error.file=target/derby.log",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: the composed-pipeline streaming suite's replay test sat
+  // at the 8g broadcast-memory edge and failed intermittently with
+  // "Not enough memory to build and broadcast" (driver-heap accumulation
+  // across a suite JVM's many micro-batch broadcasts; host has 125G)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

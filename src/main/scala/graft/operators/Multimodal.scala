@@ -375,25 +375,108 @@ object Multimodal {
         |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
-      val hashes = graft.CacheScope.persist(
-        perceptualHashes(mediaFrame(s, dir)).filter(col("data_len") >= 32)
-          .select("media_id", "phash"))
-      val banded = hashes.select(col("media_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bv", expr("shiftright(phash, band * 8) & 255"))
-      val a = banded.select(col("media_id").as("media_a"),
-        col("phash").as("ha"), col("band"), col("bv"))
-      val b = banded.select(col("media_id").as("media_b"),
-        col("phash").as("hb"), col("band"), col("bv"))
-      a.join(b, Seq("band", "bv"))
-        .filter(col("media_a") < col("media_b"))
-        .select("media_a", "media_b", "ha", "hb").distinct()
-        .withColumn("hamming",
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("media_a", "media_b", "hamming")
+      phashPairs(s, dir)
+    },
+
+    /** Media dedup CLUSTERS with a best-RENDERING survivor — the step
+      * LAION-style image dedup actually ships after pair detection:
+      * connected components over the q125 Hamming graph (two crawls of
+      * the same image at different sizes/containers are one asset),
+      * then per cluster keep the copy with the most PIXELS (ties → the
+      * lower id; non-image members carry 0 pixels, so an image
+      * rendering always beats an audio container of the same bytes) —
+      * the visual analogue of q151/q153's keep-best-rendering rule,
+      * with resolution as the quality signal. Pixel counts come from
+      * the REAL byte parse ([[decodeHeader]] — the q50 contract: a
+      * parse that doesn't invert the container bytes fails here too);
+      * the oracle re-derives them from the generator formulas and the
+      * clusters from an all-pairs recursive closure.
+      *
+      * Shape at 100 TB: pairs from the banded join (∝ collisions,
+      * never all-pairs), star contraction ∝ the duplicate-density-
+      * sized pair graph (q36's machinery), and the survivor argmax is
+      * a map-side-combinable cluster-keyed struct-max — one struct per
+      * map partition per cluster, never member lists. */
+    QueryDef("q154_media_dedup_clusters",
+      """WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS L
+        |    FROM documents WHERE length(text) >= 32),
+        |ch AS (SELECT doc_id, L, CAST(u.p AS INT) AS p,
+        |    unicode(substr(text, CAST(u.p AS INT) + 1, 1)) AS c
+        |  FROM d, unnest(range(L)) AS u(p)),
+        |blk AS (SELECT doc_id, L, (p * 32) // L AS k,
+        |    sum(c) AS s, count(*) AS n FROM ch GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(s) AS st FROM blk GROUP BY 1),
+        |bits AS (SELECT b.doc_id,
+        |    CAST(sum(CASE WHEN b.s * b.L > t.st * b.n
+        |        THEN (CAST(1 AS BIGINT) << CAST(b.k AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS h
+        |  FROM blk b JOIN tot t USING (doc_id) GROUP BY 1),
+        |p AS (SELECT a.doc_id AS ma, b.doc_id AS mb
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |edges AS (SELECT ma AS u, mb AS v FROM p
+        |  UNION SELECT mb, ma FROM p
+        |  UNION SELECT ma, ma FROM p
+        |  UNION SELECT mb, mb FROM p),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (SELECT u AS media_id, min(v) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |px AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 < 2
+        |      THEN ((doc_id % 64) * 16 + 16) * ((doc_id % 48) * 16 + 16)
+        |      ELSE 0 END AS px
+        |  FROM documents)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  -((max(struct_pack(px := px.px, negid := -cl.media_id))).negid)
+        |    AS survivor_id,
+        |  CAST((max(struct_pack(px := px.px, negid := -cl.media_id))).px
+        |    AS BIGINT) AS survivor_pixels
+        |FROM cl JOIN px USING (media_id) GROUP BY 1"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      val pairs = phashPairs(s, dir)
+      val clusters = Dedup.clusterPairsStar(
+        pairs.select(col("media_a").as("doc_a"),
+          col("media_b").as("doc_b")))
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+      // pixels from the REAL header parse; audio carries 0 (an image
+      // rendering of the same content always wins)
+      val px = decodeMeta(mediaFrame(s, dir))
+        .select(col("media_id"),
+          when(col("format").isin("png", "jpeg"),
+            (col("width").cast("long") * col("height")))
+            .otherwise(lit(0L)).as("px"))
+      clusters.join(px, "media_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("px"), (-col("media_id")).as("negid"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("m.negid")).as("survivor_id"),
+          col("m.px").as("survivor_pixels"))
     }
   )
+
+  /** q125's verified Hamming-≤3 pairs (media_a < media_b, hamming) —
+    * the banded-join path shared by q125 and q154's cluster rollup. */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.CacheScope.persist(
+      perceptualHashes(mediaFrame(s, dir)).filter(col("data_len") >= 32)
+        .select("media_id", "phash"))
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(phash, band * 8) & 255"))
+    val a = banded.select(col("media_id").as("media_a"),
+      col("phash").as("ha"), col("band"), col("bv"))
+    val b = banded.select(col("media_id").as("media_b"),
+      col("phash").as("hb"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "ha", "hb").distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("media_a", "media_b", "hamming")
+  }
 
   /** 32-bit block-mean hash (aHash) per asset over the post-header data
     * section, via the one real-parse path ([[decodeHeader]]). Exact

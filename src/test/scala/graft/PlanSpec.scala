@@ -470,6 +470,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q154: media survivors are a map-side-combinable cluster argmax; " +
+      "candidates from the band join, no cartesian, no window") {
+    val p = plan("q154_media_dedup_clusters")
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
   test("q41/q24: sign-LSH candidates come from a band-keyed equi-join, " +
       "never an all-pairs product — the plan IS the point at 100 TB") {
     Seq("q41_ann_lsh_topk", "q24_embedding_neardup").foreach { q =>

@@ -129,4 +129,49 @@ class MultimodalSpec extends SparkSuite {
     assert(got == brute,
       "banded candidates must reproduce the exhaustive hamming-<=3 join")
   }
+
+  test("q154 == in-memory min-label components + max-pixels survivor " +
+      "over the exhaustive hamming graph") {
+    val hashes = Multimodal.perceptualHashes(Multimodal.mediaFrame(spark, dir))
+      .filter(col("data_len") >= 32)
+      .select("media_id", "phash").as[(Long, Long)].collect()
+    val pairs = for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)
+    // min-label propagation to fixpoint (the star contraction's output
+    // labeling and the oracle's min(v) agree with this by q36's pin)
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    pairs.foreach { case (a, b) =>
+      label.getOrElseUpdate(a, a); label.getOrElseUpdate(b, b)
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (a, b) =>
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label(a) = m; changed = true }
+        if (label(b) != m) { label(b) = m; changed = true }
+      }
+    }
+    def px(id: Long): Long =
+      if (id % 3 < 2) ((id % 64) * 16 + 16) * ((id % 48) * 16 + 16) else 0L
+    val expected = label.toSeq.groupBy(_._2).map { case (cid, ms) =>
+      val members = ms.map(_._1)
+      val surv = members.maxBy(id => (px(id), -id))
+      (cid, members.size.toLong, surv, px(surv))
+    }.toSet
+    val got = graft.SparkEntry
+      .queries("q154_media_dedup_clusters")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the corpus must plant at least one cluster")
+    // the rule is real: the survivor is never beaten on (pixels, -id)
+    got.foreach { case (cid, _, surv, spx) =>
+      label.filter(_._2 == cid).keys.foreach { m =>
+        assert(px(m) < spx || (px(m) == spx && m >= surv),
+          s"cluster $cid: member $m beats survivor $surv")
+      }
+    }
+  }
 }
