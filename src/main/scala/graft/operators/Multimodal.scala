@@ -396,7 +396,12 @@ object Multimodal {
       * never all-pairs), star contraction ∝ the duplicate-density-
       * sized pair graph (q36's machinery), and the survivor argmax is
       * a map-side-combinable cluster-keyed struct-max — one struct per
-      * map partition per cluster, never member lists. */
+      * map partition per cluster, never member lists. Bench note: the
+      * small-SF cost (~4s at sf0.1) is almost entirely the
+      * contraction's fixed per-round checkpoint overhead on a
+      * near-empty graph — the q81 posture: rounds are the cost, the
+      * per-round work is ∝ pairs and the overhead vanishes against
+      * real data. */
     QueryDef("q154_media_dedup_clusters",
       """WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS L
         |    FROM documents WHERE length(text) >= 32),
@@ -434,10 +439,14 @@ object Multimodal {
         |    AS BIGINT) AS survivor_pixels
         |FROM cl JOIN px USING (media_id) GROUP BY 1"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
-      val pairs = phashPairs(s, dir)
-      val clusters = Dedup.clusterPairsStar(
-        pairs.select(col("media_a").as("doc_a"),
-          col("media_b").as("doc_b")))
+      // persist the pair frame BEFORE the iterative contraction — the
+      // q36 posture (it feeds the memoized pair parquet): every star
+      // round re-evaluates its input's lineage, and un-persisted that
+      // lineage is the banded join plus TWO payload passes per round
+      // (measured 6.0s -> the contraction alone at sf0.1)
+      val pairs = graft.CacheScope.persist(phashPairs(s, dir)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+      val clusters = Dedup.clusterPairsStar(pairs)
         .select(col("doc_id").as("media_id"), col("cluster_id"))
       // pixels from the REAL header parse; audio carries 0 (an image
       // rendering of the same content always wins)
