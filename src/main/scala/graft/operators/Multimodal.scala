@@ -396,12 +396,11 @@ object Multimodal {
       * never all-pairs), star contraction ∝ the duplicate-density-
       * sized pair graph (q36's machinery), and the survivor argmax is
       * a map-side-combinable cluster-keyed struct-max — one struct per
-      * map partition per cluster, never member lists. Bench note: the
-      * small-SF cost (~4s at sf0.1) is almost entirely the
-      * contraction's fixed per-round checkpoint overhead on a
-      * near-empty graph — the q81 posture: rounds are the cost, the
-      * per-round work is ∝ pairs and the overhead vanishes against
-      * real data. */
+      * map partition per cluster, never member lists. The cluster
+      * table itself is a session build memo ([[sharedPhashClusters]],
+      * billed `phash_cluster_table`) — built once per corpus like the
+      * text-side cluster table, with the contraction's round loop now
+      * width-scoped to the measured graph size (r11 VERDICT #3). */
     QueryDef("q154_media_dedup_clusters",
       """WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS L
         |    FROM documents WHERE length(text) >= 32),
@@ -439,14 +438,7 @@ object Multimodal {
         |    AS BIGINT) AS survivor_pixels
         |FROM cl JOIN px USING (media_id) GROUP BY 1"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
-      // persist the pair frame BEFORE the iterative contraction — the
-      // q36 posture (it feeds the memoized pair parquet): every star
-      // round re-evaluates its input's lineage, and un-persisted that
-      // lineage is the banded join plus TWO payload passes per round
-      // (measured 6.0s -> the contraction alone at sf0.1)
-      val pairs = graft.CacheScope.persist(phashPairs(s, dir)
-        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
-      val clusters = Dedup.clusterPairsStar(pairs)
+      val clusters = sharedPhashClusters(s, dir)
         .select(col("doc_id").as("media_id"), col("cluster_id"))
       // pixels from the REAL header parse; audio carries 0 (an image
       // rendering of the same content always wins)
@@ -465,9 +457,36 @@ object Multimodal {
     }
   )
 
+  /** Session-scoped media cluster table over [[phashPairs]] — the star
+    * contraction runs ONCE per (session, dir), the same one-artifact-
+    * many-consumers posture as the text-side `neardup_cluster_table`
+    * (a production media-dedup pipeline materializes cluster
+    * assignments exactly once per corpus build and every downstream
+    * policy reads the parquet). Billed as `phash_cluster_table` in the
+    * bench build ledger; consumers: q154 and the composed media stage. */
+  private val phashClusterTables = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private[graft] def sharedPhashClusters(s: SparkSession,
+      dir: String): DataFrame = {
+    val path = graft.BuildMetrics.memo(phashClusterTables,
+      (graft.SessionMemo.key(s), dir), "phash_cluster_table") {
+        val p = graft.SessionMemo.tempDir("graft-phash-clusters")
+        // persist the pair frame BEFORE the iterative contraction — the
+        // q36 posture: every star round re-evaluates its input's
+        // lineage, and un-persisted that lineage is the banded join
+        // plus two payload passes per round
+        val pairs = graft.CacheScope.persist(phashPairs(s, dir)
+          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+        Dedup.clusterPairsStar(pairs).write.mode("overwrite").parquet(p)
+        p
+      }
+    s.read.parquet(path)
+  }
+
   /** q125's verified Hamming-≤3 pairs (media_a < media_b, hamming) —
     * the banded-join path shared by q125 and q154's cluster rollup. */
-  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = graft.CacheScope.persist(
       perceptualHashes(mediaFrame(s, dir)).filter(col("data_len") >= 32)
         .select("media_id", "phash"))

@@ -68,7 +68,8 @@ object Provenance {
     when(pmod(docId, lit(97)) === 0,
       element_at(array(lit("github.io"), lit("www.ck"), lit("foo.ck"),
         lit("a.b.ck"), lit("demo.kawasaki.jp")),
-        (pmod((docId / 97).cast("long"), lit(5)) + 1).cast("int")))
+        (pmod(call_function("div", docId.cast("long"), lit(97L)),
+          lit(5)) + 1).cast("int")))
       .otherwise(concat(
         element_at(array(lit(""), lit("www."), lit("cdn.")),
           (pmod(docId, lit(3)) + 1).cast("int")),

@@ -60,15 +60,22 @@ object Similarity {
     * every later BATCH of a streaming index — hashing with identical
     * planes. */
   def hyperplanes(seed: Int): Seq[Seq[Double]] =
-    (0 until 16).map { j =>
-      (0 until 64).map { d =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$seed|$j|$d".getBytes("UTF-8"))
-        val h = java.lang.Long.parseLong(
-          md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
-        (h % 2001 - 1000) / 1000.0
-      }
-    }
+    planeTables.getOrElseUpdate(seed,
+      (0 until 16).map { j =>
+        (0 until 64).map { d =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$seed|$j|$d".getBytes("UTF-8"))
+          val h = java.lang.Long.parseLong(
+            md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+          (h % 2001 - 1000) / 1000.0
+        }
+      })
+
+  /** Per-seed plane tables are deterministic constants — computing one
+    * runs 1024 MessageDigest+hex rounds, and callers (q24/q41 builds,
+    * every streaming ANN batch) re-ask per invocation, so cache them. */
+  private val planeTables =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Seq[Double]]]
 
   /** The oracle's replay of [[hyperplanes]]+[[signBands]] for `seed`:
     * CTEs `pl(j, pv)` (the 16 planes as DOUBLE[]) and `sb(vec_id,
@@ -151,6 +158,30 @@ object Similarity {
   /** Exact-decimal norm of a 6-rounded component vector → double. */
   private def normOf(ru: IndexedSeq[JBD]): Double =
     math.sqrt(ru.map(x => x.multiply(x)).reduce(_.add(_)).doubleValue)
+
+  private val firstComponents = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (IndexedSeq[JBD], Double)]
+
+  /** The converged (v₁, ‖u₅‖) of the 5-round power iteration over
+    * `dir`'s embeddings — 64 doubles + a scalar of driver metadata, so
+    * it rides the [[graft.BuildMetrics.memo]] rails like the other
+    * train-once artifacts (r11 VERDICT #2: q116 was re-paying q114's
+    * five corpus passes to recompute the identical iterate; at 100×
+    * scale that redundant half is five full corpus scans). */
+  private def firstComponent(s: SparkSession, dir: String,
+      e: => DataFrame): (IndexedSeq[JBD], Double) =
+    graft.BuildMetrics.memo(firstComponents,
+        (graft.SessionMemo.key(s), dir), "power_v1") {
+      var vec: IndexedSeq[JBD] = IndexedSeq.fill(64)(r6d(0.125))
+      var norm = 0.0
+      val frame = e
+      for (_ <- 1 to 5) {
+        val ru = xtxPass(frame, vec)
+        norm = normOf(ru)
+        vec = ru.map(x => r6d(x.doubleValue / norm))
+      }
+      (vec, norm)
+    }
 
   private def dSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
@@ -471,16 +502,10 @@ object Similarity {
          |SELECT u.pos AS pos, round(CAST(u.u AS DOUBLE) / n.n, 6) AS loading,
          |  round(n.n, 6) AS eigenvalue
          |FROM u5 u, n5 n""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val e = graft.CacheScope.persist(t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v")))
-      var vec: IndexedSeq[JBD] = IndexedSeq.fill(64)(r6d(0.125))
-      var norm = 0.0
-      for (_ <- 1 to 5) {
-        val ru = xtxPass(e, vec)
-        norm = normOf(ru)
-        vec = ru.map(x => r6d(x.doubleValue / norm))
-      }
+      val (vec, norm) = firstComponent(s, dir,
+        graft.CacheScope.persist(t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))))
       import s.implicits._
       val ev = r6d(norm).doubleValue
       (0 until 64).map(p => (p + 1, vec(p).doubleValue, ev))
@@ -530,14 +555,10 @@ object Similarity {
       val e = graft.CacheScope.persist(t(s, dir, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v")))
-      // first component, exactly as q114 computes it
-      var v1: IndexedSeq[JBD] = IndexedSeq.fill(64)(r6d(0.125))
-      var n1 = 0.0
-      for (_ <- 1 to 5) {
-        val ru = xtxPass(e, v1)
-        n1 = normOf(ru)
-        v1 = ru.map(x => r6d(x.doubleValue / n1))
-      }
+      // first component, exactly as q114 computes it — shared via the
+      // power_v1 memo, so whichever of q114/q116 runs first pays the
+      // five corpus passes and the other reads 64 doubles
+      val (v1, n1) = firstComponent(s, dir, e)
       val l1 = r6d(n1).doubleValue
       // deflated iteration from the same uniform start
       var w: IndexedSeq[JBD] = IndexedSeq.fill(64)(r6d(0.125))

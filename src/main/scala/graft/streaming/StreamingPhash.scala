@@ -51,6 +51,14 @@ object StreamingPhash {
       name: String = "phash_neardup", table: String = "documents",
       textCol: String = "text", maxHamming: Int = 3,
       buckets: Int = 32): ViewDef = {
+    // Pigeonhole over the 4 bands of 16 bits each: a Hamming-≤t pair is
+    // guaranteed to collide on at least one band only when t < 4. A
+    // larger t would silently miss pairs AND leave stale sink rows on
+    // retraction (the retract step re-derives old band keys).
+    require(maxHamming < 4,
+      s"maxHamming=$maxHamming >= band count 4: banded candidate " +
+        "generation would miss qualifying pairs (pigeonhole needs " +
+        "maxHamming < bands)")
     val hashTable =
       new ParquetKeyedTable(spark, s"$stateDir/$name-hashes", "key", buckets)
     val bucketTable =
