@@ -653,4 +653,28 @@ class PlanSpec extends SparkSuite {
     // pair keys), not an array-intersect projection
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q50/q125: container parse is a codegen'd expression fused at the " +
+      "scan — no object-serialization boundary on the multimodal path") {
+    for (q <- Seq("q50_multimodal_meta", "q125_phash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("SerializeFromObject"), s"$q:\n$p")
+      assert(!p.contains("DeserializeToObject"), s"$q:\n$p")
+      assert(!p.contains("MapPartitions"), s"$q:\n$p")
+      assert(p.contains("media_header_parse") || p.contains("media_phash"),
+        s"$q:\n$p")
+    }
+    // and the generated code actually COMPILES (a Janino failure would
+    // silently fall back to interpreted eval): force codegen strictness
+    // on one evaluation
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val n = SparkEntry.queries("q50_multimodal_meta")(spark, dir).count()
+      assert(n > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
