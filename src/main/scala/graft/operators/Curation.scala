@@ -286,6 +286,113 @@ object Curation {
           TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
+    /** ONE corpus, BOTH survivor policies (r11 VERDICT #7): q153's
+      * quality-aware TEXT survivors composed with q154's best-RENDERING
+      * MEDIA survivors — the full multimodal curation a LAION-style
+      * pipeline ships, where a document must win its text near-dup
+      * cluster (argmax quality) AND its media near-dup cluster (argmax
+      * pixels) to stay in the corpus. The media net is cast WIDER than
+      * q125/q154's (Hamming ≤ 5 via 8×4-bit bands — pigeonhole-complete
+      * to radius 7; aggressive media dedup is the production posture,
+      * and the banding geometry follows the radius), so this is also
+      * the radius-parameterized banding's gate row. Quality floor and
+      * content-hash split are q153's unchanged.
+      *
+      * Shape at 100 TB: q153's plan plus the media-loser anti-join —
+      * clusters ∝ banded collisions, survivor argmax map-side
+      * combinable, losers duplicate-density-sized; the wider radius
+      * multiplies candidate pairs, never corpus passes. */
+    QueryDef("q155_multimodal_corpus", {
+      val split =
+        """CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+          |     WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+          |     ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE $clusterCtes,
+         |cq AS (SELECT c.cluster_id, c.doc_id,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM clusters c JOIN documents USING (doc_id)),
+         |surv AS (SELECT cluster_id,
+         |    -((max(struct_pack(q := quality, negid := -doc_id))).negid)
+         |      AS survivor_id
+         |  FROM cq GROUP BY 1),
+         |losers AS (SELECT cq.doc_id FROM cq JOIN surv USING (cluster_id)
+         |  WHERE cq.doc_id <> surv.survivor_id),
+         |md AS (SELECT doc_id, text, length(text) AS L
+         |    FROM documents WHERE length(text) >= 32),
+         |mch AS (SELECT doc_id, L, CAST(u.p AS INT) AS p,
+         |    unicode(substr(text, CAST(u.p AS INT) + 1, 1)) AS c
+         |  FROM md, unnest(range(L)) AS u(p)),
+         |mblk AS (SELECT doc_id, L, (p * 32) // L AS k,
+         |    sum(c) AS s, count(*) AS n FROM mch GROUP BY 1, 2, 3),
+         |mtot AS (SELECT doc_id, sum(s) AS st FROM mblk GROUP BY 1),
+         |mbits AS (SELECT b.doc_id,
+         |    CAST(sum(CASE WHEN b.s * b.L > t.st * b.n
+         |        THEN (CAST(1 AS BIGINT) << CAST(b.k AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS h
+         |  FROM mblk b JOIN mtot t USING (doc_id) GROUP BY 1),
+         |mp AS (SELECT a.doc_id AS ma, b.doc_id AS mb
+         |  FROM mbits a JOIN mbits b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 5),
+         |medges AS (SELECT ma AS u, mb AS v FROM mp
+         |  UNION SELECT mb, ma FROM mp
+         |  UNION SELECT ma, ma FROM mp
+         |  UNION SELECT mb, mb FROM mp),
+         |mreach(u, v) AS (SELECT u, v FROM medges
+         |  UNION SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u),
+         |mcl AS (SELECT u AS media_id, min(v) AS cluster_id
+         |  FROM mreach GROUP BY u),
+         |mpx AS (SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 3 < 2
+         |      THEN ((doc_id % 64) * 16 + 16) * ((doc_id % 48) * 16 + 16)
+         |      ELSE 0 END AS px
+         |  FROM documents),
+         |msurv AS (SELECT cluster_id,
+         |    -((max(struct_pack(px := mpx.px, negid := -mcl.media_id))).negid)
+         |      AS survivor_id
+         |  FROM mcl JOIN mpx USING (media_id) GROUP BY 1),
+         |mlosers AS (SELECT mcl.media_id AS doc_id
+         |  FROM mcl JOIN msurv USING (cluster_id)
+         |  WHERE mcl.media_id <> msurv.survivor_id)
+         |SELECT doc_id, $split AS split,
+         |  ${TextAnalysis.qualityScoreSql} AS quality
+         |FROM documents
+         |WHERE ${TextAnalysis.qualityScoreSql} >= 0.5
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND doc_id NOT IN (SELECT doc_id FROM mlosers)
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+
+      // text losers: q153's quality-argmax survivors over the session
+      // cluster memo
+      val clusters = Dedup.sharedNearDupClusters(s, dir)
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val survivors = clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max(struct(col("quality").as("q"),
+          (-col("doc_id")).as("negid"))).as("m"))
+        .select(col("cluster_id"), (-col("m.negid")).as("survivor_id"))
+      val textLosers = clusters.join(survivors, "cluster_id")
+        .filter(col("doc_id") =!= col("survivor_id"))
+        .select("doc_id")
+
+      // media losers: q154's max-pixels survivors at the wider radius
+      val mediaLosers = Multimodal.mediaLosers(s, dir,
+        maxHamming = 5, nBands = 8)
+
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      kept.join(textLosers, Seq("doc_id"), "left_anti")
+        .join(mediaLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
     /** Span-REMOVAL decontamination — q26 locates contaminated training
       * documents; this operator goes the step further real pipelines
       * take (the GPT-3/PaLM decontamination recipe): cut the overlapping

@@ -453,12 +453,7 @@ object Multimodal {
         .select(col("doc_id").as("media_id"), col("cluster_id"))
       // pixels from the REAL header parse; audio carries 0 (an image
       // rendering of the same content always wins)
-      val px = decodeMeta(mediaFrame(s, dir))
-        .select(col("media_id"),
-          when(col("format").isin("png", "jpeg"),
-            (col("width").cast("long") * col("height")))
-            .otherwise(lit(0L)).as("px"))
-      clusters.join(px, "media_id")
+      clusters.join(pixelFrame(s, dir), "media_id")
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
           max(struct(col("px"), (-col("media_id")).as("negid"))).as("m"))
@@ -476,34 +471,89 @@ object Multimodal {
     * policy reads the parquet). Billed as `phash_cluster_table` in the
     * bench build ledger; consumers: q154 and the composed media stage. */
   private val phashClusterTables = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
+    .empty[(String, String, Int, Int), String]
 
-  private[graft] def sharedPhashClusters(s: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def sharedPhashClusters(s: SparkSession, dir: String,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    val ledger = if (maxHamming == 3 && nBands == 4) "phash_cluster_table"
+      else s"phash_cluster_table_h$maxHamming"
     val path = graft.BuildMetrics.memo(phashClusterTables,
-      (graft.SessionMemo.key(s), dir), "phash_cluster_table") {
+      (graft.SessionMemo.key(s), dir, maxHamming, nBands), ledger) {
         val p = graft.SessionMemo.tempDir("graft-phash-clusters")
         // persist the pair frame BEFORE the iterative contraction — the
         // q36 posture: every star round re-evaluates its input's
         // lineage, and un-persisted that lineage is the banded join
         // plus two payload passes per round
-        val pairs = graft.CacheScope.persist(phashPairs(s, dir)
-          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+        val pairs = graft.CacheScope.persist(
+          phashPairs(s, dir, maxHamming, nBands)
+            .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
         Dedup.clusterPairsStar(pairs).write.mode("overwrite").parquet(p)
         p
       }
     s.read.parquet(path)
   }
 
-  /** q125's verified Hamming-≤3 pairs (media_a < media_b, hamming) —
-    * the banded-join path shared by q125 and q154's cluster rollup. */
-  private[graft] def phashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-asset pixel count from the REAL header parse — q154's quality
+    * signal (images: width×height; non-images carry 0, so an image
+    * rendering of the same content always wins a cluster). */
+  private[graft] def pixelFrameOf(media: DataFrame): DataFrame =
+    decodeMeta(media)
+      .select(col("media_id"),
+        when(col("format").isin("png", "jpeg"),
+          (col("width").cast("long") * col("height")))
+          .otherwise(lit(0L)).as("px"))
+
+  private[graft] def pixelFrame(s: SparkSession, dir: String): DataFrame =
+    pixelFrameOf(mediaFrame(s, dir))
+
+  /** Media near-dup LOSERS under the q154 survivor rule (per cluster
+    * keep max pixels, ties → lower id) at the given banding geometry —
+    * the anti-join set q155's composed corpus removes. Cost ∝ the
+    * duplicate-density cluster table, never the corpus. */
+  private[graft] def mediaLosers(s: SparkSession, dir: String,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    val clusters = sharedPhashClusters(s, dir, maxHamming, nBands)
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+    val surv = clusters.join(pixelFrame(s, dir), "media_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("px"), (-col("media_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).as("survivor_id"))
+    clusters.join(surv, "cluster_id")
+      .filter(col("media_id") =!= col("survivor_id"))
+      .select(col("media_id").as("doc_id"))
+  }
+
+  /** Verified Hamming-≤`maxHamming` pairs (media_a < media_b, hamming)
+    * — the banded-join path shared by q125, q154's cluster rollup and
+    * q155's composed corpus. Banding geometry follows the radius by
+    * pigeonhole: `nBands` equal bands of 32/nBands bits each are
+    * complete for Hamming ≤ nBands−1 (q125: 4×8-bit bands, radius 3;
+    * q155: 8×4-bit bands, radius 5 — LAION-style aggressive media
+    * dedup trades more candidate collisions for a wider net). The
+    * candidate join still ships only (band, value)-keyed 12-byte rows;
+    * verification is two XOR/POPCNTs per candidate. */
+  private[graft] def phashPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    phashPairsOf(mediaFrame(s, dir), maxHamming, nBands)
+
+  /** [[phashPairs]] over any media frame — the shared form the
+    * streaming composed view's spec recomputes against. */
+  private[graft] def phashPairsOf(media: DataFrame,
+      maxHamming: Int, nBands: Int): DataFrame = {
+    require(32 % nBands == 0, s"nBands=$nBands must divide 32")
+    require(maxHamming < nBands,
+      s"maxHamming=$maxHamming >= nBands=$nBands: banded candidate " +
+        "generation would miss qualifying pairs (pigeonhole needs " +
+        "maxHamming < bands)")
+    val bandBits = 32 / nBands
+    val mask = (1L << bandBits) - 1
     val hashes = graft.CacheScope.persist(
-      perceptualHashes(mediaFrame(s, dir)).filter(col("data_len") >= 32)
+      perceptualHashes(media).filter(col("data_len") >= 32)
         .select("media_id", "phash"))
     val banded = hashes.select(col("media_id"), col("phash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bv", expr("shiftright(phash, band * 8) & 255"))
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bv",
+        expr(s"shiftright(phash, band * $bandBits) & $mask"))
     val a = banded.select(col("media_id").as("media_a"),
       col("phash").as("ha"), col("band"), col("bv"))
     val b = banded.select(col("media_id").as("media_b"),
@@ -513,7 +563,7 @@ object Multimodal {
       .select("media_a", "media_b", "ha", "hb").distinct()
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select("media_a", "media_b", "hamming")
   }
 

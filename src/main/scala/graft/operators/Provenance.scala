@@ -35,11 +35,18 @@ object Provenance {
     * PSL's own wildcard/exception examples (`*.ck`, `!www.ck`,
     * `*.kawasaki.jp`) so every branch of the matching algorithm runs
     * against the gate. Nothing below depends on the list's size. */
+  /** The published list's line format: one rule per line, `//`
+    * comments, blank lines ignored. ONE parser for the shipped
+    * stand-in and any swapped-in production file (the PSL scale spec
+    * loads a generated ~9k-rule file through this same path). */
+  private[graft] def parseRuleLines(lines: Iterator[String]): List[String] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+
   private[graft] val suffixRules: Seq[String] = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_standin.dat")
     require(in != null, "public_suffix_standin.dat resource missing")
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+    try parseRuleLines(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }
 
