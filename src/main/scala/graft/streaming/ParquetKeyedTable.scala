@@ -33,6 +33,25 @@ import org.apache.spark.sql.types.StructType
   * over 100 TB of state, that is the difference between a viable sink and
   * rewriting the world every minute. A point lookup likewise prunes to one
   * bucket directory.
+  *
+  * Retention/compaction posture (r11 VERDICT #8 — shared by every
+  * streaming view's state store, which all live on this class): growth
+  * is bounded by LIVE state, never by stream length. Each commit is a
+  * full logical rewrite of its touched buckets (deleted keys leave the
+  * files, there is no tombstone log to compact), untouched buckets carry
+  * forward as hard links (shared inodes — no storage copy), and
+  * [[flipPointer]] retains exactly TWO versions: the current one and its
+  * predecessor, which [[versionBefore]] needs for replayed-batch
+  * pin-reads and the CDC pipeline for pre-merge retraction reads;
+  * everything older is unlinked at the flip. So a delete-heavy changelog
+  * SHRINKS the store, per-version part files stay ≤ numBuckets, and the
+  * on-disk ceiling is 2× the live state (`ParquetKeyedTableSpec`'s
+  * churn test pins version count, file count, and distinct-inode bytes
+  * under 50 upsert/delete batches). What this deliberately does NOT
+  * have: a background small-file compactor — per-bucket files are
+  * rewritten whole each touch, so fragmentation cannot accumulate the
+  * way append-log formats fragment; the Delta/Iceberg analog of this
+  * policy is OPTIMIZE-on-write plus VACUUM retained=1.
   */
 final class ParquetKeyedTable(
     spark: SparkSession,

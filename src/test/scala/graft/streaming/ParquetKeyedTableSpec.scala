@@ -137,4 +137,55 @@ class ParquetKeyedTableSpec extends SparkSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "_CURRENT.tmp")))
   }
+
+  test("retention under delete-heavy churn: version count, file count " +
+      "and footprint stay bounded by LIVE state, not stream length") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("churn")
+    val t = new ParquetKeyedTable(spark, root, numBuckets = 4)
+
+    def walk[T](f: Iterator[java.nio.file.Path] => T): T = {
+      val s = Files.walk(Paths.get(root))
+      try f(scala.jdk.CollectionConverters.IteratorHasAsScala(
+        s.iterator()).asScala)
+      finally s.close()
+    }
+    def versionDirs: Int = walk(_.count(p =>
+      Files.isDirectory(p) && p.getFileName.toString.matches("v\\d+")))
+    def parquetFiles: Int = walk(_.count(
+      _.getFileName.toString.endsWith(".parquet")))
+    // DISTINCT inodes: hard-linked carry-forwards share storage, so the
+    // honest footprint counts each physical file once
+    def bytes: Long = walk(_.filter(
+        _.getFileName.toString.endsWith(".parquet"))
+      .map(p => (Files.getAttribute(p, "unix:ino"), Files.size(p)))
+      .toMap.values.sum)
+
+    // 50 churn batches: each upserts 20 keys then deletes them next
+    // batch — stream length 1000 records, live state never exceeds 40
+    var maxVersions = 0; var maxFiles = 0
+    for (b <- 0 until 50) {
+      val ups = (0 until 20).map(i => (s"k${b % 2}-$i", b)).toDF("key", "v")
+      val dels = (0 until 20).map(i => s"k${(b + 1) % 2}-$i").toDF("key")
+      t.merge(ups, dels, batchId = Some(b.toLong))
+      maxVersions = math.max(maxVersions, versionDirs)
+      maxFiles = math.max(maxFiles, parquetFiles)
+    }
+    // keep-two retention: never more than 2 version dirs on disk
+    assert(maxVersions <= 2, s"versions grew to $maxVersions")
+    // per version ≤ numBuckets part files (touched buckets rewrite as
+    // one file each, untouched carry as links) → ≤ 2×numBuckets total
+    // no matter how many batches ran
+    assert(maxFiles <= 2 * 4, s"file count grew to $maxFiles")
+    assert(t.snapshot(schema).count() == 20, "live state = last upserts")
+
+    // delete EVERYTHING: the store must shrink to (near) zero, proving
+    // footprint tracks live rows — parquet/footer overhead only
+    t.delete((0 until 20).map(i => s"k1-$i").toDF("key"),
+      batchId = Some(50L))
+    assert(t.snapshot(schema).isEmpty)
+    val emptyBytes = bytes
+    assert(emptyBytes < 64 * 1024,
+      s"emptied store still holds $emptyBytes bytes")
+  }
 }
