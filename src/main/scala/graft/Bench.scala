@@ -31,7 +31,8 @@ object Bench {
     // probe measures the machine, not JVM/codegen warm-up.
     def calib(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1L << 24).selectExpr("sum(id * id) AS s")
+      // modulo keeps the 16M-term sum far from Long.MAX (ANSI mode)
+      spark.range(1L << 24).selectExpr("sum((id % 65536) * (id % 63)) AS s")
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
