@@ -57,6 +57,20 @@ object Curation {
     regexp_replace(regexp_replace(regexp_replace(text,
       EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
 
+  /** q157's chunk fingerprints: md5 of every FULL 32-token window at
+    * stride 24 (8-token overlap), empty array for docs under 32 tokens.
+    * ONE Column definition shared by the batch rollup and the
+    * continuous shared-chunk view so the two cannot drift. */
+  private[graft] def chunkHashes(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val w = split(trim(text), "\\s+")
+    when(size(w) >= 32,
+      transform(
+        sequence(lit(0), floor((size(w) - 32) / 24).cast("int")),
+        i => md5(concat_ws(" ", slice(w, i * 24 + 1, lit(32))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** The scrub report columns shared by batch q93 and the streaming
     * view: per-class match counts + an md5 signature of the redaction. */
   def piiColumns(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
@@ -391,6 +405,104 @@ object Curation {
           when(bucket < 90, "train").when(bucket < 95, "val")
             .otherwise("test").as("split"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
+    /** Deterministic WEIGHTED sampling per stratum — Efraimidis–Spirakis
+      * (Inf. Proc. Letters 2006), THE one-pass distributed weighted
+      * reservoir algorithm: each doc draws u ∈ (0,1] and the top-k by
+      * u^(1/w) per stratum are an exact weighted-without-replacement
+      * sample. The curation use: pull k inspection/eval docs per source
+      * with probability ∝ token count, reproducibly. Determinism: u is
+      * md5-derived from the doc id (the signature posture — any engine
+      * replays the draw), and the rank key is the monotone-equivalent
+      * ln(u)/w (same ordering, no pow), rounded to 6 BEFORE ranking with
+      * the id tie-break so a last-ulp ln() divergence cannot flip a rank
+      * (the q42/q99 argmax discipline; ln joins sqrt/divide as the only
+      * shared double ops, on equal inputs). Zero-token docs carry no
+      * weight and are excluded on both engines.
+      *
+      * Shape at 100 TB: ONE corpus scan into a bounded
+      * [[graft.functions.TopKAggregator]] buffer per stratum (map-side
+      * combinable — each partition ships ≤ k rows per source, never the
+      * corpus; no window sort anywhere). This plan IS the textbook
+      * distributed E-S implementation. A streaming twin would make the
+      * STRATUM the retraction unit (a delete inside the sample needs
+      * the stratum's (k+1)th key — the BestQuality-frontier tradeoff),
+      * which is why the batch form is the one pipelines schedule. */
+    QueryDef("q156_weighted_sample",
+      s"""WITH w AS (SELECT source, doc_id,
+         |    ${graft.operators.Provenance.tokenCountSql("text")} AS n_tok
+         |  FROM documents),
+         |u AS (SELECT source, doc_id,
+         |    (CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |       AS BIGINT) % 1000000 + 1) / 1000000.0 AS uv,
+         |    n_tok
+         |  FROM w WHERE n_tok > 0),
+         |k AS (SELECT source, doc_id, round(ln(uv) / n_tok, 6) AS smp_key
+         |  FROM u),
+         |r AS (SELECT source, doc_id, smp_key,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY smp_key DESC, doc_id) AS rk
+         |  FROM k)
+         |SELECT source, doc_id, smp_key, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 5""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val nTok = graft.operators.Provenance.tokenCount(col("text"))
+      val uv = (pmod(
+        conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(1000000L)) + 1) / lit(1000000.0)
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          round(log(uv) / nTok, 6).as("smp_key"))
+        .filter(nTok > 0)
+        .groupBy("source")
+        .agg(topk(col("smp_key"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          col("col.score").as("smp_key"),
+          (col("pos") + 1).cast("long").as("rk"))
+    },
+
+    /** Shared-CHUNK detection over overlapping token windows — the
+      * chunk-granular form of boilerplate/dedup a RAG or long-context
+      * pipeline runs after document-level passes: documents are cut
+      * into 32-token windows at stride 24 (8-token overlap, the
+      * standard chunking shape), each full window fingerprinted by md5
+      * of its joined tokens, and a fingerprint appearing in MORE THAN
+      * ONE document is shared content (navigation, license blocks,
+      * templated paragraphs) with its occurrence and document counts
+      * and earliest carrier. Tail windows shorter than 32 tokens are
+      * not emitted — a partial window's hash would never match its
+      * full-width twin, so they only add noise (both engines state the
+      * same floor).
+      *
+      * Shape at 100 TB: the window explode is a generator (∝ tokens/24
+      * per doc, no shuffle), the rollup shuffles 16-byte hashes with
+      * map-side partial aggregation, and the >1-doc filter drops the
+      * unique-chunk mass before anything wide moves. md5 fingerprints
+      * are the cross-engine replay posture. */
+    QueryDef("q157_chunk_dedup",
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |    md5(array_to_string(w[CAST(i * 24 + 1 AS BIGINT) :
+        |                          CAST(i * 24 + 32 AS BIGINT)], ' ')) AS chunk_hash
+        |  FROM d, unnest(range((greatest(len(w) - 32, -24) // 24) + 1)) AS u(i)
+        |  WHERE len(w) >= 32)
+        |SELECT chunk_hash,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1"""
+        .stripMargin.replace("\n", " ")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(chunkHashes(col("text"))).as("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") > 1)
     },
 
     /** Span-REMOVAL decontamination — q26 locates contaminated training

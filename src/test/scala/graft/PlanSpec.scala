@@ -654,6 +654,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q156: weighted sampling is one scan into bounded top-k buffers — " +
+      "no window sort, partial aggregation present") {
+    val p = plan("q156_weighted_sample")
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"), p)
+    // one corpus read, no self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q157: chunk explode is a generator, rollup partially aggregates " +
+      "16-byte hashes — no shuffle before the hash rollup") {
+    val p = plan("q157_chunk_dedup")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window ["), p)
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"expected only the rollup exchange(s):\n$p")
+  }
+
   test("q50/q125: container parse is a codegen'd expression fused at the " +
       "scan — no object-serialization boundary on the multimodal path") {
     for (q <- Seq("q50_multimodal_meta", "q125_phash_neardup")) {
