@@ -452,9 +452,9 @@ object Curation {
           1, 8), 16, 10).cast("long"), lit(1000000L)) + 1) / lit(1000000.0)
       val topk = udaf(new graft.functions.TopKAggregator(5))
       t(s, dir, "documents")
+        .filter(nTok > 0)
         .select(col("source"), col("doc_id"),
           round(log(uv) / nTok, 6).as("smp_key"))
-        .filter(nTok > 0)
         .groupBy("source")
         .agg(topk(col("smp_key"), col("doc_id")).as("top"))
         .select(col("source"), posexplode(col("top")))

@@ -151,7 +151,10 @@ object ReplaySource {
     }
   }
 
-  /** The dump as one globally-ordered record sequence. */
+  /** The dump as one globally-ordered record sequence. The in-memory
+    * IndexedSeq bounds a replay dump at Int.MaxValue records — far past
+    * any captured console dump; a larger corpus belongs on the real
+    * connector, not a replay fixture. */
   private[sources] def load(dir: String): IndexedSeq[Record] = {
     val files = listFiles(dir)
     cache.getOrElseUpdate((dir, fingerprint(files)),
