@@ -157,6 +157,10 @@ object ReplaySource {
     * connector, not a replay fixture. */
   private[sources] def load(dir: String): IndexedSeq[Record] = {
     val files = listFiles(dir)
+    // every dump GROWTH step keys a fresh entry; keep the cache from
+    // accumulating stale versions across a long-lived session (a replay
+    // dump is small — re-parsing after a clear is cheap)
+    if (cache.size > 16) cache.clear()
     cache.getOrElseUpdate((dir, fingerprint(files)),
       files.flatMap(parseFile).toIndexedSeq)
   }
