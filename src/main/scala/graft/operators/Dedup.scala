@@ -1372,6 +1372,72 @@ object Dedup {
         .select(col("cluster_id"), col("n_members"),
           (-col("m.negid")).as("survivor_id"),
           col("m.q").as("survivor_quality"))
+    },
+
+    /** Sorted-neighborhood entity resolution (Hernández–Stolfo) over the
+      * customer dimension — record linkage for STRUCTURED rows, the
+      * missing counterpart to the document-text dedup family (q21/q79
+      * block on content shingles; dimension tables block on a sort
+      * key). Candidates are each record's w=3 successors in sort order
+      * WITHIN a blocking prefix of the key, matched on edit-distance ≤ 2
+      * plus segment equality.
+      *
+      * Scale: the naive method sorts the whole table globally — a
+      * single-partition Window at Spark scale. Blocking on a sort-key
+      * prefix makes the window PARTITIONED (hash shuffle on the block,
+      * sort within), so the plan is one Exchange + one in-partition
+      * sort, candidate volume is exactly w·n, and block granularity is
+      * the knob that bounds per-partition width at 100 TB. No join
+      * against the table itself, no all-pairs anywhere. */
+    QueryDef("q159_entity_match",
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |    substr(c_name, 1, 15) AS blk FROM customer),
+        |n AS (
+        |  SELECT key_a, name_a, seg_a, bal_a, key_b, name_b, seg_b, bal_b FROM (
+        |    SELECT c_custkey AS key_a, c_name AS name_a, c_mktsegment AS seg_a,
+        |      c_acctbal AS bal_a, lead(c_custkey,1) OVER w AS key_b,
+        |      lead(c_name,1) OVER w AS name_b, lead(c_mktsegment,1) OVER w AS seg_b,
+        |      lead(c_acctbal,1) OVER w AS bal_b
+        |    FROM c WINDOW w AS (PARTITION BY blk ORDER BY c_name))
+        |  UNION ALL
+        |  SELECT key_a, name_a, seg_a, bal_a, key_b, name_b, seg_b, bal_b FROM (
+        |    SELECT c_custkey AS key_a, c_name AS name_a, c_mktsegment AS seg_a,
+        |      c_acctbal AS bal_a, lead(c_custkey,2) OVER w AS key_b,
+        |      lead(c_name,2) OVER w AS name_b, lead(c_mktsegment,2) OVER w AS seg_b,
+        |      lead(c_acctbal,2) OVER w AS bal_b
+        |    FROM c WINDOW w AS (PARTITION BY blk ORDER BY c_name))
+        |  UNION ALL
+        |  SELECT key_a, name_a, seg_a, bal_a, key_b, name_b, seg_b, bal_b FROM (
+        |    SELECT c_custkey AS key_a, c_name AS name_a, c_mktsegment AS seg_a,
+        |      c_acctbal AS bal_a, lead(c_custkey,3) OVER w AS key_b,
+        |      lead(c_name,3) OVER w AS name_b, lead(c_mktsegment,3) OVER w AS seg_b,
+        |      lead(c_acctbal,3) OVER w AS bal_b
+        |    FROM c WINDOW w AS (PARTITION BY blk ORDER BY c_name)))
+        |SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS name_dist,
+        |  round(abs(bal_a - bal_b), 2) AS bal_gap
+        |FROM n WHERE key_b IS NOT NULL AND seg_a = seg_b
+        |  AND levenshtein(name_a, name_b) <= 2
+        |""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("blk").orderBy("c_name")
+      val nbr = struct(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"), substring(col("c_name"), 1, 15).as("blk"))
+        // one Window computes all w successor structs; explode after, so
+        // the window expressions sit in a plain projection
+        .select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+          col("c_mktsegment").as("seg_a"), col("c_acctbal").as("bal_a"),
+          array((1 to 3).map(k => lead(nbr, k).over(w)): _*).as("nbrs"))
+        .select(col("key_a"), col("name_a"), col("seg_a"), col("bal_a"),
+          explode(col("nbrs")).as("b"))
+        .filter(col("b.key").isNotNull && col("seg_a") === col("b.seg"))
+        .withColumn("name_dist",
+          levenshtein(col("name_a"), col("b.name")).cast("long"))
+        .filter(col("name_dist") <= 2)
+        .select(col("key_a"), col("b.key").as("key_b"), col("name_dist"),
+          round(abs(col("bal_a") - col("b.bal")), 2).as("bal_gap"))
     }
   )
 

@@ -19,10 +19,14 @@ class PartitioningInvarianceSpec extends SparkSuite {
   // q138 rides on the decimal entropy ledger: Σ c·ln c is summed as
   // DECIMAL(28,12) of 12-rounded terms, so re-layout (which re-orders
   // the partial sums) must not move a single bit of entropy_bits
+  // q158/q159/q160 are window-ordered (SCD2 versions, sorted-neighborhood
+  // candidates, as-of carry-forward): their tie-breaks claim full
+  // determinism, so re-layout must not move a version number or a pair
   private val names = Seq("q34_train_split", "q35_stratified_sample",
     "q63_seq_pack", "q69_sessionize", "q21_minhash_lsh",
     "q66_curriculum_bins", "q77_churn_cohorts", "q64_salted_join",
-    "q138_char_entropy")
+    "q138_char_entropy", "q158_scd2_history", "q159_entity_match",
+    "q160_temporal_join")
 
   // q21's production form reads the session-memoized parquet pair table,
   // which would make re-layout runs trivially identical — invariance must

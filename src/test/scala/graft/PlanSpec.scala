@@ -696,4 +696,32 @@ class PlanSpec extends SparkSuite {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("q158: SCD2 history is ONE user shuffle feeding one sort and one " +
+      "Window — no adjacent-version self-join, no global sort") {
+    val p = plan("q158_scd2_history")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("props"), p) // unused wide column pruned at the scan
+  }
+
+  test("q160: temporal-table join is union + ONE user shuffle + one " +
+      "carry-forward window — no join operator, no probe-per-row plan") {
+    val p = plan("q160_temporal_join")
+    assert(p.contains("Union"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q159: sorted-neighborhood linkage shuffles on the BLOCK (window " +
+      "is partitioned, never a single global sort) and joins nothing") {
+    val p = plan("q159_entity_match")
+    assert("Exchange hashpartitioning\\(blk".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)            // candidates come from lead()
+    assert(!p.contains("rangepartitioning"), p) // no global sort
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+  }
 }
