@@ -716,6 +716,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q161: drift PSI reduces the corpus in one pruned pass; all " +
+      "pair arithmetic happens on the bounded strata frame") {
+    val p = plan("q161_drift_psi")
+    // scan reads only the two columns the tally needs
+    assert(p.contains("ReadSchema: struct<ts:"), p)
+    assert(!p.contains("props") && !p.contains("user_id") &&
+      !p.contains("value"), p)
+    // the day-pair self-join runs on windows×categories rows — always
+    // broadcast-able, never a corpus-sized sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q162: k-anonymity is one partial+final aggregation over the " +
+      "QI key; scan pruned to the three QI columns") {
+    val p = plan("q162_k_anonymity")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema: struct<c_nationkey:int," +
+      "c_acctbal:double,c_mktsegment:string>") ||
+      p.contains("ReadSchema: struct<c_nationkey:int," +
+        "c_mktsegment:string>"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q163: snapshot diff joins digests, not documents — text is " +
+      "hashed at the scan and the join ships (id, source, md5) only") {
+    val p = plan("q163_snapshot_diff")
+    // no full text column survives past the scan's projection: every
+    // occurrence of `text` is inside an md5(...) in the scan-side project
+    assert(!p.contains("SerializeFromObject"), p)
+    assert(p.contains("md5"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q164: gate CI is one partial+final agg to a sources-sized " +
+      "frame; interval math adds no shuffle") {
+    val p = plan("q164_gate_ci")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"), p)
+  }
+
   test("q159: sorted-neighborhood linkage shuffles on the BLOCK (window " +
       "is partitioned, never a single global sort) and joins nothing") {
     val p = plan("q159_entity_match")
