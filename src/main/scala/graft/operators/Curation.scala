@@ -1454,6 +1454,98 @@ object Curation {
         .filter(mightContain(col("g"))) // pre-shuffle gram cull
         .join(holdout, "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    },
+
+    /** Leakage-safe train/val/test split: q34's content-hash bucketing
+      * with the GROUP constraint evals require — near-duplicates of a
+      * training document must not land in test (a test doc with a
+      * training near-copy is a leaked eval, the reason eval-dedup
+      * exists). Every member of a q36 near-dup cluster inherits the
+      * bucket of the cluster REPRESENTATIVE's content (min-id member),
+      * so no cluster can straddle splits BY CONSTRUCTION; singletons
+      * hash their own content, collapsing to exactly q34.
+      *
+      * Scale: the cluster table is duplicate-density-sized; the
+      * representative lookup joins (id, 8-hex-digit bucket) pairs
+      * computed AT THE SCAN — the q163 rule: ship digests, never
+      * documents, through a corpus-sized join. */
+    QueryDef("q165_leak_safe_split", {
+      val b = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100"
+      s"""WITH RECURSIVE $clusterCtes,
+         |b0 AS (SELECT doc_id, $b AS bucket FROM documents),
+         |k AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep_id,
+         |    c.cluster_id IS NOT NULL AS grouped
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+         |SELECT k.doc_id, k.rep_id AS split_key,
+         |  CAST(r.bucket AS BIGINT) AS bucket,
+         |  CASE WHEN r.bucket < 90 THEN 'train'
+         |       WHEN r.bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  k.grouped
+         |FROM k JOIN b0 r ON r.doc_id = k.rep_id
+         |""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val b0 = t(s, dir, "documents")
+        .select(col("doc_id").as("rep_id"), bucket.as("bucket"))
+      t(s, dir, "documents").select("doc_id")
+        .join(Dedup.sharedNearDupClusters(s, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("rep_id"),
+          col("cluster_id").isNotNull.as("grouped"))
+        .join(b0, "rep_id")
+        .select(col("doc_id"), col("rep_id").as("split_key"), col("bucket"),
+          when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"),
+          col("grouped"))
+    },
+
+    /** Split-leakage audit — the measurement q165 is the fix for: under
+      * the NAIVE per-document split (q34's rule), how many val/test
+      * documents have a near-duplicate in train? Each such document is
+      * a leaked eval (the model saw a near-copy in training), so this
+      * report is the acceptance check a split ships with. Output: one
+      * row per leaked eval doc with its split and train-neighbor count.
+      *
+      * Scale: the pair frame is the session-memoized duplicate-density
+      * pair table; split labels are (id, bucket) pairs computed at the
+      * scan and joined onto pair endpoints — digests through the join,
+      * never documents. */
+    QueryDef("q166_split_leakage", {
+      val b = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100"
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+         |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM w),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val'
+         |         ELSE 'test' END AS split FROM documents),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs)
+         |SELECT e.a AS doc_id, sa.split, CAST(count(*) AS BIGINT) AS n_train_neighbors
+         |FROM e JOIN sp sa ON sa.doc_id = e.a JOIN sp sb ON sb.doc_id = e.b
+         |WHERE sa.split <> 'train' AND sb.split = 'train'
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+    }) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val sp = t(s, dir, "documents").select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      val p = Dedup.sharedNearDupPairs(s, dir).select("doc_a", "doc_b")
+      val e = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      e.join(sp.select(col("doc_id").as("a"), col("split")), "a")
+        .join(sp.select(col("doc_id").as("b"),
+          col("split").as("split_b")), "b")
+        .filter(col("split") =!= "train" && col("split_b") === "train")
+        .groupBy(col("a").as("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_train_neighbors"))
     }
   )
 

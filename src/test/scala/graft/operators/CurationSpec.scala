@@ -355,4 +355,26 @@ class CurationSpec extends SparkSuite {
     assert(got(4L) == ((4L, 11L, 1L, "slow", true)))
     assert(got(5L) == ((5L, 0L, 0L, "", true)))
   }
+
+  test("q165: no near-dup cluster straddles splits; singletons reduce " +
+      "to exactly q34") {
+    val r = queries("q165_leak_safe_split")(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(!r.filter(col("grouped")).isEmpty,
+        "sf0.01 plants near-dup clusters — the guard must fire")
+      // the leakage guard: every cluster lands in ONE split
+      val straddling = r.filter(col("grouped")).groupBy("split_key")
+        .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+      assert(straddling.isEmpty, "a cluster straddles train/val/test")
+      // off the duplicate graph the operator IS q34 — same bucket, same
+      // split for every singleton
+      val q34 = queries("q34_train_split")(spark, dir)
+        .select(col("doc_id"), col("bucket").as("b34"),
+          col("split").as("s34"))
+      val diverged = r.filter(!col("grouped")).join(q34, "doc_id")
+        .filter(col("split") =!= col("s34") || col("bucket") =!= col("b34"))
+      assert(diverged.isEmpty, "singleton split diverged from q34")
+    } finally r.unpersist()
+  }
 }
