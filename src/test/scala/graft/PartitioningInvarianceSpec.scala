@@ -26,7 +26,11 @@ class PartitioningInvarianceSpec extends SparkSuite {
     "q63_seq_pack", "q69_sessionize", "q21_minhash_lsh",
     "q66_curriculum_bins", "q77_churn_cohorts", "q64_salted_join",
     "q138_char_entropy", "q158_scd2_history", "q159_entity_match",
-    "q160_temporal_join")
+    "q160_temporal_join",
+    // q161 rides the drift decimal ledger (q138's re-layout contract);
+    // q163's diff classes and q164's Wilson bounds are pure per-group
+    // IEEE arithmetic that must not move with reducer assignment
+    "q161_drift_psi", "q163_snapshot_diff", "q164_gate_ci")
 
   // q21's production form reads the session-memoized parquet pair table,
   // which would make re-layout runs trivially identical — invariance must
