@@ -126,7 +126,12 @@ object Governance {
       * v2 is SYNTHESIZED from v1 on deterministic id schedules the
       * oracle replays verbatim (the q93/q148/q161 posture): every 13th
       * doc is revised, every 17th dropped, every 19th contributes a
-      * brand-new doc (id + 10M). The diff itself is the production
+      * brand-new doc. Added ids are NEGATIVE (-doc_id - 1): real
+      * doc_ids are non-negative at every scale factor, so synthetic
+      * ids can never collide with genuine v1 ids — an additive offset
+      * would silently misclassify once real ids reach it, and both
+      * engines would agree so the gate couldn't catch it (r12
+      * ADVICE). The diff itself is the production
       * operator: both sides reduce to (doc_id, source, 128-bit content
       * digest) AT THE SCAN, so the full-outer join ships 16-byte
       * digests, never documents — at 100 TB the shuffle is the id+hash
@@ -137,7 +142,7 @@ object Governance {
         |    md5(text || CASE WHEN doc_id % 13 = 0 THEN ' [rev2]' ELSE '' END) AS h
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, source, md5(text)
+        |  SELECT -doc_id - 1, source, md5(text)
         |  FROM documents WHERE doc_id % 19 = 0),
         |j AS (SELECT coalesce(a.source, b.source) AS source,
         |    CASE WHEN a.doc_id IS NULL THEN 'added'
@@ -156,7 +161,7 @@ object Governance {
             when(col("doc_id") % 13 === 0, " [rev2]").otherwise("")))
             .as("h"))
         .unionByName(docs.filter(col("doc_id") % 19 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          .select((-col("doc_id") - 1L).as("doc_id"), col("source"),
             md5(col("text")).as("h")))
       v1.select(col("doc_id"), col("source").as("s_a"), col("h").as("h_a"))
         .join(v2.select(col("doc_id"), col("source").as("s_b"),
@@ -180,14 +185,20 @@ object Governance {
       * One partial+final agg to a sources-sized frame; the interval
       * math runs on that bounded frame. */
     QueryDef("q164_gate_ci", {
-      val z = "1.96"
+      // CAST(… AS DOUBLE) so DuckDB evaluates the same binary-double
+      // expression tree as Spark's lit(1.96): bare 1.96 parses as
+      // DECIMAL there, making z*z exact (3.8416) instead of the
+      // double product — an ulp divergence round(…,6) masks except at
+      // knife-edge meets_slo boundaries (r12 ADVICE).
+      val z = "CAST(1.96 AS DOUBLE)"
       val lo = s"((ph + $z*$z/(2*nd)) - $z * sqrt(ph*(1-ph)/nd + $z*$z/(4*nd*nd))) / (1 + $z*$z/nd)"
       val hi = s"((ph + $z*$z/(2*nd)) + $z * sqrt(ph*(1-ph)/nd + $z*$z/(4*nd*nd))) / (1 + $z*$z/nd)"
       "WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(count(*) FILTER (n_chars >= 200) AS BIGINT) AS n_pass " +
         "FROM documents GROUP BY 1), " +
         "b AS (SELECT source, n, n_pass, " +
-        "n_pass * 1.0 / n AS ph, n * 1.0 AS nd FROM a) " +
+        "n_pass * CAST(1.0 AS DOUBLE) / n AS ph, " +
+        "n * CAST(1.0 AS DOUBLE) AS nd FROM a) " +
         s"SELECT source, n, n_pass, round(ph, 6) AS pass_rate, " +
         s"round($lo, 6) AS ci_lo, round($hi, 6) AS ci_hi, " +
         s"round($lo, 6) >= 0.6 AS meets_slo FROM b"

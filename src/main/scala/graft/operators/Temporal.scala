@@ -99,11 +99,29 @@ object Temporal {
       * sort before probes at equal ts, the ≤ tie rule). Composing the
       * q158 builder and then as-of joining against it would shuffle the
       * dimension twice on the same key; the fusion keeps the whole plan
-      * to ONE Exchange — the form PlanSpec pins. */
+      * to ONE Exchange — the form PlanSpec pins.
+      *
+      * Tie rule (r12 ADVICE): two dimension events for the same user at
+      * the SAME ts_ns are possible (the MICROS file path makes ts_ns =
+      * micros*1000), and an un-keyed last() would be nondeterministic.
+      * Both engines resolve ties as LAST WRITE WINS by event id: the
+      * Spark window adds state_event_id as a third ordering key so
+      * last() picks the max-event_id row, and the oracle collapses the
+      * dim to the max-event_id row per (user, ts) BEFORE the ASOF join
+      * (ts is then unique per user, making ASOF deterministic). The
+      * picked row's version still counts every dim event — shadowed
+      * same-ts versions exist with zero-width validity, exactly q158's
+      * numbering — and the two formulations agree by construction:
+      * Spark's running dim count at the probe = all dim rows with
+      * ts ≤ picked ts = the oracle's row_number of the max-event_id
+      * row at that ts. */
     QueryDef("q160_temporal_join",
-      "WITH dim AS (SELECT user_id, event_id, event_type, ts, " +
+      "WITH dim AS (SELECT user_id, event_id, event_type, ts, version " +
+        "FROM (SELECT user_id, event_id, event_type, ts, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
-        "AS BIGINT) AS version FROM events WHERE event_type <> 'purchase') " +
+        "AS BIGINT) AS version, " +
+        "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) " +
+        "AS rn FROM events WHERE event_type <> 'purchase') WHERE rn = 1) " +
         "SELECT p.event_id, p.user_id, p.ts, d.event_id AS state_event_id, " +
         "d.event_type AS state_type, d.version AS state_version " +
         "FROM (SELECT event_id, user_id, ts FROM events " +
@@ -121,8 +139,11 @@ object Temporal {
           col("event_id").as("state_event_id"),
           col("event_type").as("state_type"),
           col("ts_ns").as("_ts"), lit(0).as("_side"))
+      // third key = tie-break among same-ts dim rows (probe-side nulls
+      // sort first within their _side group; harmless — tied probes
+      // read identical dim state either way)
       val w = Window.partitionBy("user_id")
-        .orderBy(col("_ts"), col("_side"))
+        .orderBy(col("_ts"), col("_side"), col("state_event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val nDim = count(when(col("_side") === 0, lit(1))).over(w)
       probes.unionByName(dim)
