@@ -36,18 +36,34 @@ import org.apache.spark.unsafe.types.UTF8String
   *    value doc; a doc containing `"op"` is a value message, a doc
   *    before it without one is its key).
   *
-  * Offsets are a single global sequence over (file name asc, position in
-  * file) — a total order like a single-partition Kafka topic, which is
-  * what the engine's `seq` contract wants ([[KafkaCdc.toCdcInput]]);
-  * `latestOffset` re-lists the directory, so files appended between
-  * restarts are picked up exactly at the committed offset. Batch reads
-  * (`spark.read.format("graft-replay")`) see the full dump.
+  * Two offset models (r12 VERDICT #1):
+  *
+  *  - DEFAULT (no `topicPartitions` option): a single global sequence
+  *    over (file name asc, position in file) — a total order like a
+  *    single-partition Kafka topic.
+  *  - KEYED (`topicPartitions` = N): each topic is modeled as N Kafka
+  *    partitions. A record's partition is Kafka's own placement rule —
+  *    murmur2 of the key bytes for keyed messages (the DefaultPartitioner
+  *    hash, so a Debezium PK key lands where the real broker would put
+  *    it, register-ec.json:11-12), round-robin within the topic for
+  *    key-less ones. Offsets are PER-PARTITION longs; the stream offset
+  *    is a composite VECTOR ({"topic":{"partition":consumed}}, the shape
+  *    the Kafka source checkpoints), batches plan one input partition
+  *    per topic-partition slice and read them concurrently — so delivery
+  *    is interleaved across partitions and only PER-KEY order holds,
+  *    exactly real Kafka's contract (README.md:133-150).
+  *
+  * In both models `latestOffset` re-lists the directory, so files
+  * appended between restarts are picked up exactly at the committed
+  * offset. Batch reads (`spark.read.format("graft-replay")`) see the
+  * full dump.
   *
   * Scale posture: this is a REPLAY source — its job is fidelity to the
   * source API, not 100 TB throughput. Still, batches plan as contiguous
-  * offset slices across `numPartitions` input partitions, the parsed
-  * dump is cached per executor JVM keyed by a (name, size, mtime)
-  * fingerprint, and nothing buffers on the driver but the offset longs.
+  * offset slices across input partitions, the parsed dump is cached per
+  * executor JVM keyed by a (name, size, mtime) fingerprint with
+  * stalest-entry eviction, and nothing buffers on the driver but the
+  * offset vector.
   */
 class ReplaySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
@@ -80,10 +96,115 @@ object ReplaySource {
 
   final case class Record(topic: String, key: String, value: String)
 
+  /** One parsed dump version: the globally-ordered record sequence plus
+    * lazily-built per-(topic, partition) indexes, one per partition
+    * count requested (global index lists, so keyed readers share the
+    * same parsed records). */
+  private[sources] final class Dump(val records: IndexedSeq[Record]) {
+    private val tpIndexes = scala.collection.concurrent.TrieMap
+      .empty[Int, Map[(String, Int), IndexedSeq[Int]]]
+    def byTp(parts: Int): Map[(String, Int), IndexedSeq[Int]] =
+      tpIndexes.getOrElseUpdate(parts, assign(records, parts))
+    def length: Int = records.length
+  }
+
   // parsed-dump cache, keyed by directory + content fingerprint: one
   // parse per executor JVM per dump version, however many batches replay
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), IndexedSeq[Record]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Dump]
+  private val lastUsed =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private val clock = new java.util.concurrent.atomic.AtomicLong
+  private val MaxCachedDumps = 16
+
+  /** Files parsed since JVM start — observable so tests can pin that a
+    * hot dump is never re-parsed while stale versions churn through the
+    * cache (r12 VERDICT #8). */
+  private[sources] val parses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Kafka's DefaultPartitioner key hash (murmur2 with the 0x9747b28c
+    * seed — the public algorithm every Kafka client implements), so a
+    * keyed replay record lands on the partition the real broker would
+    * have placed it on. */
+  private[sources] def murmur2(data: Array[Byte]): Int = {
+    val m = 0x5bd1e995
+    val r = 24
+    var h = 0x9747b28c ^ data.length
+    var i = 0
+    while (i + 4 <= data.length) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    val tail = data.length & ~3
+    (data.length % 4: @unchecked) match {
+      case 3 =>
+        h ^= (data(tail + 2) & 0xff) << 16
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff; h *= m
+      case 2 =>
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff; h *= m
+      case 1 =>
+        h ^= data(tail) & 0xff; h *= m
+      case 0 =>
+    }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  /** Partition placement over the global record order: keyed records by
+    * murmur2(key) like Kafka's DefaultPartitioner (all events for one
+    * Debezium PK land in ONE partition, in file order — the per-key
+    * ordering guarantee), key-less records round-robin within their
+    * topic (the old round-robin partitioner; deterministic, unlike the
+    * sticky one). Returns per-(topic, partition) lists of GLOBAL record
+    * indexes, each ascending — position in the list IS the record's
+    * per-partition Kafka offset. */
+  private[sources] def assign(records: IndexedSeq[Record],
+      parts: Int): Map[(String, Int), IndexedSeq[Int]] = {
+    val rr = scala.collection.mutable.Map.empty[String, Int]
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), scala.collection.mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < records.length) {
+      val rec = records(i)
+      val part =
+        if (parts <= 1) 0
+        else if (rec.key == null) {
+          val c = rr.getOrElse(rec.topic, 0)
+          rr(rec.topic) = c + 1
+          c % parts
+        } else (murmur2(rec.key.getBytes("UTF-8")) & 0x7fffffff) % parts
+      out.getOrElseUpdate((rec.topic, part),
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+      i += 1
+    }
+    out.view.mapValues(_.toIndexedSeq).toMap
+  }
+
+  /** Proportional admission-control grant: distribute `maxRows` across
+    * topic-partitions in proportion to their lag (the Kafka source's
+    * rate-limit shape), rounding remainder dealt deterministically in
+    * (topic, partition) order. `lags` must be pre-sorted. */
+  private[sources] def grant(lags: Seq[((String, Int), Long)],
+      maxRows: Long): Map[(String, Int), Long] = {
+    val totalLag = lags.map(_._2).sum
+    if (totalLag <= maxRows) return lags.toMap
+    val base = lags.map { case (tp, lag) =>
+      (tp, lag, maxRows * lag / totalLag)
+    }
+    val out = scala.collection.mutable.LinkedHashMap(
+      base.map { case (tp, _, g) => tp -> g }: _*)
+    // sum of floors ≥ maxRows − (n−1): one deterministic pass settles it
+    var rem = maxRows - base.map(_._3).sum
+    base.foreach { case (tp, lag, g) =>
+      if (rem > 0 && g < lag) { out(tp) = g + 1; rem -= 1 }
+    }
+    out.toMap
+  }
 
   private def listFiles(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
@@ -131,6 +252,7 @@ object ReplaySource {
   }
 
   private def parseFile(f: Path): Seq[Record] = {
+    parses.incrementAndGet()
     val topic = topicOf(f)
     val text = new String(Files.readAllBytes(f), "UTF-8")
     if (f.getFileName.toString.endsWith(".jsonl"))
@@ -155,14 +277,24 @@ object ReplaySource {
     * IndexedSeq bounds a replay dump at Int.MaxValue records — far past
     * any captured console dump; a larger corpus belongs on the real
     * connector, not a replay fixture. */
-  private[sources] def load(dir: String): IndexedSeq[Record] = {
+  private[sources] def load(dir: String): Dump = {
     val files = listFiles(dir)
-    // every dump GROWTH step keys a fresh entry; keep the cache from
-    // accumulating stale versions across a long-lived session (a replay
-    // dump is small — re-parsing after a clear is cheap)
-    if (cache.size > 16) cache.clear()
-    cache.getOrElseUpdate((dir, fingerprint(files)),
-      files.flatMap(parseFile).toIndexedSeq)
+    val key = (dir, fingerprint(files))
+    val dump = cache.getOrElseUpdate(key,
+      new Dump(files.flatMap(parseFile).toIndexedSeq))
+    lastUsed.put(key, clock.incrementAndGet())
+    // every dump GROWTH step keys a fresh entry; evict the STALEST one
+    // past the cap — never the entry just touched, so a concurrently
+    // replaying query's dump survives version churn (r12 VERDICT #8;
+    // the old wholesale clear() re-parsed under a live reader)
+    while (cache.size > MaxCachedDumps) {
+      val evictable = cache.keys.filter(_ != key)
+      if (evictable.isEmpty) return dump
+      val stalest = evictable.minBy(k => lastUsed.getOrElse(k, 0L))
+      cache.remove(stalest)
+      lastUsed.remove(stalest)
+    }
+    dump
   }
 }
 
@@ -176,6 +308,9 @@ final class ReplayTable(options: CaseInsensitiveStringMap)
       .getOrElse(Long.MaxValue)
   private val numPartitions: Int =
     Option(options.get("numPartitions")).map(_.toInt).getOrElse(4)
+  /** ≥1 → keyed multi-partition mode; absent → single global sequence. */
+  private val topicPartitions: Int =
+    Option(options.get("topicPartitions")).map(_.toInt).getOrElse(0)
 
   override def name(): String = s"graft-replay:$path"
   override def schema(): StructType = ReplaySource.schema
@@ -189,13 +324,20 @@ final class ReplayTable(options: CaseInsensitiveStringMap)
         override def readSchema(): StructType = ReplaySource.schema
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            ReplayMicroBatchStream.slice(path,
+            if (topicPartitions >= 1)
+              KeyedReplayMicroBatchStream.slices(path, topicPartitions,
+                Map.empty, ReplaySource.load(path).byTp(topicPartitions)
+                  .view.mapValues(_.length.toLong).toMap)
+            else ReplayMicroBatchStream.slice(path,
               0L, ReplaySource.load(path).length.toLong, numPartitions)
           override def createReaderFactory(): PartitionReaderFactory =
             new ReplayReaderFactory
         }
         override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-          new ReplayMicroBatchStream(path, maxPerBatch, numPartitions)
+          if (topicPartitions >= 1)
+            new KeyedReplayMicroBatchStream(path, maxPerBatch,
+              topicPartitions)
+          else new ReplayMicroBatchStream(path, maxPerBatch, numPartitions)
       }
     }
 }
@@ -220,8 +362,14 @@ final class ReplayMicroBatchStream(path: String, maxPerBatch: Long,
 
   override def initialOffset(): Offset = ReplayOffset(0L)
 
-  override def deserializeOffset(json: String): Offset =
-    ReplayOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    require(!t.startsWith("{"),
+      "this checkpoint holds a composite per-partition offset vector — " +
+        "it was written with topicPartitions set; restart the query with " +
+        "the same option")
+    ReplayOffset(t.toLong)
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = total
@@ -281,30 +429,189 @@ object ReplayMicroBatchStream {
   }
 }
 
+/** Composite offset for keyed mode: per-(topic, partition) consumed
+  * counts, serialized as the nested JSON the Kafka source checkpoints
+  * (`{"topic":{"partition":offset}}`), keys sorted so equal vectors
+  * serialize identically (the engine compares offsets by their JSON). */
+final case class ReplayVectorOffset(consumed: Map[(String, Int), Long])
+    extends Offset {
+  override def json(): String = {
+    import org.json4s._
+    val obj = JObject(consumed.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (topic, parts) =>
+        topic -> JObject(parts.toSeq.sortBy(_._1._2).map {
+          case ((_, p), off) => p.toString -> (JLong(off): JValue)
+        }.toList)
+    }.toList)
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(obj))
+  }
+}
+
+object ReplayVectorOffset {
+  def fromJson(s: String): ReplayVectorOffset = {
+    import org.json4s._
+    val t = s.trim
+    require(t.startsWith("{"),
+      "single-sequence replay offset found — this checkpoint was written " +
+        "WITHOUT topicPartitions; restart the query without the option")
+    val fields = org.json4s.jackson.JsonMethods.parse(t) match {
+      case JObject(fs) => fs
+      case other => throw new IllegalArgumentException(
+        s"malformed replay offset vector: $other")
+    }
+    ReplayVectorOffset(fields.flatMap {
+      case (topic, JObject(parts)) => parts.map {
+        case (p, JInt(n))  => (topic, p.toInt) -> n.toLong
+        case (p, JLong(n)) => (topic, p.toInt) -> n
+        case (p, v) => throw new IllegalArgumentException(
+          s"malformed offset for $topic-$p: $v")
+      }
+      case (topic, v) => throw new IllegalArgumentException(
+        s"malformed partition map for $topic: $v")
+    }.toMap)
+  }
+}
+
+/** Keyed multi-partition mode (r12 VERDICT #1): per-(topic, partition)
+  * offset vectors, partition placement by murmur2 of the Debezium key —
+  * so batches interleave across partitions and only PER-KEY order holds,
+  * the contract real Kafka gives a keyed CDC topic. */
+final class KeyedReplayMicroBatchStream(path: String, maxPerBatch: Long,
+    parts: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Map[(String, Int), Long] = null
+  @volatile private var committedUpTo: Map[(String, Int), Long] = Map.empty
+
+  private def totals: Map[(String, Int), Long] =
+    ReplaySource.load(path).byTp(parts).view.mapValues(_.length.toLong).toMap
+
+  override def initialOffset(): Offset = ReplayVectorOffset(Map.empty)
+
+  override def deserializeOffset(json: String): Offset =
+    ReplayVectorOffset.fromJson(json)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = totals
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerBatch == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ReplayVectorOffset].consumed
+    val avail = if (availableNowCap != null) availableNowCap else totals
+    val lags = avail.toSeq.sortBy { case ((t, p), _) => (t, p) }.map {
+      case (tp, n) => tp -> math.max(0L, n - from.getOrElse(tp, 0L))
+    }
+    val granted = limit match {
+      case r: ReadMaxRows => ReplaySource.grant(lags, r.maxRows())
+      case _ => lags.toMap
+    }
+    ReplayVectorOffset((from.keySet ++ avail.keySet).map { tp =>
+      tp -> (from.getOrElse(tp, 0L) + granted.getOrElse(tp, 0L))
+    }.toMap)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used under SupportsAdmissionControl")
+
+  override def reportLatestOffset(): Offset = ReplayVectorOffset(totals)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    KeyedReplayMicroBatchStream.slices(path, parts,
+      start.asInstanceOf[ReplayVectorOffset].consumed,
+      end.asInstanceOf[ReplayVectorOffset].consumed)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayReaderFactory
+
+  override def commit(end: Offset): Unit =
+    committedUpTo = end.asInstanceOf[ReplayVectorOffset].consumed
+
+  /** Last offset vector the engine reported durable — for tests. */
+  def committed: Map[(String, Int), Long] = committedUpTo
+
+  override def stop(): Unit = ()
+}
+
+object KeyedReplayMicroBatchStream {
+  /** One input partition per topic-partition with new data — the Kafka
+    * source's 1:1 planning, which is what makes delivery interleaved
+    * across partitions but ordered within one. */
+  private[sources] def slices(path: String, parts: Int,
+      start: Map[(String, Int), Long],
+      end: Map[(String, Int), Long]): Array[InputPartition] =
+    end.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
+      case ((topic, part), hi) =>
+        val lo = start.getOrElse((topic, part), 0L)
+        if (hi > lo)
+          Some(ReplayTpInputPartition(path, topic, part, lo, hi, parts))
+        else None
+    }.toArray
+}
+
 final case class ReplayInputPartition(path: String, start: Long, end: Long)
     extends InputPartition
 
+/** [start, end) in PER-PARTITION offsets of (topic, partition). */
+final case class ReplayTpInputPartition(path: String, topic: String,
+    partition: Int, start: Long, end: Long, parts: Int)
+    extends InputPartition
+
 final class ReplayReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[ReplayInputPartition]
-    new PartitionReader[InternalRow] {
-      private val records = ReplaySource.load(part.path)
-      private var i = part.start - 1
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case part: ReplayInputPartition =>
+        new PartitionReader[InternalRow] {
+          private val records = ReplaySource.load(part.path).records
+          private var i = part.start - 1
 
-      override def next(): Boolean = { i += 1; i < part.end }
+          override def next(): Boolean = { i += 1; i < part.end }
 
-      override def get(): InternalRow = {
-        val r = records(i.toInt)
-        InternalRow(
-          UTF8String.fromString(r.topic),
-          0,
-          i,
-          if (r.key == null) null else UTF8String.fromString(r.key),
-          UTF8String.fromString(r.value),
-          ReplaySource.baseMicros + i * 1000000L)
-      }
+          override def get(): InternalRow = {
+            val r = records(i.toInt)
+            InternalRow(
+              UTF8String.fromString(r.topic),
+              0,
+              i,
+              if (r.key == null) null else UTF8String.fromString(r.key),
+              UTF8String.fromString(r.value),
+              ReplaySource.baseMicros + i * 1000000L)
+          }
 
-      override def close(): Unit = ()
+          override def close(): Unit = ()
+        }
+
+      case part: ReplayTpInputPartition =>
+        new PartitionReader[InternalRow] {
+          private val dump = ReplaySource.load(part.path)
+          // ascending global indexes of this topic-partition's records;
+          // list position IS the per-partition Kafka offset
+          private val idx = dump.byTp(part.parts)
+            .getOrElse((part.topic, part.partition), IndexedSeq.empty)
+          private var j = part.start - 1
+
+          override def next(): Boolean = { j += 1; j < part.end }
+
+          override def get(): InternalRow = {
+            val g = idx(j.toInt)
+            val r = dump.records(g)
+            InternalRow(
+              UTF8String.fromString(r.topic),
+              part.partition,
+              j,
+              if (r.key == null) null else UTF8String.fromString(r.key),
+              UTF8String.fromString(r.value),
+              // timestamp keyed to the GLOBAL capture position, so the
+              // same record carries the same timestamp in both models
+              ReplaySource.baseMicros + g * 1000000L)
+          }
+
+          override def close(): Unit = ()
+        }
     }
-  }
 }
