@@ -106,7 +106,7 @@ final class Engine(val spark: SparkSession) {
           case Some(spec)
               if spec.options.get("connector").contains("parquet") =>
             val path = spec.options("path")
-            spark.sql(select).write.mode("append").parquet(path)
+            query(select).write.mode("append").parquet(path)
             // re-point the temp view so later queries see the insert
             spark.read.schema(spec.schema).parquet(path)
               .createOrReplaceTempView(target)
@@ -118,10 +118,17 @@ final class Engine(val spark: SparkSession) {
                 "no streaming session is attached (CdcSqlSession.attachTo)")
           }
         }
-      case None => spark.sql(stmt)
+      case None => query(stmt)
     }
     }
   }
+
+  /** Plain query path: Flink's `FOR SYSTEM_TIME AS OF` temporal join
+    * compiles onto [[graft.operators.AsOf.asofBackward]]'s one-shuffle
+    * window form ([[TemporalSql]]); everything else is stock Catalyst. */
+  private def query(select: String): DataFrame =
+    TemporalSql.rewrite(spark, catalog, select)
+      .getOrElse(spark.sql(select))
 
   /** Run a multi-statement script (e.g. the reference's flink-ddl.sql
     * top-to-bottom) through [[sql]]; returns the last statement's frame. */

@@ -33,11 +33,17 @@ object AsOf {
     * consistent when every right row fills all of them.
     *
     * Tie rule: a right row AT the left row's timestamp matches
-    * (`≤`, not `<`) — right rows sort before left rows at equal ts. */
+    * (`≤`, not `<`) — right rows sort before left rows at equal ts.
+    * `tieBreak` (names from `payload`'s OUTPUT side) deterministically
+    * orders right rows that share (key, ts): the greatest tie-break
+    * tuple wins (last write by that order). Without it, same-ts right
+    * duplicates resolve by physical order — fine when (key, ts) is
+    * unique, nondeterministic on a cluster when it is not. */
   def asofBackward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)],
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val outNames = payload.map(_._2)
     val rightTypes = payload.map { case (src, _) =>
@@ -56,8 +62,11 @@ object AsOf {
         Seq(col(rightTs).as("_ts"), lit(0).as("_side")): _*)
       .select(lTagged.columns.map(col): _*) // align column order
 
+    // tie-break keys only discriminate among right rows (_side groups
+    // first, and left rows carry null payloads — tied among themselves,
+    // which is harmless: they only read)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts") +: col("_side") +: tieBreak.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     outNames
       .foldLeft(lTagged.unionByName(rTagged)) { (df, n) =>
