@@ -688,15 +688,18 @@ object Dedup {
         .replace("\n", " ")
     }) { (s, dir) =>
       val pairs = sharedNearDupPairs(s, dir).select("doc_a", "doc_b")
-      // reliable checkpoint, not persist: persist caches DATA but the
-      // LOGICAL plan keeps nesting — by iteration 10 the optimizer
-      // re-plans a tree holding every prior round (measured: heap
-      // exhaustion), while checkpoint() truncates lineage per round
-      // (same discipline and rationale as starContract's round loop)
+      // edges/deg stay LAZY off the memo parquet (re-scanning the pair
+      // table is cheaper than two eager checkpoint jobs — r12
+      // watchlist); only the frame the LOOP iterates on is
+      // checkpointed. Reliable checkpoint, not persist: persist caches
+      // DATA but the LOGICAL plan keeps nesting — by iteration 10 the
+      // optimizer re-plans a tree holding every prior round (measured:
+      // heap exhaustion), while checkpoint() truncates lineage per
+      // round (same discipline and rationale as starContract's loop)
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .checkpoint()
-      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).checkpoint()
+      val deg = graft.CacheScope.persist(
+        edges.groupBy("u").agg(count(lit(1)).as("deg")))
       val n = deg.count() // |nodes| of the dup graph: bounded driver scalar
       // out-degree rides the edge: joined ONCE here and checkpointed, so
       // each iteration is a single join+agg instead of two joins. deg is
@@ -704,19 +707,34 @@ object Dedup {
       // arithmetic stays rank/deg — bit-identical to the oracle's CTEs;
       // a pre-divided weight would introduce ULP drift multiplied 10×.
       val contribEdges = edges.join(deg, "u").checkpoint()
+      // Size-adaptive round parallelism — the starContract discipline
+      // (r11 #3) applied to THIS loop (r12 watchlist: q81 drifted
+      // 2.91→3.50s committed; the dup graph at sf0.1 is a few hundred
+      // edges paying 10 rounds of full-width shuffle cadence). The
+      // graph is checkpointed, so counting it is cheap; ~4M edges per
+      // partition, restored in finally so callers never inherit the
+      // narrow width. At corpus scale a billion-pair graph still gets
+      // its 250+ partitions.
+      val confKey = "spark.sql.shuffle.partitions"
+      val prevWidth = s.conf.get(confKey)
+      val width = math.max(1L,
+        math.min(1L << 14, contribEdges.count() / 4000000L + 1L))
       var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
-      for (i <- 1 to 10) {
-        val next = contribEdges
-          .join(ranks.withColumnRenamed("node", "u"), "u")
-          .groupBy(col("v").as("node"))
-          .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg")))
-            .as("rank"))
-        // every 2nd round is deep enough: the blow-up is exponential in
-        // UNBOUNDED nesting; depth ≤ 2 keeps planning flat and drops
-        // half the checkpoint I/O (3.9 s → 3.5 s warm; the remaining
-        // cost is the LSH pair pipeline plus 10 genuine join+agg rounds)
-        ranks = if (i % 2 == 0 || i == 10) next.checkpoint() else next
-      }
+      try {
+        s.conf.set(confKey, width.toString)
+        for (i <- 1 to 10) {
+          val next = contribEdges
+            .join(ranks.withColumnRenamed("node", "u"), "u")
+            .groupBy(col("v").as("node"))
+            .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg")))
+              .as("rank"))
+          // every 2nd round is deep enough: the blow-up is exponential
+          // in UNBOUNDED nesting; depth ≤ 2 keeps planning flat and
+          // drops half the checkpoint I/O; the remaining cost is the
+          // LSH pair pipeline plus 10 genuine join+agg rounds
+          ranks = if (i % 2 == 0 || i == 10) next.checkpoint() else next
+        }
+      } finally s.conf.set(confKey, prevWidth)
       ranks.select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
     },
 

@@ -1638,7 +1638,7 @@ object TextAnalysis {
       * heuristic weights; this one fits its weights to the corpus).
       * Features: 64 hashed-unigram frequency buckets + bias, dense
       * per-doc arrays; label: lang = 'en' (the fastText langid task on
-      * this corpus); training: 3 full-batch gradient-descent rounds,
+      * this corpus); training: 6 full-batch gradient-descent rounds,
       * w ← w − (1/N)·Σ_d (σ̂(w·x_d) − y_d)·x_d. σ̂ is the algebraic
       * sigmoid 0.5 + z/(2(1+|z|)) — one add/divide/abs, IEEE-exact in
       * both engines, where exp()'s last-ulp behavior is NOT a
@@ -1726,17 +1726,22 @@ object TextAnalysis {
       for (_ <- 1 to 6) {
         val p = sigmoid(graft.functions.DotProduct(
           col("xs"), typedlit(w.map(_.doubleValue))))
-        val grads = feat
-          .select(col("y"), posexplode(col("xs")).as(Seq("i", "x")), p.as("p"))
-          .select(col("i"),
-            round((col("p") - col("y")) * col("x"), 12)
-              .cast("decimal(38,12)").as("contrib"))
-          .groupBy("i")
-          .agg((sum("contrib").cast("double") / lit(nDocs.toDouble)).as("s"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        // per-bucket gradient = 65 independent map-side-combined sums
+        // over the SAME rounded DECIMAL contributions the oracle's
+        // unrolled CTEs add (order-free by construction) — one global
+        // agg per round, no 65× posexplode row blow-up (r12 watchlist:
+        // the explode+groupBy form drifted q129 3.41→4.08s; identical
+        // arithmetic, narrower plumbing)
+        val contribs = feat.select(
+          transform(col("xs"), x =>
+            round((p - col("y")) * x, 12).cast("decimal(38,12)")).as("c"))
+        val aggs = (0 until 65).map(i =>
+          (sum(element_at(col("c"), i + 1)).cast("double") /
+            lit(nDocs.toDouble)).as(s"s$i"))
+        val row = contribs.agg(aggs.head, aggs.tail: _*).head()
         w = w.indices.map { i =>
           r6(new java.math.BigDecimal(
-            w(i).doubleValue - 3.0 * grads.getOrElse(i, 0.0)))
+            w(i).doubleValue - 3.0 * row.getDouble(i)))
         }
       }
       val pF = sigmoid(graft.functions.DotProduct(
