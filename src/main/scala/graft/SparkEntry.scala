@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Bpe, Curation, Dedup, Governance, KMeans, Multimodal, Pq, Provenance, Relational, Similarity, Temporal, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, Governance, KMeans, Multimodal, Pq, Provenance, Relational, Retrieval, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     Relational.queries ++ AsOf.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Curation.queries ++ Similarity.queries ++
       KMeans.queries ++ Multimodal.queries ++ Bpe.queries ++ Pq.queries ++
-      Provenance.queries ++ Temporal.queries ++ Governance.queries
+      Provenance.queries ++ Temporal.queries ++ Governance.queries ++
+      Retrieval.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship is `order_view` (orders ⋈ users → upsert),

@@ -1546,6 +1546,81 @@ object Curation {
         .filter(col("split") =!= "train" && col("split_b") === "train")
         .groupBy(col("a").as("doc_id"), col("split"))
         .agg(count(lit(1)).as("n_train_neighbors"))
+    },
+
+    /** Content-defined chunking — Rabin-style variable-size chunks whose
+      * boundaries come from the CONTENT (a char 8-gram hash hitting
+      * 0 mod 64 cuts after that window), not from fixed offsets: insert
+      * one character and only the chunk containing the edit changes,
+      * where q157's fixed windows shift EVERY downstream boundary. The
+      * storage-dedup chunking recipe (LBFS/rsync lineage) applied to
+      * corpus text, with the cross-doc duplicate-chunk count (n_docs per
+      * content digest) as the payoff column — shared content found at
+      * SHIFTED offsets, the case fixed-stride chunking structurally
+      * misses. The window hash is q105's md5-prefix recipe, so the
+      * oracle replays boundaries bit-identically.
+      *
+      * Scale: the boundary scan is the codegen'd window explode with a
+      * row-level modulus filter — the shuffle carries ONE row per
+      * boundary (~1/64 of characters), grouped back per doc; chunk
+      * digests shuffle as 16-byte keys for the duplicate count. No
+      * all-pairs anything; cost is corpus-linear with a 64× reduced
+      * shuffle. */
+    QueryDef("q169_cdc_chunking",
+      """WITH h AS (SELECT doc_id, text,
+        |    list_filter(list_transform(range(greatest(length(text) - 7, 0)),
+        |      i -> CAST(i + 8 AS BIGINT)),
+        |      c -> CAST(('0x' || substr(md5(substr(text, CAST(c - 7 AS INT), 8)), 1, 8)) AS BIGINT) % 64 = 0
+        |           AND c < length(text)) AS cuts
+        |  FROM documents),
+        |ch AS (SELECT doc_id, text, CAST(u.j AS BIGINT) AS chunk_idx,
+        |    CASE WHEN u.j = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE cuts[CAST(u.j AS INT)] END AS cstart,
+        |    CASE WHEN u.j = len(cuts) THEN CAST(length(text) AS BIGINT)
+        |         ELSE cuts[CAST(u.j + 1 AS INT)] END AS cend
+        |  FROM h, unnest(range(len(cuts) + 1)) AS u(j)),
+        |m AS (SELECT doc_id, chunk_idx, cstart,
+        |    cend - cstart AS clen,
+        |    md5(substr(text, CAST(cstart + 1 AS INT), CAST(cend - cstart AS INT))) AS chunk_md5
+        |  FROM ch),
+        |df AS (SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM m GROUP BY 1)
+        |SELECT m.doc_id, m.chunk_idx, m.cstart, m.clen, m.chunk_md5, df.n_docs
+        |FROM m JOIN df USING (chunk_md5)""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val docs = graft.CacheScope.persist(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n")))
+      // boundary scan: native window explode, codegen'd hash + modulus
+      // filter AT THE ROW — only boundaries reach the shuffle
+      val cuts = docs
+        .select(col("doc_id"), col("n"),
+          posexplode(graft.functions.NGrams.charWindowGrams(col("text"), 8))
+            .as(Seq("i", "g")))
+        .filter(conv(substring(md5(col("g")), 1, 8), 16, 10)
+          .cast("long") % 64 === 0 && (col("i") + 8) < col("n"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list((col("i") + 8).cast("long"))).as("cuts"))
+      val withCuts = docs.join(cuts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("n"),
+          coalesce(col("cuts"), array().cast("array<long>")).as("cuts"))
+      val manifest = withCuts
+        .select(col("doc_id"), col("text"), col("n"), col("cuts"),
+          posexplode(concat(array(lit(0L)), col("cuts")))
+            .as(Seq("chunk_idx", "cstart")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("cstart"),
+          (when(col("chunk_idx") < size(col("cuts")),
+            element_at(col("cuts"), col("chunk_idx") + 1))
+            .otherwise(col("n")) - col("cstart")).as("clen"),
+          col("text"))
+        .select(col("doc_id"), col("chunk_idx"), col("cstart"), col("clen"),
+          md5(col("text").substr((col("cstart") + 1).cast("int"),
+            col("clen").cast("int"))).as("chunk_md5"))
+      val dfreq = manifest.groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      manifest.join(dfreq, "chunk_md5")
+        .select("doc_id", "chunk_idx", "cstart", "clen", "chunk_md5",
+          "n_docs")
     }
   )
 

@@ -221,6 +221,70 @@ object Governance {
         round((center - half) / denom, 6).as("ci_lo"),
         round((center + half) / denom, 6).as("ci_hi"),
         (round((center - half) / denom, 6) >= 0.6).as("meets_slo"))
+    },
+
+    /** Inter-gate agreement (Cohen's kappa) — the label-quality audit a
+      * pipeline runs before trusting ANY single quality gate: two
+      * independent raters over the same corpus (here the q164 length
+      * gate, n_chars ≥ 200, and a lexical gate, ≥ 40 tokens), reduced
+      * per source to the 2×2 confusion counts, with chance-corrected
+      * agreement κ = (p_o − p_e)/(1 − p_e). High raw agreement with low
+      * κ is the classic trap this audit catches (both gates passing 95%
+      * of docs agree 90%+ by CHANCE alone).
+      *
+      * Scale: one partial+final agg to a sources-sized frame (four
+      * conditional counts, map-side combined); all probability
+      * arithmetic runs on that bounded frame as marginal-share doubles
+      * (never integer products, which would overflow at corpus-scale
+      * n²), every term the same IEEE ÷/×/− tree in both engines. κ is
+      * NULL when p_e = 1 (a degenerate constant-rater source has no
+      * chance-corrected signal — surfaced, not fabricated). */
+    QueryDef("q168_gate_kappa",
+      """WITH r AS (SELECT source,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (a = 1 AND b = 1) AS BIGINT) AS n11,
+        |    CAST(count(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+        |    CAST(count(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01,
+        |    CAST(count(*) FILTER (a = 0 AND b = 0) AS BIGINT) AS n00
+        |  FROM r GROUP BY 1),
+        |p AS (SELECT source, n, n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |    (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+        |  FROM c)
+        |SELECT source, n, n11, n10, n01, n00,
+        |  round(po, 6) AS po, round(pe, 6) AS pe,
+        |  CASE WHEN pe = 1.0 THEN NULL
+        |       ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM p""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val a = (col("n_chars") >= 200).cast("int")
+      val b = (size(split(trim(col("text")), "\\s+")) >= 40).cast("int")
+      val c = t(s, dir, "documents")
+        .select(col("source"), a.as("a"), b.as("b"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("a") === 1 && col("b") === 1, lit(1))).as("n11"),
+          count(when(col("a") === 1 && col("b") === 0, lit(1))).as("n10"),
+          count(when(col("a") === 0 && col("b") === 1, lit(1))).as("n01"),
+          count(when(col("a") === 0 && col("b") === 0, lit(1))).as("n00"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pe =
+        ((col("n11") + col("n10")).cast("double") / nD) *
+          ((col("n11") + col("n01")).cast("double") / nD) +
+        ((col("n01") + col("n00")).cast("double") / nD) *
+          ((col("n10") + col("n00")).cast("double") / nD)
+      c.select(col("source"), col("n"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
     }
   )
 }
