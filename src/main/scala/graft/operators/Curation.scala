@@ -71,6 +71,34 @@ object Curation {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** q169's content-defined chunk digests as ONE row-local Column —
+    * the per-document form the streaming twin chunks batch docs with
+    * (batch q169 itself uses the exploded-row codegen path: same
+    * boundary rule, corpus-scale plumbing; CurationSpec pins the two
+    * equal on identical input). Boundary = char 8-gram md5-prefix hash
+    * ≡ 0 (mod 64), cut after the window, final cut at doc end. */
+  private[graft] def cdcChunkHashes(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val n = length(text).cast("long")
+    val winHash = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(text.substr((c - 7).cast("int"), lit(8))), 1, 8),
+        16, 10).cast("long")
+    val cuts = when(n >= 8,
+      filter(
+        transform(sequence(lit(8L), n), c => c),
+        c => winHash(c) % 64 === 0 && c < n))
+      .otherwise(array().cast("array<long>"))
+    val starts = concat(array(lit(0L)), cuts)
+    transform(
+      sequence(lit(0), size(starts) - 1),
+      j => {
+        val start = element_at(starts, j + 1)
+        val fin = when(j + 1 < size(starts), element_at(starts, j + 2))
+          .otherwise(n)
+        md5(text.substr((start + 1).cast("int"), (fin - start).cast("int")))
+      })
+  }
+
   /** The scrub report columns shared by batch q93 and the streaming
     * view: per-class match counts + an md5 signature of the redaction. */
   def piiColumns(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(

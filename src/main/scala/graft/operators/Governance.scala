@@ -57,6 +57,41 @@ object Governance {
         (round(col("sl").cast("double"), 6) >= DriftThreshold).as("drifted"))
   }
 
+  /** The two raters q168 compares, as row-level verdict Columns over a
+    * documents-shaped row — shared with [[graft.streaming
+    * .StreamingAgreement]] so the gates cannot drift. */
+  def raterA: org.apache.spark.sql.Column =
+    (col("n_chars") >= 200).cast("int")
+  def raterB: org.apache.spark.sql.Column =
+    (size(split(trim(col("text")), "\\s+")) >= 40).cast("int")
+
+  /** Cohen's kappa over a (source, a, b, c) confusion-cell frame — the
+    * bounded read-side arithmetic shared verbatim by batch q168 and the
+    * streaming agreement view (the psiFromCounts posture): pivot the
+    * ≤4 cells per source, then κ = (p_o − p_e)/(1 − p_e) on
+    * marginal-share doubles (never integer products — corpus-scale n²
+    * overflows a long). κ is NULL when p_e = 1 (a constant-rater
+    * source has no chance-corrected signal). */
+  def kappaFromCells(cells: DataFrame): DataFrame = {
+    def cell(a: Int, b: Int) = coalesce(sum(
+      when(col("a") === a && col("b") === b, col("c"))), lit(0L))
+    val g = cells.groupBy("source")
+      .agg(sum("c").as("n"), cell(1, 1).as("n11"), cell(1, 0).as("n10"),
+        cell(0, 1).as("n01"), cell(0, 0).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe =
+      ((col("n11") + col("n10")).cast("double") / nD) *
+        ((col("n11") + col("n01")).cast("double") / nD) +
+      ((col("n01") + col("n00")).cast("double") / nD) *
+        ((col("n10") + col("n00")).cast("double") / nD)
+    g.select(col("source"), col("n"), col("n11"), col("n10"),
+      col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** Flag threshold for [[psiFromCounts]]. The textbook "investigate"
     * band starts at 0.1; at gate scale the daily samples are small
     * (~64 events per day-type at sf0.01) so pure sampling noise spans
@@ -263,28 +298,14 @@ object Governance {
         |  CASE WHEN pe = 1.0 THEN NULL
         |       ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
         |FROM p""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val a = (col("n_chars") >= 200).cast("int")
-      val b = (size(split(trim(col("text")), "\\s+")) >= 40).cast("int")
-      val c = t(s, dir, "documents")
-        .select(col("source"), a.as("a"), b.as("b"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n"),
-          count(when(col("a") === 1 && col("b") === 1, lit(1))).as("n11"),
-          count(when(col("a") === 1 && col("b") === 0, lit(1))).as("n10"),
-          count(when(col("a") === 0 && col("b") === 1, lit(1))).as("n01"),
-          count(when(col("a") === 0 && col("b") === 0, lit(1))).as("n00"))
-      val nD = col("n").cast("double")
-      val po = (col("n11") + col("n00")).cast("double") / nD
-      val pe =
-        ((col("n11") + col("n10")).cast("double") / nD) *
-          ((col("n11") + col("n01")).cast("double") / nD) +
-        ((col("n01") + col("n00")).cast("double") / nD) *
-          ((col("n10") + col("n00")).cast("double") / nD)
-      c.select(col("source"), col("n"), col("n11"), col("n10"),
-        col("n01"), col("n00"),
-        round(po, 6).as("po"), round(pe, 6).as("pe"),
-        when(pe === 1.0, lit(null).cast("double"))
-          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+      // confusion CELLS first (≤4 per source, map-side combined), then
+      // the shared read-side kappa arithmetic — one code path with the
+      // streaming agreement view
+      val cells = t(s, dir, "documents")
+        .select(col("source"), raterA.as("a"), raterB.as("b"))
+        .groupBy("source", "a", "b")
+        .agg(count(lit(1)).as("c"))
+      kappaFromCells(cells)
     }
   )
 }

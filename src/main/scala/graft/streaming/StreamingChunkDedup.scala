@@ -46,11 +46,17 @@ object StreamingChunkDedup {
 
   /** Continuous shared-chunk view over a CDC `documents`-shaped source.
     * Sink documents: (id = chunk_hash, n_docs, n_occ, first_doc) —
-    * batch q157's shape. */
+    * batch q157's shape. `chunker` maps a text Column to its array of
+    * chunk digests: the default is q157's fixed 32-token/stride-24
+    * windows; pass [[Curation.cdcChunkHashes]] for q169's
+    * content-defined boundaries (the retraction machinery is chunking-
+    * rule-agnostic — only the digest list changes). */
   def sharedChunkView(
       spark: SparkSession, stateDir: String,
       name: String = "chunk_dedup", table: String = "documents",
-      textCol: String = "text", buckets: Int = 32): ViewDef = {
+      textCol: String = "text", buckets: Int = 32,
+      chunker: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Curation.chunkHashes): ViewDef = {
     val docTable =
       new ParquetKeyedTable(spark, s"$stateDir/$name-docs", "key", buckets)
     val chunkTable =
@@ -68,9 +74,9 @@ object StreamingChunkDedup {
       val touched = batch(table).select("key").distinct().persist(mem)
       ctx.defer(touched.unpersist())
 
-      // 1. chunk ONLY the batch docs, through batch q157's exact path
+      // 1. chunk ONLY the batch docs, through the batch query's path
       val newLists = post.rows(table, touched)
-        .select(col("key"), Curation.chunkHashes(col(textCol)).as("hashes"))
+        .select(col("key"), chunker(col(textCol)).as("hashes"))
         .persist(mem)
       ctx.defer(newLists.unpersist())
       val newContribs = newLists
@@ -123,4 +129,16 @@ object StreamingChunkDedup {
       (upserts, deletes)
     })
   }
+
+  /** Batch q169's content-defined chunking, continuous: the same
+    * retraction machinery with [[Curation.cdcChunkHashes]] as the
+    * digest rule — shared-chunk tracking that survives insertions,
+    * since an edited doc's UNTOUCHED chunks keep their digests and
+    * only the edited chunk's state entry changes. */
+  def cdcChunkView(
+      spark: SparkSession, stateDir: String,
+      name: String = "cdc_chunk_dedup", table: String = "documents",
+      textCol: String = "text", buckets: Int = 32): ViewDef =
+    sharedChunkView(spark, stateDir, name, table, textCol, buckets,
+      chunker = Curation.cdcChunkHashes)
 }
