@@ -25,8 +25,9 @@ import graft.sources.Tables
   * term set only (broadcast, like q60's query terms); per-ranker
   * rankings are windows over per-query candidate sets bounded by those
   * joins; fusion touches two top-20 lists per probe. Ranks are taken
-  * over ROUND-6 scores so ULP-order summation noise can never flip a
-  * rank between engines (or between cluster layouts).
+  * over ROUND-6 scores, and the sparse ranker's per-term sum rides the
+  * q138 DECIMAL ledger (12-rounded terms summed exactly) — so neither
+  * engine choice nor cluster layout can flip a rank.
   */
 object Retrieval {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
@@ -58,8 +59,9 @@ object Retrieval {
          |qterm AS (SELECT DISTINCT term FROM qt),
          |df AS (SELECT tf.term, count(*) AS df FROM tf JOIN qterm USING (term) GROUP BY 1),
          |ssc AS (SELECT qt.query_id, tf.doc_id AS id,
-         |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-         |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 6) AS score
+         |    round(CAST(sum(CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)), 12)
+         |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
          |  FROM qt JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.query_id
          |    JOIN df ON df.term = tf.term
          |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
@@ -116,12 +118,17 @@ object Retrieval {
         .join(dl.withColumnRenamed("doc_id", "id"), "id")
         .crossJoin(broadcast(stats))
         .select(col("query_id"), col("id"),
-          (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          // per-term contributions ride the q138 DECIMAL ledger: each
+          // rounded to 12 and summed exactly, so the score — and
+          // therefore the RANK — cannot move with reducer assignment
+          // (PartitioningInvarianceSpec pins q167 re-layout-stable)
+          round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
             (col("tf") * 2.2) /
             (col("tf") +
-              lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
-            .as("s"))
-        .groupBy("query_id", "id").agg(round(sum("s"), 6).as("score"))
+              lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))),
+            12).cast("decimal(28,12)").as("s"))
+        .groupBy("query_id", "id")
+        .agg(round(sum("s").cast("double"), 6).as("score"))
       val s20 = top(ssc, KR)
 
       // — reciprocal-rank fusion over the two top lists —

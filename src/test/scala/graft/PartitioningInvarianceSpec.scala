@@ -30,7 +30,11 @@ class PartitioningInvarianceSpec extends SparkSuite {
     // q161 rides the drift decimal ledger (q138's re-layout contract);
     // q163's diff classes and q164's Wilson bounds are pure per-group
     // IEEE arithmetic that must not move with reducer assignment
-    "q161_drift_psi", "q163_snapshot_diff", "q164_gate_ci")
+    "q161_drift_psi", "q163_snapshot_diff", "q164_gate_ci",
+    // q167 ranks over ROUND-6 scores precisely so summation order
+    // cannot flip a rank under re-layout — that claim is load-bearing;
+    // q168's kappa and q169's boundary rule are per-row/per-group exact
+    "q167_hybrid_rrf", "q168_gate_kappa", "q169_cdc_chunking")
 
   // q21's production form reads the session-memoized parquet pair table,
   // which would make re-layout runs trivially identical — invariance must

@@ -765,4 +765,37 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("rangepartitioning"), p) // no global sort
     assert("Window \\[".r.findAllIn(p).size == 1, p)
   }
+
+  test("q167: probes, probe terms and df broadcast — the corpus is " +
+      "never sort-merge-joined; rankings are query-partitioned windows") {
+    val p = plan("q167_hybrid_rrf")
+    // dense probes + sparse qt/df/stats sides all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("rangepartitioning"), p) // no global sorts
+    // per-query ranking windows partition on query_id
+    assert("Window \\[".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q168: gate kappa is partial+final aggregation over a pruned " +
+      "scan; kappa arithmetic runs on the bounded cell frame") {
+    val p = plan("q168_gate_kappa")
+    assert(p.contains("partial"), p)
+    assert(p.contains("ReadSchema: struct<text:string,source:string," +
+      "n_chars:bigint>") ||
+      p.contains("ReadSchema: struct<source:string,n_chars:bigint") ||
+      p.contains("text") && p.contains("n_chars"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q169: chunking scans only (doc_id, text); the boundary modulus " +
+      "filters windows BEFORE any exchange") {
+    val p = plan("q169_cdc_chunking")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the row-level % 64 = 0 boundary filter exists and the window
+    // explode is the native expression — only boundaries reach the
+    // shuffle
+    assert(p.contains("= 0)"), p)
+    assert(p.contains("char_window_grams") || p.contains("CharWindowGrams")
+      || p.contains("charwindowgrams"), p)
+  }
 }
