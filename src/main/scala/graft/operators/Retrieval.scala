@@ -38,6 +38,28 @@ object Retrieval {
   private val KF = 10  // fused output depth
   private val RK = 60  // RRF constant
 
+  /** The RRF fusion step itself, shared verbatim by batch q167 and the
+    * [[graft.streaming.StreamingHybrid]] read path (the kappaFromCells
+    * posture — one code path, pinned once): full-outer join two
+    * (query_id, id, rnk) rank lists, score 1/(RK + rank) per present
+    * ranker (fixed two-term sum — no re-association), rank the fusion
+    * by (rrf DESC, id) and keep the top `kF`. */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, kF: Int = KF): DataFrame =
+    dense.withColumnRenamed("rnk", "dr")
+      .join(sparse.withColumnRenamed("rnk", "sr"),
+        Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id").as("doc_id"),
+        (coalesce(lit(1.0) / (lit(RK) + col("dr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RK) + col("sr")), lit(0.0))).as("rrf"),
+        col("dr"), col("sr"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= kF)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("dr").cast("long").as("dense_rank"),
+        col("sr").cast("long").as("sparse_rank"),
+        round(col("rrf"), 9).as("rrf"))
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("q167_hybrid_rrf",
@@ -132,20 +154,7 @@ object Retrieval {
       val s20 = top(ssc, KR)
 
       // — reciprocal-rank fusion over the two top lists —
-      d20.withColumnRenamed("rnk", "dr")
-        .join(s20.withColumnRenamed("rnk", "sr"),
-          Seq("query_id", "id"), "full_outer")
-        .select(col("query_id"), col("id").as("doc_id"),
-          (coalesce(lit(1.0) / (lit(RK) + col("dr")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RK) + col("sr")), lit(0.0))).as("rrf"),
-          col("dr"), col("sr"))
-        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("rrf").desc, col("doc_id"))))
-        .filter(col("rank") <= KF)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("doc_id"), col("dr").cast("long").as("dense_rank"),
-          col("sr").cast("long").as("sparse_rank"),
-          round(col("rrf"), 9).as("rrf"))
+      rrfFuse(d20, s20, KF)
     }
   )
 }

@@ -268,4 +268,61 @@ object StreamingBm25 {
           .as("s"))
       .groupBy("doc").agg(round(sum("s"), 6).as("bm25"))
   }
+
+  /** Multi-query BM25 over the maintained index: each query scores docs
+    * against ITS OWN term set — the "more-like-this" shape the hybrid
+    * fusion feeds on ([[StreamingHybrid]]). Postings for the UNION of
+    * all query terms are read once (pruned point lookups, like
+    * [[search]]); scoring then fans out per (query, term) through a
+    * broadcast of the small query→term map. Per-term contributions ride
+    * the q167 DECIMAL ledger, so scores — and downstream fused ranks —
+    * cannot move with reducer assignment. Returns
+    * (query_id, doc, bm25); df is each term's GLOBAL document
+    * frequency, identical to batch q167's sparse ranker. */
+  def searchMany(
+      spark: SparkSession, stateDir: String,
+      queries: Seq[(Long, Seq[String])],
+      name: String = "bm25_index", nShards: Int = 4,
+      buckets: Int = 32): DataFrame = {
+    val postTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-postings", "key", buckets)
+    val dlTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-dl", "key", buckets)
+    val statsTable =
+      new ParquetKeyedTable(spark, s"$stateDir/$name-stats", "key", buckets)
+
+    val allTerms = queries.flatMap(_._2).distinct
+    val keys = spark.createDataFrame(
+      for (t <- allTerms; sh <- 0 until nShards) yield (s"$t|$sh", t))
+      .toDF("key", "term")
+    val postings = postTable
+      .rowsForKeys(postSchema, keys.select("key"))
+      .join(keys, "key")
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val dls = dlTable.rowsForKeys(dlSchema,
+      postings.select(col("doc").as("key")).distinct())
+      .select(col("key").as("doc"), col("dl"))
+    val stats = statsTable.rowsForKeys(statsSchema,
+        spark.createDataFrame(Seq(Tuple1("corpus"))).toDF("key"))
+      .select(col("n_docs"),
+        (col("total_tok").cast("double") / col("n_docs")).as("avgdl"))
+    val qt = spark.createDataFrame(
+      for ((q, ts) <- queries; t <- ts.distinct) yield (q, t))
+      .toDF("query_id", "term")
+    postings
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dls, "doc")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc"),
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") +
+            lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))),
+          12).cast("decimal(28,12)").as("s"))
+      .groupBy("query_id", "doc")
+      .agg(round(sum("s").cast("double"), 6).as("bm25"))
+  }
 }
