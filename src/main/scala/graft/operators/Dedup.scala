@@ -1456,6 +1456,87 @@ object Dedup {
         .filter(col("name_dist") <= 2)
         .select(col("key_a"), col("b.key").as("key_b"), col("name_dist"),
           round(abs(col("bal_a") - col("b.bal")), 2).as("bal_gap"))
+    },
+
+    /** Blocking-quality audit — the governance metrics a pipeline
+      * computes BEFORE trusting a cheap blocking scheme over the
+      * verified LSH ladder: PAIRS COMPLETENESS (what fraction of the
+      * true near-dup pairs does the candidate set catch) and REDUCTION
+      * RATIO (what fraction of the n·(n−1)/2 all-pairs space it prunes)
+      * — the two standard record-linkage blocking metrics
+      * (Christen 2012). The scheme under audit is q159's
+      * sorted-neighborhood recipe applied to documents (block =
+      * 12-char text prefix, neighborhood w = 3, ordered by (text,
+      * doc_id) — the id tie-break makes equal-text runs deterministic);
+      * ground truth is the q21 pair table (exact-verified
+      * jaccard ≥ 0.8). A high reduction ratio with low completeness is
+      * the trap this audit exists to catch: prefix blocking prunes
+      * 99.9%+ of the pair space but misses near-dups whose edits touch
+      * the prefix.
+      *
+      * Scale: candidates come from one block-partitioned window (q159's
+      * shape); truth is the memoized duplicate-density pair table; the
+      * all-pairs denominator is ARITHMETIC (n from a count), never
+      * materialized. Output is ONE row. */
+    QueryDef("q170_blocking_audit",
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 12) AS blk FROM documents),
+        |c0 AS (SELECT doc_id AS a,
+        |    lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY text, doc_id) AS b FROM d
+        |  UNION ALL
+        |  SELECT doc_id, lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY text, doc_id) FROM d
+        |  UNION ALL
+        |  SELECT doc_id, lead(doc_id, 3) OVER (PARTITION BY blk ORDER BY text, doc_id) FROM d),
+        |cand AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM c0 WHERE b IS NOT NULL),
+        |wt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2,0)),
+        |    i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS sh FROM wt),
+        |tr AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |m AS (SELECT (SELECT count(*) FROM d) AS n,
+        |  (SELECT count(*) FROM tr) AS n_true,
+        |  (SELECT count(*) FROM cand) AS n_cand,
+        |  (SELECT count(*) FROM cand JOIN tr USING (a, b)) AS n_caught)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n_true AS BIGINT) AS n_true_pairs,
+        |  CAST(n_cand AS BIGINT) AS n_candidates, CAST(n_caught AS BIGINT) AS n_caught,
+        |  CASE WHEN n_true = 0 THEN NULL
+        |    ELSE round(CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS completeness,
+        |  round(1.0 - CAST(n_cand AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0), 6) AS reduction_ratio
+        |FROM m""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("blk").orderBy("text", "doc_id")
+      val cand = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 12).as("blk"))
+        .select(col("doc_id"),
+          array((1 to 3).map(k => lead(col("doc_id"), k).over(w)): _*)
+            .as("nbrs"))
+        .select(col("doc_id"), explode(col("nbrs")).as("nb"))
+        .filter(col("nb").isNotNull)
+        .select(least(col("doc_id"), col("nb")).as("a"),
+          greatest(col("doc_id"), col("nb")).as("b"))
+        .distinct()
+      val truth = sharedNearDupPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val nDocs = t(s, dir, "documents")
+        .agg(count(lit(1)).as("n"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nCaught = cand.join(truth, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_caught"))
+      nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(nCaught))
+        .select(col("n").as("n_docs"), col("n_true").as("n_true_pairs"),
+          col("n_cand").as("n_candidates"), col("n_caught"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_caught").cast("double") /
+              col("n_true").cast("double"), 6)).as("completeness"),
+          round(lit(1.0) - col("n_cand").cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double") /
+              lit(2.0)), 6).as("reduction_ratio"))
     }
   )
 

@@ -34,7 +34,10 @@ class PartitioningInvarianceSpec extends SparkSuite {
     // q167 ranks over ROUND-6 scores precisely so summation order
     // cannot flip a rank under re-layout — that claim is load-bearing;
     // q168's kappa and q169's boundary rule are per-row/per-group exact
-    "q167_hybrid_rrf", "q168_gate_kappa", "q169_cdc_chunking")
+    "q167_hybrid_rrf", "q168_gate_kappa", "q169_cdc_chunking",
+    // q170's candidate windows order by (text, doc_id) — the id
+    // tie-break is what keeps equal-text runs re-layout-stable
+    "q170_blocking_audit")
 
   // q21's production form reads the session-memoized parquet pair table,
   // which would make re-layout runs trivially identical — invariance must
