@@ -766,6 +766,14 @@ class PlanSpec extends SparkSuite {
     assert("Window \\[".r.findAllIn(p).size == 1, p)
   }
 
+  test("q170: blocking audit windows partition on the block; the " +
+      "all-pairs denominator is never materialized") {
+    val p = plan("q170_blocking_audit")
+    assert("Exchange hashpartitioning\\(blk".r.findAllIn(p).size >= 1, p)
+    // metric joins are 1-row broadcasts; no doc-level cartesian exists
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q167: probes, probe terms and df broadcast — the corpus is " +
       "never sort-merge-joined; rankings are query-partitioned windows") {
     val p = plan("q167_hybrid_rrf")
