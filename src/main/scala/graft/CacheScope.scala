@@ -61,6 +61,26 @@ object CacheScope {
     df
   }
 
+  /** [[persist]], then materialize the cache EAGERLY with one count
+    * before returning. For a shared frame whose consumers include
+    * broadcast subqueries (a collected model, a broadcast stats row,
+    * a broadcast dimension built off the same frame), lazy persist has
+    * a duplication race: Spark executes broadcast exchanges on separate
+    * threads, so every consumer job that starts before the first one
+    * finishes MISSES the cache and recomputes the frame's full lineage
+    * in parallel (measured on q102 at sf0.1: the md5+explode pass ran
+    * 5×, 42 task-seconds for a 7.5 task-second plan). One eager action
+    * serializes exactly one computation of the lineage; every
+    * subsequent consumer — main job or broadcast thread — reads blocks.
+    * At cluster scale the duplicated work is N× a full corpus pass, so
+    * the one extra scheduling round-trip is the right trade wherever
+    * the frame's lineage is expensive. */
+  def eager(df: DataFrame): DataFrame = {
+    val p = persist(df)
+    p.count()
+    p
+  }
+
   /** Release every frame THIS THREAD persisted since its last drain,
     * then sweep orphans (frames whose owning thread died without
     * draining). Call after the query's action completes; non-blocking so

@@ -21,7 +21,9 @@ object ProfileOne {
     CacheScope.drainWithCheckpoints(spark)
 
     final case class St(var name: String = "", var submit: Long = 0,
-        var done: Long = 0, var tasks: Int = 0, var taskTimeMs: Long = 0)
+        var done: Long = 0, var tasks: Int = 0, var taskTimeMs: Long = 0,
+        var runMs: Long = 0, var gcMs: Long = 0, var deserMs: Long = 0,
+        var cpuMs: Long = 0)
     val stages = mutable.LinkedHashMap.empty[Int, St]
     val jobs = mutable.LinkedHashMap.empty[Int, (Long, Long, Seq[Int])]
     val listener = new SparkListener {
@@ -41,6 +43,12 @@ object ProfileOne {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val st = stages.getOrElseUpdate(e.stageId, St())
         if (e.taskInfo != null) st.taskTimeMs += e.taskInfo.duration
+        if (e.taskMetrics != null) {
+          st.runMs += e.taskMetrics.executorRunTime
+          st.gcMs += e.taskMetrics.jvmGCTime
+          st.deserMs += e.taskMetrics.executorDeserializeTime
+          st.cpuMs += e.taskMetrics.executorCpuTime / 1000000L
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -59,7 +67,7 @@ object ProfileOne {
     }
     println("-- stages (wall desc) --")
     stages.toSeq.sortBy(-_._2.taskTimeMs).take(30).foreach { case (i, st) =>
-      println(f"stage $i%4d  wall=${(st.done - st.submit) / 1e3}%7.3f s  taskSum=${st.taskTimeMs / 1e3}%7.3f s  tasks=${st.tasks}%3d  ${st.name}")
+      println(f"stage $i%4d  wall=${(st.done - st.submit) / 1e3}%7.3f s  taskSum=${st.taskTimeMs / 1e3}%7.3f s  run=${st.runMs / 1e3}%7.3f cpu=${st.cpuMs / 1e3}%7.3f gc=${st.gcMs / 1e3}%6.3f deser=${st.deserMs / 1e3}%6.3f  tasks=${st.tasks}%3d  ${st.name}")
     }
     spark.stop()
   }

@@ -840,7 +840,19 @@ object Curation {
          |FROM dc JOIN lam ON dc.b = lam.b GROUP BY 1""".stripMargin
         .replace("\n", " ")
     }) { (s, dir) =>
-      val dc = graft.CacheScope.persist(t(s, dir, "documents")
+      // r13 opt: (1) the md5-per-bigram feature pass previously ran on
+      // ONE task (single-row-group bench corpus) — Tables.spread
+      // parallelizes it adaptively; (2) dc is EAGER-persisted: its
+      // consumers include broadcast subqueries, and with a lazy persist
+      // the broadcast threads raced the cache and each recomputed the
+      // md5+explode lineage (measured 5× duplicated stages at sf0.1);
+      // (3) the raw-pool and target bucket distributions are ONE
+      // conditional aggregation instead of two separate passes over dc,
+      // and the normalizers come off that 1024-row frame instead of
+      // re-aggregating dc — two corpus-scale passes and a join removed,
+      // identical integer sums (guide §2.3/§2.4).
+      val dc = graft.CacheScope.eager(
+        Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(graft.functions.NGrams.wordGrams(col("text"), 2)).as("g"))
         .select(col("doc_id"), col("lang"),
@@ -848,12 +860,11 @@ object Curation {
             lit(1024L)).as("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(count(lit(1)).as("c")))
-      val rf = dc.groupBy("b").agg(sum("c").as("rc"))
-      val tf = dc.filter(col("lang") === "en")
-        .groupBy("b").agg(sum("c").as("tc"))
-      val tot = rf.agg(sum("rc").as("rn"))
-        .crossJoin(tf.agg(coalesce(sum("tc"), lit(0L)).as("tn")))
-      val lam = rf.join(tf, Seq("b"), "left")
+      val buckets = dc.groupBy("b").agg(sum("c").as("rc"),
+        sum(when(col("lang") === "en", col("c"))).as("tc"))
+      val tot = buckets.agg(sum("rc").as("rn"),
+        coalesce(sum("tc"), lit(0L)).as("tn"))
+      val lam = buckets
         .crossJoin(broadcast(tot))
         .select(col("b"),
           round(log((coalesce(col("tc"), lit(0L)) + 1.0) / (col("tn") + 1024.0))
@@ -1615,9 +1626,14 @@ object Curation {
         |  FROM m GROUP BY 1)
         |SELECT m.doc_id, m.chunk_idx, m.cstart, m.clen, m.chunk_md5, df.n_docs
         |FROM m JOIN df USING (chunk_md5)""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      val docs = graft.CacheScope.persist(
+      // r13 opt: the boundary scan pays one md5 PER CHARACTER — by far
+      // this query's heaviest stage — and the bench corpus arrives as a
+      // single scan split, so it ran on ONE task (1.4s at sf0.1).
+      // Tables.spread parallelizes it adaptively (identity on any
+      // real-scale layout).
+      val docs = graft.CacheScope.persist(Tables.spread(
         t(s, dir, "documents").select(col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n")))
+          length(col("text")).cast("long").as("n"))))
       // boundary scan: native window explode, codegen'd hash + modulus
       // filter AT THE ROW — only boundaries reach the shuffle
       val cuts = docs
@@ -1631,7 +1647,7 @@ object Curation {
       val withCuts = docs.join(cuts, Seq("doc_id"), "left")
         .select(col("doc_id"), col("text"), col("n"),
           coalesce(col("cuts"), array().cast("array<long>")).as("cuts"))
-      val manifest = withCuts
+      val manifest = (withCuts
         .select(col("doc_id"), col("text"), col("n"), col("cuts"),
           posexplode(concat(array(lit(0L)), col("cuts")))
             .as(Seq("chunk_idx", "cstart")))
@@ -1643,10 +1659,20 @@ object Curation {
           col("text"))
         .select(col("doc_id"), col("chunk_idx"), col("cstart"), col("clen"),
           md5(col("text").substr((col("cstart") + 1).cast("int"),
-            col("clen").cast("int"))).as("chunk_md5"))
-      val dfreq = manifest.groupBy("chunk_md5")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      manifest.join(dfreq, "chunk_md5")
+            col("clen").cast("int"))).as("chunk_md5")))
+      // r13 opt: the duplicate count rides a WINDOW over the digest key
+      // instead of groupBy + join-back — the manifest (and with it the
+      // md5-per-character boundary scan) is consumed exactly ONCE, where
+      // the join form recomputed it for the broadcast build side
+      // (measured: a second 13-task-second stage at sf0.1, cache-proof
+      // because broadcast-thread plans race a lazily-persisted frame).
+      // Same shuffle class at scale: one exchange keyed by chunk_md5,
+      // per-key work bounded by the docs actually sharing a chunk.
+      manifest
+        .withColumn("n_docs",
+          size(collect_set(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("chunk_md5"))).cast("long"))
         .select("doc_id", "chunk_idx", "cstart", "clen", "chunk_md5",
           "n_docs")
     }

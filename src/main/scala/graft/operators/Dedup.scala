@@ -706,19 +706,25 @@ object Dedup {
       // carried as-is (not pre-divided to 1/deg) so the per-contribution
       // arithmetic stays rank/deg — bit-identical to the oracle's CTEs;
       // a pre-divided weight would introduce ULP drift multiplied 10×.
-      val contribEdges = edges.join(deg, "u").checkpoint()
       // Size-adaptive round parallelism — the starContract discipline
       // (r11 #3) applied to THIS loop (r12 watchlist: q81 drifted
       // 2.91→3.50s committed; the dup graph at sf0.1 is a few hundred
-      // edges paying 10 rounds of full-width shuffle cadence). The
-      // graph is checkpointed, so counting it is cheap; ~4M edges per
-      // partition, restored in finally so callers never inherit the
-      // narrow width. At corpus scale a billion-pair graph still gets
-      // its 250+ partitions.
+      // edges paying 10 rounds of full-width shuffle cadence). ~4M
+      // edges per partition, restored in finally so callers never
+      // inherit the narrow width. At corpus scale a billion-pair graph
+      // still gets its 250+ partitions. r13 opt: the edge frame itself
+      // is COALESCED to that width before the checkpoint — it
+      // previously kept the pair table's 2×-unioned map partitioning,
+      // so all 10 rounds scheduled 64 map tasks over a few hundred
+      // edges (measured: 2-5 task-seconds of pure scheduling overhead
+      // per round at sf0.1); now map width = shuffle width = the
+      // size-derived value on every scale.
       val confKey = "spark.sql.shuffle.partitions"
       val prevWidth = s.conf.get(confKey)
       val width = math.max(1L,
-        math.min(1L << 14, contribEdges.count() / 4000000L + 1L))
+        math.min(1L << 14, 2L * pairs.count() / 4000000L + 1L))
+      val contribEdges = edges.join(deg, "u")
+        .coalesce(width.toInt).checkpoint()
       var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
       try {
         s.conf.set(confKey, width.toString)
@@ -1195,8 +1201,13 @@ object Dedup {
       // source list is a bounded driver fetch (the DoReMi posture);
       // past 63 sources the mask widens to an array of longs —
       // documented, not needed here.
+      // r13 opt: fs / sk / masks all feed BROADCAST consumers of the
+      // final assembly — lazily persisted, the broadcast threads raced
+      // the caches and recomputed the shingle join in parallel
+      // (measured: a 13-task-second stage for a 2.5-task-second plan
+      // at sf0.1). Eager persists serialize one computation of each.
       val docsrc = t(s, dir, "documents").select("doc_id", "source")
-      val fs = materialize(sharedShingleFrame(s, dir, "word3")
+      val fs = graft.CacheScope.eager(sharedShingleFrame(s, dir, "word3")
         .join(docsrc, "doc_id").select(col("source"), col("f").as("g")))
       val srcArr = docsrc.select("source").distinct().orderBy("source")
         .collect().map(_.getString(0)).toSeq
@@ -1207,10 +1218,10 @@ object Dedup {
       val srcLit = typedlit(srcArr)
       val idxMap = typedlit(srcArr.zipWithIndex.toMap)
       val hv = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-      val sk = materialize(fs.select(col("source"), hv.as("hv"))
+      val sk = graft.CacheScope.eager(fs.select(col("source"), hv.as("hv"))
         .groupBy("source")
         .agg(graft.functions.KmvAgg.bottomK(col("hv"), 64).as("sk")))
-      val masks = materialize(fs
+      val masks = graft.CacheScope.eager(fs
         .select(col("g"), element_at(pow2,
           element_at(idxMap, col("source")) + 1).as("bit"))
         .groupBy("g").agg(bit_or(col("bit")).as("mask"))

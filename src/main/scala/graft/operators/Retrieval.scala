@@ -120,24 +120,35 @@ object Retrieval {
       val d20 = top(dsc, KR)
 
       // — sparse ranking: BM25 of each probe's own terms (q60's exact
-      //   formula), postings joined against the broadcast probe terms —
-      val words = graft.CacheScope.persist(
-        t(s, dir, "documents").select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("term")))
-      val tf = graft.CacheScope.persist(
-        words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      val qt = tf.filter(col("doc_id") < NQ)
-        .select(col("doc_id").as("query_id"), col("term"))
+      //   formula). r13 opt (guide §2.3/§2.4): the token stream is
+      //   FILTERED to the probes' term set BEFORE the (doc, term)
+      //   aggregation — document frequency and the scoring join only
+      //   ever consume those postings, so the full-vocabulary tf
+      //   shuffle was thrown-away work; doc length rides the token
+      //   rows from the same split() (row-local — the second corpus
+      //   aggregation and its join are gone); and the surviving
+      //   postings table is EAGER-persisted because its consumers
+      //   include broadcast subqueries — a lazy persist let the
+      //   broadcast threads race the cache and recompute the corpus
+      //   explode in parallel (measured: one 33-task-second stage for
+      //   a 5.5-task-second plan at sf0.1).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      val toks = docs.select(col("doc_id"),
+        size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
+      val qt = toks.filter(col("doc_id") < NQ)
+        .select(col("doc_id").as("query_id"), col("term")).distinct()
       val qterm = qt.select("term").distinct()
-      val dfreq = tf.join(broadcast(qterm), "term")
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val ssc = tf.withColumnRenamed("doc_id", "id")
+      val tfq = graft.CacheScope.eager(
+        toks.join(broadcast(qterm), Seq("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("w")).cast("long")).as("avgdl"))
+      val dfreq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+      val ssc = tfq.withColumnRenamed("doc_id", "id")
         .join(broadcast(qt), Seq("term"))
         .filter(col("id") =!= col("query_id"))
         .join(broadcast(dfreq), "term")
-        .join(dl.withColumnRenamed("doc_id", "id"), "id")
         .crossJoin(broadcast(stats))
         .select(col("query_id"), col("id"),
           // per-term contributions ride the q138 DECIMAL ledger: each

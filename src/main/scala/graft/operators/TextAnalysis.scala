@@ -688,21 +688,25 @@ object TextAnalysis {
         |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
         |SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc GROUP BY 1
         |""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      import s.implicits._
-      val qt = Seq("data", "vector", "window").toDF("term")
-      // words feeds tf AND dl; tf feeds df AND scoring — persist both so
-      // the corpus tokenization and the tf shuffle each run once
-      val words = graft.CacheScope.persist(
-        t(s, dir, "documents").select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("term")))
-      val tf = graft.CacheScope.persist(
-        words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      val dfreq = tf.join(broadcast(qt), "term")
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+      // r13 opt (guide §2.3): only the three query terms' postings are
+      // ever consumed by df and the scoring join, so the token stream
+      // is filtered to them BEFORE the (doc, term) aggregation — the
+      // full-vocabulary tf shuffle was thrown-away work; doc length
+      // rides the token rows from the same split() (row-local), which
+      // removes the second corpus aggregation and its join; the
+      // surviving postings are EAGER-persisted (broadcast consumers —
+      // the q102/q167 cache-race lesson).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      val tfq = graft.CacheScope.eager(docs
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin("data", "vector", "window"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("w")).cast("long")).as("avgdl"))
+      val dfreq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+      tfq.join(broadcast(dfreq), "term")
         .crossJoin(broadcast(stats))
         .select(col("doc_id"),
           (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
@@ -1691,7 +1695,9 @@ object TextAnalysis {
          |FROM f, w6""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"),
+      // md5-per-token feature hashing is the heavy scan — spread it
+      // (single-row-group bench corpus = one scan task otherwise)
+      val tok = Tables.spread(docs).select(col("doc_id"),
         (col("lang") === "en").cast("double").as("y"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       val bucket = pmod(
@@ -1699,15 +1705,19 @@ object TextAnalysis {
         lit(64L)).cast("int")
       val bc = tok.groupBy(col("doc_id"), col("y"), bucket.as("b"))
         .agg(count(lit(1)).as("c"))
-      val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // dense 65-wide feature row: fixed bucket order makes every dot
       // product a left-to-right fold over IDENTICAL operand sequences in
-      // both engines (the cross-engine FP contract)
+      // both engines (the cross-engine FP contract). r13 opt: the doc's
+      // token count is the SUM of its bucket counts (every token lands
+      // in exactly one bucket), so `n` reads off the per-doc map — the
+      // separate nTok corpus aggregation and its join are gone (one
+      // corpus-scale pass and one shuffle fewer, identical integers).
       val feat = graft.CacheScope.persist(bc
         .groupBy("doc_id", "y")
         .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
           .as("m"))
-        .join(nTok, "doc_id")
+        .select(col("doc_id"), col("y"), col("m"),
+          aggregate(map_values(col("m")), lit(0L), _ + _).as("n"))
         .select(col("doc_id"), col("y"),
           array_append(
             transform(sequence(lit(0), lit(63)),
@@ -1715,6 +1725,17 @@ object TextAnalysis {
                 * lit(16) / col("n")),
             lit(1.0)).as("xs")))
       val nDocs = feat.count()
+      // r13 opt: at bench scale the cached feature table holds 32
+      // partitions of ~150 rows, so every gradient round scheduled 32
+      // tasks plus an AQE re-plan barrier to produce a 65-value row.
+      // The rounds read the cache through an adaptive narrow coalesce
+      // (~200K docs per partition at any scale — a real corpus keeps
+      // its parallelism), and AQE is off inside the loop (restored in
+      // finally): each round's exchange moves exactly ONE row, so
+      // runtime re-planning buys nothing and costs a barrier per round.
+      val roundInput = feat.coalesce(math.max(
+        math.min(s.sparkContext.defaultParallelism.toLong, nDocs / 500L + 1L),
+        math.min(1L << 14, nDocs / 200000L + 1L)).toInt)
 
       def sigmoid(z: Column): Column =
         lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
@@ -1723,7 +1744,11 @@ object TextAnalysis {
 
       var w: IndexedSeq[java.math.BigDecimal] =
         IndexedSeq.fill(65)(java.math.BigDecimal.ZERO)
-      for (_ <- 1 to 6) {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqeKey)
+      try {
+        s.conf.set(aqeKey, "false")
+        for (_ <- 1 to 6) {
         val p = sigmoid(graft.functions.DotProduct(
           col("xs"), typedlit(w.map(_.doubleValue))))
         // per-bucket gradient = 65 independent map-side-combined sums
@@ -1731,19 +1756,28 @@ object TextAnalysis {
         // unrolled CTEs add (order-free by construction) — one global
         // agg per round, no 65× posexplode row blow-up (r12 watchlist:
         // the explode+groupBy form drifted q129 3.41→4.08s; identical
-        // arithmetic, narrower plumbing)
-        val contribs = feat.select(
-          transform(col("xs"), x =>
-            round((p - col("y")) * x, 12).cast("decimal(38,12)")).as("c"))
+        // arithmetic, narrower plumbing). r13 opt: the contributions
+        // previously materialized a 65-element DECIMAL array per row
+        // via transform() — a non-codegen higher-order function
+        // allocating 65 BigDecimals per doc per round (measured 4–7
+        // task-seconds per round over 5000 cached rows). Same exact
+        // arithmetic as 65 whole-stage-codegen'd aggregates over one
+        // projected residual: round to 12 → decimal(18,12), which is
+        // LONG-backed (|(p−y)·x| ≤ 16 needs 14 digits, 18 hold it
+        // exactly — identical values to the old (38,12) cast, and the
+        // sum stays an exact decimal either way).
+        val err = roundInput.select((p - col("y")).as("e"), col("xs"))
         val aggs = (0 until 65).map(i =>
-          (sum(element_at(col("c"), i + 1)).cast("double") /
+          (sum(round(col("e") * element_at(col("xs"), i + 1), 12)
+            .cast("decimal(18,12)")).cast("double") /
             lit(nDocs.toDouble)).as(s"s$i"))
-        val row = contribs.agg(aggs.head, aggs.tail: _*).head()
+        val row = err.agg(aggs.head, aggs.tail: _*).head()
         w = w.indices.map { i =>
           r6(new java.math.BigDecimal(
             w(i).doubleValue - 3.0 * row.getDouble(i)))
         }
-      }
+        }
+      } finally s.conf.set(aqeKey, prevAqe)
       val pF = sigmoid(graft.functions.DotProduct(
         col("xs"), typedlit(w.map(_.doubleValue))))
       feat.select(col("doc_id"), col("y").cast("int").as("label"),

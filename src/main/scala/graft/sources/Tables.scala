@@ -65,6 +65,22 @@ object Tables {
     }
   }
 
+  /** Adaptive compute-spread for a frame about to pay heavy PER-ROW work
+    * (per-character hashing, window explodes, model scoring): when the
+    * plan's current parallelism is below the session default — the
+    * single-row-group/single-file small-corpus case; the bench corpus
+    * ships ONE row group per table, so every scan stage is one task no
+    * matter the config (guide §2.5: "one huge unsplittable file …
+    * repartition immediately after the read") — round-robin repartition
+    * to the default. When the scan already has at least that many splits
+    * (any real-scale corpus), this is the identity and NO shuffle is
+    * added: the decision derives from the data's own layout, not from a
+    * local[n] constant. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every table as a temp view so `spark.sql` works verbatim. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
