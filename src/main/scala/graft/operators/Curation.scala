@@ -578,17 +578,24 @@ object Curation {
       val bucket = pmod(
         conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
         lit(100L))
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"),
-        split(trim(col("text")), "\\s+").as("w"))
+      // r13 opt: d feeds the token explode AND the gram explode (each a
+      // heavy single-split scan on the bench corpus) — spread + persist
+      // so the split() scan is parallel and runs once; grams feeds the
+      // holdout build (a broadcast side) and the train cover — eager,
+      // or the broadcast thread races the lazy cache (q102 lesson)
+      val d = graft.CacheScope.persist(Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"),
+          split(trim(col("text")), "\\s+").as("w")))
       val toks = d.select(col("doc_id"), col("split"),
           posexplode(col("w")).as(Seq("p0", "tok")))
         .select(col("doc_id"), col("split"), (col("p0") + 1).as("pos"),
           col("tok"))
       // positional 5-grams: start is 1-based, like the oracle's subscripts
       val n = size(col("w"))
-      val grams = d.select(col("doc_id"), col("split"),
+      val grams = graft.CacheScope.eager(
+        d.select(col("doc_id"), col("split"),
           posexplode(when(n >= 5,
             transform(sequence(lit(1), n - 4), i =>
               concat_ws(" ", (0 to 4).map(k =>
@@ -596,7 +603,7 @@ object Curation {
             .otherwise(array().cast("array<string>")))
             .as(Seq("i0", "gram")))
         .select(col("doc_id"), col("split"), (col("i0") + 1).as("start"),
-          col("gram"))
+          col("gram")))
       val hold = grams.filter(col("split").isin("val", "test"))
         .select("gram").distinct()
       val cover = grams.filter(col("split") === "train")
@@ -729,7 +736,11 @@ object Curation {
         |FROM cnt LEFT JOIN b ON cnt.source = b.source AND cnt.tok = b.tok
         |GROUP BY doc_id""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
-      val tok = graft.CacheScope.persist(t(s, dir, "documents")
+      // r13 opt: spread (the explode ran on the corpus' single scan
+      // split) + EAGER (three AQE stages read tok concurrently — with a
+      // lazy persist one computed it while two sat blocked on the
+      // cache's per-partition lock)
+      val tok = graft.CacheScope.eager(Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
           explode(split(trim(col("text")), "\\s+")).as("tok")))
       val nd = tok.groupBy("source")

@@ -1118,12 +1118,16 @@ object Dedup {
         |FROM l JOIN k USING (line) GROUP BY 1"""
         .stripMargin.replace("\n", " ")) { (s, dir) =>
       val ws = split(trim(col("text")), "\\s+")
-      val lines = t(s, dir, "documents")
+      // r13 opt: lines feeds the keep-key aggregate AND the join probe —
+      // unpersisted it was computed twice (two ~0.5s single-split scans
+      // at sf0.1); spread + eager runs the explode once, in parallel
+      val lines = graft.CacheScope.eager(
+        graft.sources.Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           posexplode(transform(
             sequence(lit(0), ((size(ws) + 9) / 10).cast("int") - 1),
             i => array_join(slice(ws, i * 10 + 1, lit(10)), " ")))
-            .as(Seq("li", "line")))
+            .as(Seq("li", "line"))))
       val key = col("doc_id") * 1000000L + col("li")
       val first = lines.groupBy("line").agg(min(key).as("keep_key"))
       lines.join(first, "line")

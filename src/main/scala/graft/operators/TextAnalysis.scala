@@ -496,11 +496,12 @@ object TextAnalysis {
         |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val words = docs.select(col("doc_id"),
+      val words = Tables.spread(docs).select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
-      // tf feeds both the document-frequency aggregate and the scoring
-      // join — persist so the explode+count pass runs once
-      val tf = graft.CacheScope.persist(
+      // tf feeds both the document-frequency aggregate (a BROADCAST
+      // build — r13: EAGER persist, or the broadcast thread races the
+      // lazy cache and recomputes the explode) and the scoring join
+      val tf = graft.CacheScope.eager(
         words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1205,7 +1206,9 @@ object TextAnalysis {
          |FROM uni LEFT JOIN bi USING (doc_id) LEFT JOIN five USING (doc_id)
          |""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
-      val base = graft.CacheScope.persist(t(s, dir, "documents")
+      // r13 opt: three gram branches read base through concurrent AQE
+      // stages — eager + spread (the splits ran on one scan task)
+      val base = graft.CacheScope.eager(Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w")))
       val n = size(col("w"))
       def gramCounts(k: Int): DataFrame = {
@@ -1948,7 +1951,8 @@ object TextAnalysis {
         |  round((ln(n) - CAST(sl AS DOUBLE) / n) / ln(2), 6) AS entropy_bits,
         |  round((ln(n) - CAST(sl AS DOUBLE) / n) / ln(2), 6) < 3.5 AS low_entropy
         |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      charEntropyReport(t(s, dir, "documents"), "doc_id")
+      // r13 opt: the per-character explode ran on one scan task — spread
+      charEntropyReport(Tables.spread(t(s, dir, "documents")), "doc_id")
     },
 
     /** Encoding-damage (mojibake) gate: per-document counts of U+FFFD
