@@ -309,7 +309,10 @@ object Dedup {
         val feat =
           if (features == "char5") graft.functions.NGrams.charGrams(col("text"), 5)
           else shingles(col("text"))
-        t(s, dir, "documents")
+        // r13 opt: spread the explode (single scan split on the bench
+        // corpus, F2) — the build parallelizes AND the memo parquet
+        // lands as one file per task, so every consumer scan splits too
+        Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), explode(feat).as("f"))
           .write.mode("overwrite").parquet(p)
         p
@@ -355,7 +358,8 @@ object Dedup {
         // (measured: persisting the full positional frame made this
         // build 9.4s at sf0.1; two explodes off cached docs avoid it)
         val docs = graft.CacheScope.persist(
-          t(s, dir, "documents").filter(length(col("text")) >= n)
+          Tables.spread(t(s, dir, "documents"))
+            .filter(length(col("text")) >= n)
             .select(col("doc_id"), col("text")))
         def explode0 = docs.select(col("doc_id"),
           posexplode(graft.functions.NGrams.charWindowGrams(col("text"), n))

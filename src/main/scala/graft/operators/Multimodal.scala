@@ -44,7 +44,10 @@ object Multimodal {
     * Formats rotate png/jpeg/wav by doc id; dimensions and sample rate
     * are embedded IN THE BYTES (and must be recovered from them). */
   def mediaFrame(s: SparkSession, dir: String): DataFrame =
-    mediaFrameOf(t(s, dir, "documents"))
+    // r13 opt: payload synthesis + every downstream byte-level pass
+    // (header parse, block-mean hash) is heavy per-row work, and the
+    // bench corpus arrives as one scan split — spread adaptively
+    mediaFrameOf(Tables.spread(t(s, dir, "documents")))
 
   /** [[mediaFrame]] over any (doc_id, text)-shaped frame — the shared
     * synthesis path the streaming phash view reuses on CDC batches, so

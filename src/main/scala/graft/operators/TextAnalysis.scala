@@ -82,7 +82,7 @@ object TextAnalysis {
         val bucket = pmod(
           conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
           lit(100L))
-        t(s, dir, "documents")
+        Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), bucket.as("b"),
             explode(graft.functions.NGrams.wordShingles(col("text"), 5))
               .as("g"))
@@ -109,7 +109,8 @@ object TextAnalysis {
     val path = graft.BuildMetrics.memo(lmTables,
       (graft.SessionMemo.key(s), dir), "lm_scores") {
         val p = graft.SessionMemo.tempDir("graft-lm-scores")
-        lmScoresOf(t(s, dir, "documents").select("doc_id", "text"))
+        lmScoresOf(Tables.spread(t(s, dir, "documents"))
+          .select("doc_id", "text"))
           .write.mode("overwrite").parquet(p)
         p
       }
@@ -280,7 +281,7 @@ object TextAnalysis {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[graft] def classifierScoresBuild(
       s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     val lbl = docs.select(col("doc_id"),
       when(qualityScore(col("text")) >= 0.5, 1).otherwise(0).as("hi"))
     val db = graft.CacheScope.persist(docs
