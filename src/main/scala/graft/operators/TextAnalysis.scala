@@ -1729,59 +1729,48 @@ object TextAnalysis {
                 * lit(16) / col("n")),
             lit(1.0)).as("xs")))
       val nDocs = feat.count()
-      // r13 opt: at bench scale the cached feature table holds 32
-      // partitions of ~150 rows, so every gradient round scheduled 32
-      // tasks plus an AQE re-plan barrier to produce a 65-value row.
-      // The rounds read the cache through an adaptive narrow coalesce
-      // (~200K docs per partition at any scale — a real corpus keeps
-      // its parallelism), and AQE is off inside the loop (restored in
-      // finally): each round's exchange moves exactly ONE row, so
-      // runtime re-planning buys nothing and costs a barrier per round.
-      val roundInput = feat.coalesce(math.max(
-        math.min(s.sparkContext.defaultParallelism.toLong, nDocs / 500L + 1L),
-        math.min(1L << 14, nDocs / 200000L + 1L)).toInt)
 
       def sigmoid(z: Column): Column =
         lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
       def r6(x: java.math.BigDecimal): java.math.BigDecimal =
         x.setScale(6, java.math.RoundingMode.HALF_UP)
 
+      // r14 opt (r13 VERDICT #1): each gradient round previously built a
+      // fresh DataFrame of 65 weight-literal-bearing aggregates — every
+      // round paid driver planning plus a whole-stage-codegen compile of
+      // a very large generated class, serial on the driver and invisible
+      // to warm min-of-5 timing (the driver's cold bench measured the
+      // 6-round loop at 17.1 s vs 3.9 warm). The rounds now run through
+      // ONE reusable compiled unit: a mapPartitions pass over the cached
+      // feature rows ([[TextAnalysis.logregGradient]]) computing the same
+      // 65 rounded-decimal sums with bit-identical arithmetic — the dot
+      // product is the same left-to-right primitive fold DotProduct
+      // generates, the per-contribution rounding is the same
+      // shortest-decimal-representation path Spark's Round-on-double and
+      // Cast-to-decimal(18,12) take (BigDecimal.valueOf → setScale(12,
+      // HALF_UP); Q129 gradient test proves value equality against the
+      // aggregate form across all six rounds), and the exact decimal
+      // partials merge order-free. A round costs one cache-read job plus
+      // a 65-value collect — no exchange, no re-planning, no per-round
+      // codegen, and AQE stays untouched.
+      // narrow (no-shuffle) coalesce to a size-derived width: ~500 docs
+      // per task at small corpora (a 65-value partial per task costs more
+      // to schedule than to compute), ~200K docs per task at scale, never
+      // above the session parallelism when the corpus is small — the same
+      // formula the r13 round-input coalesce used, now on the RDD
+      val featRows = feat.select(col("y"), col("xs")).queryExecution.toRdd
+        .coalesce(math.max(
+          math.min(s.sparkContext.defaultParallelism.toLong, nDocs / 500L + 1L),
+          math.min(1L << 14, nDocs / 200000L + 1L)).toInt)
       var w: IndexedSeq[java.math.BigDecimal] =
         IndexedSeq.fill(65)(java.math.BigDecimal.ZERO)
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val prevAqe = s.conf.get(aqeKey)
-      try {
-        s.conf.set(aqeKey, "false")
-        for (_ <- 1 to 6) {
-        val p = sigmoid(graft.functions.DotProduct(
-          col("xs"), typedlit(w.map(_.doubleValue))))
-        // per-bucket gradient = 65 independent map-side-combined sums
-        // over the SAME rounded DECIMAL contributions the oracle's
-        // unrolled CTEs add (order-free by construction) — one global
-        // agg per round, no 65× posexplode row blow-up (r12 watchlist:
-        // the explode+groupBy form drifted q129 3.41→4.08s; identical
-        // arithmetic, narrower plumbing). r13 opt: the contributions
-        // previously materialized a 65-element DECIMAL array per row
-        // via transform() — a non-codegen higher-order function
-        // allocating 65 BigDecimals per doc per round (measured 4–7
-        // task-seconds per round over 5000 cached rows). Same exact
-        // arithmetic as 65 whole-stage-codegen'd aggregates over one
-        // projected residual: round to 12 → decimal(18,12), which is
-        // LONG-backed (|(p−y)·x| ≤ 16 needs 14 digits, 18 hold it
-        // exactly — identical values to the old (38,12) cast, and the
-        // sum stays an exact decimal either way).
-        val err = roundInput.select((p - col("y")).as("e"), col("xs"))
-        val aggs = (0 until 65).map(i =>
-          (sum(round(col("e") * element_at(col("xs"), i + 1), 12)
-            .cast("decimal(18,12)")).cast("double") /
-            lit(nDocs.toDouble)).as(s"s$i"))
-        val row = err.agg(aggs.head, aggs.tail: _*).head()
+      for (_ <- 1 to 6) {
+        val g = TextAnalysis.logregGradient(featRows, w.map(_.doubleValue).toArray)
         w = w.indices.map { i =>
           r6(new java.math.BigDecimal(
-            w(i).doubleValue - 3.0 * row.getDouble(i)))
+            w(i).doubleValue - 3.0 * (g(i).doubleValue / nDocs.toDouble)))
         }
-        }
-      } finally s.conf.set(aqeKey, prevAqe)
+      }
       val pF = sigmoid(graft.functions.DotProduct(
         col("xs"), typedlit(w.map(_.doubleValue))))
       feat.select(col("doc_id"), col("y").cast("int").as("label"),
@@ -2032,6 +2021,69 @@ object TextAnalysis {
           .as("sl"))
       .select(col(idCol), col("n").as("n_cp"), col("n_distinct"),
         eb.as("entropy_bits"), (eb < 3.5).as("low_entropy"))
+  }
+
+  /** One q129 gradient round over InternalRows of
+    * (y double, xs array<double> of 65): per bucket i,
+    * Σ_docs round((σ(xs·w) − y) · xs[i], 12) as an EXACT decimal — the
+    * value the former 65-aggregate DataFrame computed as
+    * `sum(cast(round(e * xs[i+1], 12) as decimal(18,12)))`.
+    *
+    * Arithmetic contract (bit-identical to the aggregate form, which the
+    * oracle's unrolled CTEs hash-match):
+    *  - dot product: left-to-right `z += xs[i] * w[i]` — exactly
+    *    [[graft.functions.DotProduct]]'s generated loop;
+    *  - sigmoid: `0.5 + z / (2.0 * (1.0 + abs(z)))` in that association;
+    *  - round(v, 12) on double: `java.math.BigDecimal.valueOf(v)` (the
+    *    shortest-decimal representation — what Spark's Round uses for
+    *    DoubleType in both codegen and interpreted form) → setScale(12,
+    *    HALF_UP) → doubleValue;
+    *  - cast to decimal(18,12): valueOf(roundedDouble) → setScale(12,
+    *    HALF_UP) — Decimal.set(double) goes through the same
+    *    shortest-representation constructor, and changePrecision's
+    *    HALF_UP at scale 12 is this setScale;
+    *  - decimal addition is exact and order-free, so per-partition
+    *    partials merged on the driver equal the global decimal sum.
+    *
+    * Why an RDD closure in a codegen-everywhere codebase: the six rounds
+    * are DRIVER-sequential with a 65-double model collect between them;
+    * as DataFrames each round was a brand-new plan (weights inlined as
+    * literals) paying planning + a very large codegen compile per round
+    * (r13 VERDICT #1: 4.4× cold regression). One compiled closure
+    * re-executed over the cached feature rows makes every round a single
+    * cache-read job; per-element work is the same primitive double math
+    * plus the same two BigDecimal constructions the codegen'd decimal
+    * aggregate performed. */
+  private[graft] def logregGradient(
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      wv: Array[Double]): Array[java.math.BigDecimal] = {
+    val partials = rows.mapPartitions { it =>
+      val acc = Array.fill(65)(java.math.BigDecimal.ZERO)
+      while (it.hasNext) {
+        val row = it.next()
+        val y = row.getDouble(0)
+        val xs = row.getArray(1)
+        var z = 0.0
+        var i = 0
+        while (i < 65) { z += xs.getDouble(i) * wv(i); i += 1 }
+        val e = (0.5 + z / (2.0 * (1.0 + java.lang.Math.abs(z)))) - y
+        i = 0
+        while (i < 65) {
+          val d1 = java.math.BigDecimal.valueOf(e * xs.getDouble(i))
+            .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+          acc(i) = acc(i).add(java.math.BigDecimal.valueOf(d1)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.collect()
+    val g = Array.fill(65)(java.math.BigDecimal.ZERO)
+    partials.foreach { p =>
+      var i = 0
+      while (i < 65) { g(i) = g(i).add(p(i)); i += 1 }
+    }
+    g
   }
 
   /** q131's order-free quantile fold over a weighted value table, shared
