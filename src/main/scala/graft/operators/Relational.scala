@@ -966,9 +966,38 @@ object Relational {
         (shiftleft(shiftright(col("x"), i).bitwiseAND(1L), 2 * i) +
           shiftleft(shiftright(col("y"), i).bitwiseAND(1L), 2 * i + 1))
       }.reduce(_ + _)
-      d.withColumn("zkey", zkey)
-        .withColumn("bucket",
-          ntile(16).over(Window.orderBy(col("zkey"), col("doc_id"))))
+      // r14 opt (r13 VERDICT #3): `ntile(16) OVER (ORDER BY zkey, doc_id)`
+      // was a partition-less window — the full corpus sorted in ONE task.
+      // Exact same bucket ids, distributed: range-partition on the sort
+      // key, count rows per range (the tiny per-partition count table is
+      // the only thing collected), then global rank = partition offset +
+      // per-partition row_number, converted to its ntile bucket with the
+      // ntile size formula (first n%16 buckets hold ⌈n/16⌉ rows). The
+      // sort happens per range partition; no single-partition stage
+      // remains.
+      val p = math.max(s.sparkContext.defaultParallelism, 1)
+      val ranged = graft.CacheScope.persist(
+        d.withColumn("zkey", zkey)
+          .repartitionByRange(p, col("zkey"), col("doc_id"))
+          .withColumn("pid", spark_partition_id()))
+      val cnts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val offsets: Map[Int, Long] =
+        cnts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+      val n = acc
+      val base = n / 16
+      val rem = n % 16
+      val baseSafe = math.max(base, 1L) // branch unreachable when base==0
+      val rk = element_at(typedlit(offsets), col("pid")) +
+        row_number().over(
+          Window.partitionBy("pid").orderBy(col("zkey"), col("doc_id")))
+      val bucket = when(rk <= lit(rem * (base + 1)),
+        (rk - 1) / lit(base + 1) + 1)
+        .otherwise(lit(rem) + (rk - 1 - lit(rem * (base + 1))) /
+          lit(baseSafe) + 1)
+      ranged
+        .withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("x").as("min_x"), max("x").as("max_x"),
           min("y").as("min_y"), max("y").as("max_y"),

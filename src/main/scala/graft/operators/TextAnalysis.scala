@@ -1489,12 +1489,10 @@ object TextAnalysis {
         classifierScores(s, dir).select("score", "hi"))
       val dist = j.groupBy("score")
         .agg(count(lit(1)).as("cnt"), sum("hi").cast("long").as("pos"))
-      // cumulative over the DISTINCT-score aggregate: a bounded global
-      // window (the q70/q71 day-table class), never a doc-level sort
-      val w = org.apache.spark.sql.expressions.Window.orderBy("score")
-      val s2 = dist.withColumn("cum", sum("cnt").over(w))
-        .agg(sum(col("pos") * (lit(2) * (col("cum") - col("cnt")) +
-          col("cnt") + 1)).cast("long").as("s2"))
+      // r14: the cumulative count over distinct scores runs through the
+      // range-partitioned prefix sum (scores ≈ docs at corpus scale, so
+      // the former partition-less window was a one-task corpus sort)
+      val s2 = aucS2(dist)
       val tot = j.agg(sum("hi").cast("long").as("p"),
         (count(lit(1)) - sum("hi")).cast("long").as("nn"))
       // AUC is undefined when either class is empty: emit NULL on BOTH
@@ -2021,6 +2019,45 @@ object TextAnalysis {
           .as("sl"))
       .select(col(idCol), col("n").as("n_cp"), col("n_distinct"),
         eb.as("entropy_bits"), (eb < 3.5).as("low_entropy"))
+  }
+
+  /** Mann-Whitney Σ_scores pos·(2·below + cnt + 1) over a distinct-score
+    * counter table (score double, cnt long, pos long) — the seam shared
+    * by q112 and the streaming AUC monitor — computed WITHOUT a
+    * single-partition global window (r13 VERDICT #9: scores are
+    * effectively per-doc distinct at corpus scale, so `ORDER BY score`
+    * with no partition was a corpus-cardinality one-task sort).
+    * Range-partition by score, collect the per-partition count totals
+    * (one row per partition), and add each partition's exclusive offset
+    * to its local cumulative count — exactly the value of
+    * `sum(pos * (2*(cum−cnt)+cnt+1))` with
+    * `cum = sum(cnt) OVER (ORDER BY score)`; integer arithmetic
+    * throughout. Returns a 1-row frame (s2 BIGINT, NULL on empty input —
+    * callers keep their existing NULL handling). `persistFn` pins the
+    * range-partitioned table for its two consumers (offset collect +
+    * final sum): batch callers default to the harness-drained
+    * [[graft.CacheScope.persist]]; streaming callers pass their
+    * ctx.defer-scoped persist. */
+  private[graft] def aucS2(dist: DataFrame,
+      persistFn: DataFrame => DataFrame = graft.CacheScope.persist)
+      : DataFrame = {
+    val s = dist.sparkSession
+    val p = math.max(s.sparkContext.defaultParallelism, 1)
+    val ranged = persistFn(
+      dist.repartitionByRange(p, col("score"))
+        .withColumn("__pid", spark_partition_id()))
+    val parts = ranged.groupBy("__pid").agg(sum("cnt").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      parts.map { case (pid, t) => val o = acc; acc += t; pid -> o }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("score")
+    ranged
+      .withColumn("cum",
+        element_at(typedlit(offsets), col("__pid")) + sum("cnt").over(w))
+      .agg(sum(col("pos") * (lit(2) * (col("cum") - col("cnt")) +
+        col("cnt") + 1)).cast("long").as("s2"))
   }
 
   /** One q129 gradient round over InternalRows of

@@ -103,10 +103,11 @@ object StreamingAucMonitor {
       // emit: the q112 mid-rank identity over the post-merge counter
       // table (bounded distinct-score rows; identical on replay)
       val dist = cntTable.snapshot(cntSchema).select("score", "cnt", "pos")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("score")
-      val s2 = dist.withColumn("cum", sum("cnt").over(w))
-        .agg(coalesce(sum(col("pos") * (lit(2) * (col("cum") - col("cnt")) +
-          col("cnt") + 1)), lit(0L)).cast("long").as("s2"))
+      // r14: same range-partitioned prefix sum as batch q112 — no
+      // partition-less window over the (scale-unbounded) score table
+      val s2 = TextAnalysis.aucS2(dist, df => {
+        val f = df.persist(mem); ctx.defer(f.unpersist()); f
+      }).select(coalesce(col("s2"), lit(0L)).as("s2"))
       val tot = dist.agg(
         coalesce(sum("pos"), lit(0L)).cast("long").as("p"),
         (coalesce(sum("cnt"), lit(0L)) - coalesce(sum("pos"), lit(0L)))
