@@ -81,6 +81,30 @@ object CacheScope {
     p
   }
 
+  /** [[persist]] each frame on the CALLER's scope, then materialize them
+    * CONCURRENTLY (one blocking count per frame from a small pool) — for
+    * INDEPENDENT shared frames whose eager materializations would
+    * otherwise serialize into back-to-back barriers (guide §2.6 "overlap
+    * independent jobs": as one count's stage dwindles to stragglers the
+    * other's tasks back-fill the idle cores). Registration happens on
+    * the caller thread before any job starts, so drain() semantics are
+    * exactly [[eager]]'s. Use only for frames with no data dependency on
+    * each other; a dependent frame would race its input's cache exactly
+    * like the broadcast-thread duplication [[eager]] exists to prevent. */
+  def eagerAll(dfs: DataFrame*): Seq[DataFrame] = {
+    val ps = dfs.map(persist)
+    if (ps.size <= 1) ps.foreach(_.count())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ps.size)
+      try {
+        ps.map(df => pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = df.count()
+        })).foreach(_.get())
+      } finally pool.shutdown()
+    }
+    ps
+  }
+
   /** Release every frame THIS THREAD persisted since its last drain,
     * then sweep orphans (frames whose owning thread died without
     * draining). Call after the query's action completes; non-blocking so

@@ -606,11 +606,15 @@ object Curation {
           col("gram")))
       val hold = grams.filter(col("split").isin("val", "test"))
         .select("gram").distinct()
-      val cover = grams.filter(col("split") === "train")
+      // r14: cover feeds the removal count AND the keep anti-join, and
+      // `removed` (derived from it) broadcast-joins — unpersisted, the
+      // broadcast thread re-ran the gram⋈holdout join; eager runs it once
+      val cover = graft.CacheScope.eager(grams
+        .filter(col("split") === "train")
         .join(hold, "gram")
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + 4)).as("pos"))
-        .distinct()
+        .distinct())
       val removed = cover.groupBy("doc_id")
         .agg(count(lit(1)).as("n_removed"))
       val kept = toks.join(removed.select("doc_id"), "doc_id")
@@ -871,8 +875,12 @@ object Curation {
             lit(1024L)).as("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(count(lit(1)).as("c")))
-      val buckets = dc.groupBy("b").agg(sum("c").as("rc"),
-        sum(when(col("lang") === "en", col("c"))).as("tc"))
+      // r14: buckets (≤1024 rows) feeds tot AND the broadcast lam —
+      // unpersisted, the bucket aggregation over dc ran twice (once per
+      // consumer, the second on a broadcast thread); eager runs it once
+      val buckets = graft.CacheScope.eager(
+        dc.groupBy("b").agg(sum("c").as("rc"),
+          sum(when(col("lang") === "en", col("c"))).as("tc")))
       val tot = buckets.agg(sum("rc").as("rn"),
         coalesce(sum("tc"), lit(0L)).as("tn"))
       val lam = buckets
@@ -1147,45 +1155,61 @@ object Curation {
       val bucket = pmod(
         conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
         lit(100L))
-      val train = graft.CacheScope.persist(
-        docs.filter(bucket < 90).select("doc_id"))
+      // r14: the funnel previously materialized every stage as its own
+      // persisted doc_id frame (5 chained anti-joins) and counted all
+      // six via concurrent broadcast count subqueries — 40+ sequential
+      // jobs of scheduling for seven integers, and each stage's shuffle
+      // re-keyed the SAME doc ids. A semi/anti join on a unique key is
+      // a boolean flag: one pass left-joins the loser/admission sets
+      // onto the corpus, every funnel count reads off that frame in ONE
+      // aggregation, and the per-source top-10 tail reuses the same
+      // cached rows (its quality column rides the pass). Identical
+      // integers — membership logic is unchanged, join keys are unique.
       val gate = TextAnalysis.gopherRules(
           docs.select(col("doc_id"), col("text")), col("doc_id"))
-        .filter(col("keep")).select("doc_id")
-      val adm = graft.CacheScope.persist(
-        train.join(gate, Seq("doc_id"), "left_semi"))
+        .filter(col("keep")).select(col("doc_id"), lit(true).as("g_ok"))
       val sigs = docs.select(col("doc_id"), md5(col("text")).as("sig"))
       val exactLosers = sigs
         .join(sigs.groupBy("sig").agg(min("doc_id").as("keep_id")), "sig")
-        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-      val s1 = graft.CacheScope.persist(
-        adm.join(exactLosers, Seq("doc_id"), "left_anti"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"), lit(true).as("ex"))
       val nearLosers = Dedup.sharedNearDupClusters(s, dir)
-        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      val sn = graft.CacheScope.persist(
-        s1.join(nearLosers, Seq("doc_id"), "left_anti"))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(true).as("nd"))
       val grams = TextAnalysis.sharedDocGrams(s, dir)
       val hold = grams.filter(col("b") >= 90).select("g").distinct()
       val contaminated = grams.join(hold, "g").select("doc_id").distinct()
-      val sd = graft.CacheScope.persist(
-        sn.join(contaminated, Seq("doc_id"), "left_anti"))
+        .withColumn("ct", lit(true))
+      val flags = graft.CacheScope.eager(docs
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          (bucket < 90).as("tr"))
+        .join(gate, Seq("doc_id"), "left")
+        .join(exactLosers, Seq("doc_id"), "left")
+        .join(nearLosers, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("quality"), col("tr"),
+          (col("tr") && coalesce(col("g_ok"), lit(false))).as("adm"),
+          coalesce(col("ex"), lit(false)).as("ex"),
+          coalesce(col("nd"), lit(false)).as("nd"),
+          coalesce(col("ct"), lit(false)).as("ct"))
+        .withColumn("s1", col("adm") && !col("ex"))
+        .withColumn("sn", col("s1") && !col("nd"))
+        .withColumn("sd", col("sn") && !col("ct")))
+      val counts = flags.agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("tr"), 1)).as("n_train"),
+        count(when(col("adm"), 1)).as("n_admitted"),
+        count(when(col("s1"), 1)).as("n_after_exact"),
+        count(when(col("sn"), 1)).as("n_after_near"),
+        count(when(col("sd"), 1)).as("n_after_decon"))
       val topk = udaf(new graft.functions.TopKAggregator(10))
-      val fin = sd
-        .join(docs.select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality")), "doc_id")
+      val fin = flags.filter(col("sd"))
         .groupBy("source")
         .agg(topk(col("quality"), col("doc_id")).as("top"))
         .select(explode(col("top")).as("t"))
         .agg(count(lit(1)).as("n_final"))
-      def c1(df: org.apache.spark.sql.DataFrame, n: String) =
-        broadcast(df.agg(count(lit(1)).as(n)))
-      docs.agg(count(lit(1)).as("n_total"))
-        .crossJoin(c1(train, "n_train"))
-        .crossJoin(c1(adm, "n_admitted"))
-        .crossJoin(c1(s1, "n_after_exact"))
-        .crossJoin(c1(sn, "n_after_near"))
-        .crossJoin(c1(sd, "n_after_decon"))
-        .crossJoin(broadcast(fin))
+      counts.crossJoin(broadcast(fin))
         .select("n_total", "n_train", "n_admitted", "n_after_exact",
           "n_after_near", "n_after_decon", "n_final")
     },

@@ -1226,20 +1226,29 @@ object Dedup {
       val srcLit = typedlit(srcArr)
       val idxMap = typedlit(srcArr.zipWithIndex.toMap)
       val hv = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-      val sk = graft.CacheScope.eager(fs.select(col("source"), hv.as("hv"))
-        .groupBy("source")
-        .agg(graft.functions.KmvAgg.bottomK(col("hv"), 64).as("sk")))
-      val masks = graft.CacheScope.eager(fs
-        .select(col("g"), element_at(pow2,
-          element_at(idxMap, col("source")) + 1).as("bit"))
-        .groupBy("g").agg(bit_or(col("bit")).as("mask"))
-        .groupBy("mask").agg(count(lit(1)).as("c")))
+      // r14: sk and masks are independent aggregates of the cached
+      // shingle frame — materialized CONCURRENTLY (eagerAll) instead of
+      // as two sequential eager barriers
+      val Seq(sk, masks) = graft.CacheScope.eagerAll(
+        fs.select(col("source"), hv.as("hv"))
+          .groupBy("source")
+          .agg(graft.functions.KmvAgg.bottomK(col("hv"), 64).as("sk")),
+        fs.select(col("g"), element_at(pow2,
+            element_at(idxMap, col("source")) + 1).as("bit"))
+          .groupBy("g").agg(bit_or(col("bit")).as("mask"))
+          .groupBy("mask").agg(count(lit(1)).as("c")))
       val setBits = filter(sequence(lit(0), lit(srcArr.size - 1)),
         b => col("mask").bitwiseAND(element_at(pow2, b + 1)) =!= 0)
-      val n = masks.withColumn("bs", setBits)
+      // r14: n is ≤|sources| rows but feeds TWO broadcast consumers
+      // (na, nb) — unpersisted, each broadcast thread re-ran its
+      // explode+groupBy lineage over the cached mask table concurrently
+      // (two of the four 32-task broadcast stages in the final
+      // assembly). Eager keeps the broadcast builds to a ≤63-row cache
+      // read.
+      val n = graft.CacheScope.eager(masks.withColumn("bs", setBits)
         .select(explode(col("bs")).as("bi"), col("c"))
         .groupBy("bi").agg(sum("c").as("n"))
-        .select(element_at(srcLit, col("bi") + 1).as("source"), col("n"))
+        .select(element_at(srcLit, col("bi") + 1).as("source"), col("n")))
       val inter = masks
         .withColumn("bs", setBits)
         .select(col("c"), explode(flatten(transform(col("bs"), (x, i) =>

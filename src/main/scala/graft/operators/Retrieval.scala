@@ -136,8 +136,14 @@ object Retrieval {
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       val toks = docs.select(col("doc_id"),
         size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
-      val qt = toks.filter(col("doc_id") < NQ)
-        .select(col("doc_id").as("query_id"), col("term")).distinct()
+      // r14: qt is the NQ probe docs' term set — filter to the probes
+      // BEFORE the explode (guide §2.3). As `toks.filter(doc_id < NQ)`
+      // its broadcast build re-ran the full corpus explode (9.7
+      // task-seconds at sf0.1 for 8 docs' worth of terms); the probe
+      // filter now reaches the parquet scan.
+      val qt = docs.filter(col("doc_id") < NQ)
+        .select(col("doc_id").as("query_id"), explode(col("w")).as("term"))
+        .distinct()
       val qterm = qt.select("term").distinct()
       val tfq = graft.CacheScope.eager(
         toks.join(broadcast(qterm), Seq("term"))
