@@ -740,22 +740,33 @@ object Curation {
         |FROM cnt LEFT JOIN b ON cnt.source = b.source AND cnt.tok = b.tok
         |GROUP BY doc_id""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
-      // r13 opt: spread (the explode ran on the corpus' single scan
-      // split) + EAGER (three AQE stages read tok concurrently — with a
-      // lazy persist one computed it while two sat blocked on the
-      // cache's per-partition lock)
-      val tok = graft.CacheScope.eager(Tables.spread(t(s, dir, "documents"))
+      // r14 (was r13 eager(tok) + three concurrent aggregation passes
+      // over the cached token table): every statistic derives from the
+      // FINEST aggregation. cnt (one row per distinct (doc, source,
+      // tok)) is computed once from the token stream — the explode is
+      // consumed exactly once, no token-table persist at all; df reads
+      // off cnt (a (source,tok)'s distinct-doc count is its cnt row
+      // count, since each doc has one source); nd is docs-per-source
+      // straight from the corpus (every document yields ≥1 token row:
+      // split of an empty text is ['']). Three corpus-token passes and
+      // two countDistincts become one token pass plus two bounded
+      // aggregations.
+      // (and r14 again: the pre-explode shuffle is doc_id-keyed, so the
+      // (doc, source, tok) aggregation and the final per-doc rollup both
+      // reuse it — only df's (source, tok) aggregate re-keys)
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("source"),
-          explode(split(trim(col("text")), "\\s+")).as("tok")))
-      val nd = tok.groupBy("source")
-        .agg(countDistinct("doc_id").as("ndocs"))
-      val df = tok.groupBy("source", "tok")
-        .agg(countDistinct("doc_id").as("df"))
-      val boiler = df.join(nd, "source")
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val cnt = graft.CacheScope.eager(
+        tok.groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c")))
+      val nd = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("ndocs"))
+      val df = cnt.groupBy("source", "tok").agg(count(lit(1)).as("df"))
+      val boiler = df.join(broadcast(nd), "source")
         .filter(col("df") * 1.0 > lit(0.9) * col("ndocs"))
         .select(col("source"), col("tok"), lit(1).as("is_b"))
-      val cnt = tok.groupBy("doc_id", "source", "tok")
-        .agg(count(lit(1)).as("c"))
       val boilerC = sum(when(col("is_b").isNotNull, col("c")))
       cnt.join(broadcast(boiler), Seq("source", "tok"), "left")
         .groupBy("doc_id")
@@ -866,8 +877,14 @@ object Curation {
       // and the normalizers come off that 1024-row frame instead of
       // re-aggregating dc — two corpus-scale passes and a join removed,
       // identical integer sums (guide §2.3/§2.4).
+      // r14 (guide §2.4, the q37 move): hash-repartition by doc_id
+      // instead of round-robin spread — the same shuffle then satisfies
+      // the (doc_id, lang, b) aggregation AND the final per-doc rollup,
+      // so both run with no further exchange.
       val dc = graft.CacheScope.eager(
-        Tables.spread(t(s, dir, "documents"))
+        t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"),
           explode(graft.functions.NGrams.wordGrams(col("text"), 2)).as("g"))
         .select(col("doc_id"), col("lang"),
@@ -1519,7 +1536,12 @@ object Curation {
       * degrades fpp exactly when the benchmark grows). */
     QueryDef("q146_bloom_decontaminate", decontaminateOracle) { (s, dir) =>
       val grams = TextAnalysis.sharedDocGrams(s, dir)
-      val holdout = grams.filter(col("b") >= 90).select("g").distinct()
+      // r14: holdout was computed three times — the bloom-sizing count,
+      // the bloom build scan, and the join side each re-ran the
+      // filter+distinct over the gram table. Persist once; the count
+      // doubles as the eager materialization.
+      val holdout = graft.CacheScope.persist(
+        grams.filter(col("b") >= 90).select("g").distinct())
       val bloom = holdout.stat.bloomFilter(
         "g", math.max(holdout.count(), 1L), 0.01)
       val bc = s.sparkContext.broadcast(bloom)

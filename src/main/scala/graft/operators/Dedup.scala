@@ -778,10 +778,22 @@ object Dedup {
       // doc are colocated in the parquet it reads — plus the oracle's
       // whole-string edge for docs shorter than one window
       val wins = sharedWindowFrame(s, dir, 50)
-      val grams = materialize(wins.select("doc_id", "g").distinct()
-        .union(t(s, dir, "documents")
-          .filter(length(col("text")) < 50)
-          .select(col("doc_id"), col("text").as("g"))))
+      // r14 (guide §2.4): one window-keyed repartition feeds the
+      // distinct (hash(g) clusters every (doc_id, g) duplicate) AND both
+      // self-join sides, so the former two shuffles of the window table
+      // (one for distinct on (doc_id, g), one re-keying by g for the
+      // join) collapse into this single exchange; EAGER because the
+      // join's two map stages otherwise race the lazy cache and each
+      // recompute the distinct. The short-doc rows ride the same
+      // exchange (they produce no window rows, so the distinct cannot
+      // merge across the union).
+      val grams = graft.CacheScope.eager(
+        wins.select("doc_id", "g")
+          .unionByName(t(s, dir, "documents")
+            .filter(length(col("text")) < 50)
+            .select(col("doc_id"), col("text").as("g")))
+          .repartition(col("g"))
+          .distinct())
       val a = grams.select(col("doc_id").as("doc_a"), col("g"))
       val b = grams.select(col("doc_id").as("doc_b"), col("g"))
       a.join(b, Seq("g"))

@@ -497,8 +497,17 @@ object TextAnalysis {
         |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val words = Tables.spread(docs).select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("term"))
+      // r14 (guide §2.4 — share one exchange): hash-repartition by
+      // doc_id BEFORE the explode. The same shuffle then (1) spreads
+      // the single-row-group scan like Tables.spread did, but moving
+      // only (doc_id, text); (2) satisfies the (doc_id, term) groupBy's
+      // clustering, so tf aggregates with NO second exchange; and (3)
+      // satisfies the top-k window's partitionBy(doc_id), so the rank
+      // runs straight off the cached tf. Two tf-sized shuffles removed.
+      val words = docs.select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
       // tf feeds both the document-frequency aggregate (a BROADCAST
       // build — r13: EAGER persist, or the broadcast thread races the
       // lazy cache and recomputes the explode) and the scoring join
@@ -1208,8 +1217,15 @@ object TextAnalysis {
          |""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
       // r13 opt: three gram branches read base through concurrent AQE
-      // stages — eager + spread (the splits ran on one scan task)
-      val base = graft.CacheScope.eager(Tables.spread(t(s, dir, "documents"))
+      // stages — eager (with a lazy persist one computed while two sat
+      // blocked on the cache lock). r14 (guide §2.4, the q37 move):
+      // hash-repartition by doc_id instead of round-robin spread — the
+      // cached base is then already clustered for every (doc_id, g)
+      // aggregation, every per-doc rollup, and the two doc_id joins, so
+      // all three branches run with NO further exchange.
+      val base = graft.CacheScope.eager(t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w")))
       val n = size(col("w"))
       def gramCounts(k: Int): DataFrame = {
@@ -1274,8 +1290,13 @@ object TextAnalysis {
       // paid a 2M-row wide-string dedup shuffle plus the interpreted
       // per-element HOF cost (22s at sf0.1; this shape runs ~3s).
       // Since r7 the gram frame itself is the shared session memo —
-      // both branches below scan the materialized parquet
+      // both branches below scan the materialized parquet.
+      // r14 (guide §2.4): one explicit gram-keyed repartition feeds BOTH
+      // the first-occurrence aggregate and the join probe — exchange
+      // reuse turns the former two gram-keyed shuffles of dg (one
+      // partial-aggregated, one raw for the join) into this single one.
       val dg = sharedDocGrams(s, dir).select("doc_id", "g")
+        .repartition(col("g"))
       val fst = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
       dg.join(fst, "g")
         .groupBy("doc_id")
@@ -1314,17 +1335,45 @@ object TextAnalysis {
         |JOIN vs vb ON vb.source = inter.source_b""".stripMargin
         .replace("\n", " ")
     }) { (s, dir) =>
-      val st = graft.CacheScope.persist(t(s, dir, "documents")
+      // r14: the q136 source-bitmask move replaces distinct + self-join.
+      // One NON-distinct (tok → bit_or(source bit)) aggregation absorbs
+      // repeats map-side and ships one 8-byte partial per (partition,
+      // token); vocabulary sizes and every pairwise intersection then
+      // read off the bounded (mask, count) table — the token self-join
+      // (k² rows per token shared by k sources) and the distinct shuffle
+      // are gone. Sources index the mask in sorted order, so bit order ==
+      // lexicographic order and pairs come out source_a < source_b
+      // exactly like the join form. Identical exact integers.
+      val docsT = t(s, dir, "documents")
+      val srcArr = docsT.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).toSeq
+      require(srcArr.size <= 63,
+        s"source bitmask holds <= 63 sources, got ${srcArr.size} " +
+          "(widen to array-of-longs masks past that)")
+      val pow2 = typedlit((0 until 63).map(1L << _))
+      val srcLit = typedlit(srcArr)
+      val idxMap = typedlit(srcArr.zipWithIndex.toMap)
+      val masks = graft.CacheScope.eager(docsT
         .select(col("source"),
           explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .distinct())
-      val vs = st.groupBy("source").agg(count(lit(1)).as("nv"))
-      val a = st.select(col("source").as("source_a"), col("tok"))
-      val b = st.select(col("source").as("source_b"), col("tok"))
-      val inter = a.join(b, Seq("tok"))
-        .filter(col("source_a") < col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_common"))
+        .select(col("tok"), element_at(pow2,
+          element_at(idxMap, col("source")) + 1).as("bit"))
+        .groupBy("tok").agg(bit_or(col("bit")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("c")))
+      val setBits = filter(sequence(lit(0), lit(srcArr.size - 1)),
+        b => col("mask").bitwiseAND(element_at(pow2, b + 1)) =!= 0)
+      val vs = masks.withColumn("bs", setBits)
+        .select(explode(col("bs")).as("bi"), col("c"))
+        .groupBy("bi").agg(sum("c").as("nv"))
+        .select(element_at(srcLit, col("bi") + 1).as("source"), col("nv"))
+      val inter = masks.withColumn("bs", setBits)
+        .select(col("c"), explode(flatten(transform(col("bs"), (x, i) =>
+          transform(slice(col("bs"), i + 2, size(col("bs"))),
+            y => struct(element_at(srcLit, x + 1).as("source_a"),
+              element_at(srcLit, y + 1).as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
+        .agg(sum("c").as("n_common"))
       inter
         .join(broadcast(vs.select(col("source").as("source_a"),
           col("nv").as("na"))), "source_a")
@@ -1697,9 +1746,13 @@ object TextAnalysis {
          |FROM f, w6""".stripMargin.replace("\n", " ")
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      // md5-per-token feature hashing is the heavy scan — spread it
-      // (single-row-group bench corpus = one scan task otherwise)
-      val tok = Tables.spread(docs).select(col("doc_id"),
+      // md5-per-token feature hashing is the heavy scan — the doc_id
+      // hash repartition spreads it (single-row-group bench corpus =
+      // one scan task otherwise) AND pre-clusters for both per-doc
+      // aggregations below, which then run with no further exchange
+      // (r14, guide §2.4)
+      val tok = docs.select(col("doc_id"), col("lang"), col("text"))
+        .repartition(col("doc_id")).select(col("doc_id"),
         (col("lang") === "en").cast("double").as("y"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       val bucket = pmod(
@@ -1939,8 +1992,14 @@ object TextAnalysis {
         |  round((ln(n) - CAST(sl AS DOUBLE) / n) / ln(2), 6) AS entropy_bits,
         |  round((ln(n) - CAST(sl AS DOUBLE) / n) / ln(2), 6) < 3.5 AS low_entropy
         |FROM e""".stripMargin.replace("\n", " ")) { (s, dir) =>
-      // r13 opt: the per-character explode ran on one scan task — spread
-      charEntropyReport(Tables.spread(t(s, dir, "documents")), "doc_id")
+      // r14 (guide §2.4, the q37 move): hash-repartition by doc_id
+      // instead of round-robin spread — the same text shuffle then also
+      // satisfies the report's (doc_id, ch) and doc_id aggregations, so
+      // both run with NO further exchange (two char-table shuffles
+      // removed; the explode still spreads off the single scan split)
+      charEntropyReport(t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")), "doc_id")
     },
 
     /** Encoding-damage (mojibake) gate: per-document counts of U+FFFD
