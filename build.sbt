@@ -11,6 +11,34 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-verifiable FAST test tier (r13 VERDICT #7): the full suite's
+// multi-batch streaming/CDC replays and stress suites run ~80 minutes —
+// past the driver's test budget, so a green tree still read tests_ok
+// false. Plain `sbt test` now runs the fast tier: every operator-family
+// suite (operators/, functions/, engine/plan/dialect/invariance) plus
+// representative streaming rails, targeting < 10 min. The FULL suite is
+// one flag away and stays the builder's round-close gate:
+//   GRAFT_FULL_TESTS=1 sbt test
+val fastTierKeep: String => Boolean = { n =>
+  val slowPackages =
+    n.startsWith("graft.streaming.") || n.startsWith("graft.cdc.")
+  val slowSuites = Set(
+    "graft.ScaleGrowthSpec", "graft.SkewStressSpec",
+    "graft.functions.PublicSuffixScaleSpec",
+    "graft.sources.KafkaCdcSpec", "graft.sources.KeyedReplaySpec",
+    "graft.sources.JdbcSpec")
+  // representative streaming rails kept in the fast tier: the keyed
+  // state store, the IncrementalAgg ± rails, and the exact-dedup ladder
+  val streamingReps = Set(
+    "graft.streaming.ParquetKeyedTableSpec",
+    "graft.streaming.StreamingEntropySpec",
+    "graft.streaming.StreamingExactDedupSpec")
+  streamingReps(n) || (!slowPackages && !slowSuites(n))
+}
+Test / testOptions ++= {
+  if (sys.env.contains("GRAFT_FULL_TESTS")) Seq.empty
+  else Seq(Tests.Filter(fastTierKeep))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

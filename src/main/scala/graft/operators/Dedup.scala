@@ -527,8 +527,10 @@ object Dedup {
       }
       // cached: both sides of the band self-join (and the hamming
       // verify) reuse the signatures instead of recomputing the whole
-      // scan→shingle→md5→tally pipeline per branch
-      val sig = materialize(
+      // scan→shingle→md5→tally pipeline per branch. r14: EAGER — the
+      // join's two map stages materialize concurrently and raced the
+      // lazy persist, each recomputing the 60-aggregate tally pipeline.
+      val sig = graft.CacheScope.eager(
         words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"),
             (0 until 60).map(k =>

@@ -138,27 +138,63 @@ object Similarity {
   private def r6d(x: Double): JBD =
     new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
 
-  /** One distributed XᵀX·v pass: per-row dot against the broadcast
-    * iterate, per-row contributions rounded to 12 decimals, exact
-    * DECIMAL(38,12) per-dimension sums re-rounded to 6. The explode-
-    * then-group form shuffles (pos, contrib) pairs — 64× the vector
-    * count but fixed-width — into a 64-key partial-aggregated sum; a
-    * 64-aggregate single-pass variant (one decimal sum expression per
-    * dimension, no explode) was measured SLOWER (≈1.0s vs 0.7s per
-    * pass at sf0.1: 64 decimal buffers in one update loop codegens
-    * worse than the narrow shuffle), so the shuffle form stands. */
-  private def xtxPass(e: DataFrame, vec: IndexedSeq[JBD]): IndexedSeq[JBD] = {
-    val vLit = typedlit(vec.map(_.doubleValue))
-    val u = e
-      .select(col("v"), dot(col("v"), vLit).as("d"))
-      .select(posexplode(col("v")).as(Seq("pos", "x")), col("d"))
-      .select(col("pos"),
-        round(col("d") * col("x"), 12).cast("decimal(38,12)").as("contrib"))
-      .groupBy("pos")
-      .agg(round(sum("contrib").cast("double"), 6)
-        .cast("decimal(18,6)").as("u"))
-      .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
-    (0 until 64).map(p => u.getOrElse(p, java.math.BigDecimal.ZERO))
+  /** One distributed XᵀX·v pass: per-row dot against the iterate,
+    * per-row contributions rounded to 12 decimals, exact per-dimension
+    * decimal sums re-rounded to 6.
+    *
+    * r14 (the q129 move): each pass was a fresh DataFrame plan with the
+    * iterate inlined as a literal — every power/deflation round paid
+    * driver planning plus a cold whole-stage-codegen compile plus a
+    * (pos, contrib) exchange. The pass now runs through ONE reusable
+    * compiled mapPartitions over the cached vectors with BIT-IDENTICAL
+    * arithmetic: the dot is DotProduct's left-to-right primitive loop;
+    * round(d·x, 12) → decimal(38,12) is the shortest-decimal
+    * `BigDecimal.valueOf → setScale(12, HALF_UP)` path Spark's
+    * Round-on-double + Cast take; the exact decimal partials merge
+    * order-free; and the per-dimension tail replays
+    * `round(sum.cast(double), 6).cast(decimal(18,6))` exactly
+    * (valueOf/setScale twice). XtxPassSpec proves value equality
+    * against the former plan on random vectors across chained rounds.
+    * A pass = one cache-read job + a 64-value collect — no exchange,
+    * no per-round planning or codegen. */
+  private def xtxPass(e: DataFrame, vec: IndexedSeq[JBD]): IndexedSeq[JBD] =
+    xtxPassRows(e.select(col("v")).queryExecution.toRdd, vec)
+
+  private[operators] def xtxPassRows(
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      vec: IndexedSeq[JBD]): IndexedSeq[JBD] = {
+    import java.math.{BigDecimal => B, RoundingMode => RM}
+    val wv = vec.map(_.doubleValue).toArray
+    val partials = rows.mapPartitions { it =>
+      val acc = Array.fill(64)(B.ZERO)
+      while (it.hasNext) {
+        val arr = it.next().getArray(0)
+        // a non-64-dim row contributed nothing in the plan form (the
+        // dot's length-mismatch NULL poisoned every contribution)
+        if (arr.numElements() == 64) {
+          var d = 0.0
+          var i = 0
+          while (i < 64) { d += arr.getDouble(i) * wv(i); i += 1 }
+          i = 0
+          while (i < 64) {
+            acc(i) = acc(i).add(
+              B.valueOf(d * arr.getDouble(i)).setScale(12, RM.HALF_UP))
+            i += 1
+          }
+        }
+      }
+      Iterator.single(acc)
+    }.collect()
+    val sums = Array.fill(64)(B.ZERO)
+    partials.foreach { p =>
+      var i = 0
+      while (i < 64) { sums(i) = sums(i).add(p(i)); i += 1 }
+    }
+    (0 until 64).map { p =>
+      val r1 = B.valueOf(sums(p).doubleValue)
+        .setScale(6, RM.HALF_UP).doubleValue()
+      B.valueOf(r1).setScale(6, RM.HALF_UP)
+    }
   }
 
   /** Exact-decimal norm of a 6-rounded component vector → double. */
