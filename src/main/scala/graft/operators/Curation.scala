@@ -579,11 +579,18 @@ object Curation {
         conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
         lit(100L))
       // r13 opt: d feeds the token explode AND the gram explode (each a
-      // heavy single-split scan on the bench corpus) — spread + persist
-      // so the split() scan is parallel and runs once; grams feeds the
-      // holdout build (a broadcast side) and the train cover — eager,
-      // or the broadcast thread races the lazy cache (q102 lesson)
-      val d = graft.CacheScope.persist(Tables.spread(t(s, dir, "documents"))
+      // heavy single-split scan on the bench corpus) — persist so the
+      // split() scan runs once; grams feeds the holdout build (a
+      // broadcast side) and the train cover — eager, or the broadcast
+      // thread races the lazy cache (q102 lesson). r14 (guide §2.4, the
+      // q37 move): the spread is a doc_id hash repartition — the cached
+      // d is then already clustered for cover's (doc_id, pos) distinct,
+      // the removal groupBy, the keep joins and the rebuild groupBy, so
+      // the whole doc-keyed tail runs with no further exchange (the
+      // gram side stays broadcast-joined).
+      val d = graft.CacheScope.persist(t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           when(bucket < 90, "train").when(bucket < 95, "val")
             .otherwise("test").as("split"),
@@ -1686,11 +1693,14 @@ object Curation {
       // r13 opt: the boundary scan pays one md5 PER CHARACTER — by far
       // this query's heaviest stage — and the bench corpus arrives as a
       // single scan split, so it ran on ONE task (1.4s at sf0.1).
-      // Tables.spread parallelizes it adaptively (identity on any
-      // real-scale layout).
-      val docs = graft.CacheScope.persist(Tables.spread(
+      // r14 (guide §2.4, the q37 move): the spread is a doc_id hash
+      // repartition, so the cached frame is already clustered for the
+      // cut aggregation AND the doc⋈cuts join — the boundary rows and
+      // the doc table never hit a further exchange.
+      val docs = graft.CacheScope.persist(
         t(s, dir, "documents").select(col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n"))))
+          length(col("text")).cast("long").as("n"))
+          .repartition(col("doc_id")))
       // boundary scan: native window explode, codegen'd hash + modulus
       // filter AT THE ROW — only boundaries reach the shuffle
       val cuts = docs

@@ -1138,14 +1138,18 @@ object Dedup {
       val ws = split(trim(col("text")), "\\s+")
       // r13 opt: lines feeds the keep-key aggregate AND the join probe —
       // unpersisted it was computed twice (two ~0.5s single-split scans
-      // at sf0.1); spread + eager runs the explode once, in parallel
+      // at sf0.1); eager runs the explode once. r14 (the q59 move): the
+      // cached frame is repartitioned by LINE, so the keep-key
+      // aggregate and both sides of the line join run with no further
+      // exchange — only the final per-doc rebuild re-keys.
       val lines = graft.CacheScope.eager(
-        graft.sources.Tables.spread(t(s, dir, "documents"))
+        t(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(transform(
             sequence(lit(0), ((size(ws) + 9) / 10).cast("int") - 1),
             i => array_join(slice(ws, i * 10 + 1, lit(10)), " ")))
-            .as(Seq("li", "line"))))
+            .as(Seq("li", "line")))
+        .repartition(col("line")))
       val key = col("doc_id") * 1000000L + col("li")
       val first = lines.groupBy("line").agg(min(key).as("keep_key"))
       lines.join(first, "line")

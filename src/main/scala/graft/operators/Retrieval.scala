@@ -132,7 +132,15 @@ object Retrieval {
       //   broadcast threads race the cache and recompute the corpus
       //   explode in parallel (measured: one 33-task-second stage for
       //   a 5.5-task-second plan at sf0.1).
+      // r14 (guide §2.4, the q37 move): one doc_id hash repartition
+      // spreads the explode AND pre-clusters the (doc_id, dl, term)
+      // postings aggregation and the (query_id, id) scoring rollup
+      // (id == doc_id, a clustering subset), so the corpus-size token
+      // rows never hit a further exchange; the probe filter still
+      // pushes below the repartition to the scan.
       val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       val toks = docs.select(col("doc_id"),
         size(col("w")).cast("long").as("dl"), explode(col("w")).as("term"))
